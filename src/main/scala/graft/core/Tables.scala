@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver star schema + pipeline tables (TESTDATA.md /
+  * FIXTURES.md §B). One parquet file per table under `$dir`.
+  *
+  * All access goes through `spark.read.parquet` so Catalyst gets a
+  * relation it can push filters and column pruning into — at 100 TB the
+  * scan is the dominant cost and `PushedFilters`/`ReadSchema` pruning is
+  * the first-order win.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    * timestamp (SPARK-40819). Read it as nanos-since-epoch and truncate
+    * to microseconds — the same truncation DuckDB applies when casting
+    * TIMESTAMP_NS to TIMESTAMP — so both engines see identical values. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

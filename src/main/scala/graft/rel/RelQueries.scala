@@ -1,0 +1,553 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Det, QueryCatalog, Tables}
+
+/** Relational query surface (SURVEY.md §2.3: projection/filter, joins,
+  * aggregation, window functions, sort/limit, set ops, scalar fns,
+  * events/json).
+  *
+  * Design rules (scale-first):
+  *  - declarative DataFrame plans only — Catalyst does pushdown/pruning;
+  *  - dimension tables (region/nation/supplier/part at dim scale) are
+  *    `broadcast()`-hinted so fact-table joins never shuffle the big side;
+  *  - every aggregate over doubles goes through [[Det]] so results are
+  *    order-independent (exact decimal sums) — required both for the
+  *    DuckDB oracle hash-match and for run-to-run stability on a cluster;
+  *  - every query result has a deterministic total order.
+  */
+object RelQueries extends QueryCatalog {
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: multi-key groupBy, sum/avg/count.
+    * Scale: partial aggregation (map-side combine) happens automatically;
+    * only |groups| rows cross the shuffle. */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        Det.moneySum($"l_quantity").as("sum_qty"),
+        Det.moneySum($"l_extendedprice").as("sum_base_price"),
+        Det.moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+        Det.moneySum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("sum_charge"),
+        Det.moneyAvg($"l_quantity").as("avg_qty"),
+        Det.moneyAvg($"l_extendedprice").as("avg_price"),
+        Det.moneyAvg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.sqlSum("l_quantity")} AS sum_qty,
+       |  ${Det.sqlSum("l_extendedprice")} AS sum_base_price,
+       |  ${Det.sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${Det.sqlSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  ${Det.sqlAvg("l_quantity")} AS avg_qty,
+       |  ${Det.sqlAvg("l_extendedprice")} AS avg_price,
+       |  ${Det.sqlAvg("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Projection + predicates: IN, BETWEEN, null checks, boolean algebra,
+    * arithmetic. All of it reaches the parquet scan as PushedFilters. */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("A", "R") &&
+        $"l_quantity".between(10, 40) &&
+        $"l_shipdate".isNotNull &&
+        !($"l_linestatus" === "F" && $"l_discount" > 0.05))
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("net_price"),
+        $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+      |  l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A','R')
+      |  AND l_quantity BETWEEN 10 AND 40
+      |  AND l_shipdate IS NOT NULL
+      |  AND NOT (l_linestatus = 'F' AND l_discount > 0.05)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q5-style star join: lineitem⋈orders⋈customer⋈supplier⋈nation⋈
+    * region, revenue per nation. The dims are broadcast — the only
+    * shuffles left are fact⋈fact (lineitem⋈orders) and the final agg. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir).filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+      $"o_orderdate" < lit("2000-01-01").cast("timestamp"))
+    val c  = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n  = Tables.nation(s, dir)
+    val r  = Tables.region(s, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(su), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name".isin("ASIA", "EUROPE"))
+      .groupBy($"n_name")
+      .agg(Det.moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("nitems"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  private val q03Sql =
+    s"""SELECT n_name,
+       |  ${Det.sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  count(*) AS nitems
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name IN ('ASIA','EUROPE')
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '2000-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Left outer join: every customer with order count/total (zeros kept). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count($"o_orderkey").as("order_cnt"),
+        coalesce(Det.moneySum($"o_totalprice"), lit(0.0)).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+  private val q04Sql =
+    s"""SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+       |  coalesce(${Det.sqlSum("o_totalprice")}, 0.0) AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Left-semi join: customers having at least one open ('O') order. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter($"o_orderstatus" === "O")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+  private val q05Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** Left-anti join: customers with no orders at all. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Full outer join of two aggregates: customers vs suppliers per nation. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).groupBy($"c_nationkey").agg(count(lit(1)).as("cust_cnt"))
+    val su = Tables.supplier(s, dir).groupBy($"s_nationkey").agg(count(lit(1)).as("supp_cnt"))
+    c.join(su, $"c_nationkey" === $"s_nationkey", "full")
+      .select(coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"cust_cnt", lit(0L)).as("cust_cnt"),
+        coalesce($"supp_cnt", lit(0L)).as("supp_cnt"))
+      .orderBy($"nationkey")
+  }
+  private val q07Sql =
+    """SELECT coalesce(c.k, s.k) AS nationkey,
+      |  coalesce(c.cust_cnt, 0) AS cust_cnt,
+      |  coalesce(s.supp_cnt, 0) AS supp_cnt
+      |FROM (SELECT c_nationkey AS k, count(*) AS cust_cnt FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS k, count(*) AS supp_cnt FROM supplier GROUP BY 1) s
+      |  ON c.k = s.k
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Cross join (dims only — bounded 5×25 at every sf). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select($"r_name", $"n_name", ($"r_regionkey" === $"n_regionkey").as("home_region"))
+      .orderBy($"r_name", $"n_name")
+  }
+  private val q08Sql =
+    """SELECT r_name, n_name, (r_regionkey = n_regionkey) AS home_region
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Window ranking: top-3 orders per customer by price (row_number /
+    * rank / dense_rank). Single hash-partition-by-custkey shuffle. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 4).as("o_totalprice"),
+        $"rn", $"rnk", $"drnk")
+      .orderBy($"o_custkey", $"rn")
+  }
+  private val q09Sql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rn, rnk, drnk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Window offsets: lag/lead of order price per customer over time. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey",
+        round(lag($"o_totalprice", 1).over(w), 4).as("prev_price"),
+        round(lead($"o_totalprice", 1).over(w), 4).as("next_price"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  private val q10Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+      |  round(lead(o_totalprice, 1) OVER w, 4) AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Running aggregate frame: cumulative spend per customer.
+    * Addends go through the exact-decimal cast so the running sum is
+    * identical in both engines regardless of frame evaluation order. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey",
+        round(sum($"o_totalprice".cast("decimal(18,6)")).over(w).cast("double"), 4).as("run_spend"),
+        row_number().over(Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")).as("order_seq"))
+      .orderBy($"o_custkey", $"order_seq")
+  }
+  private val q11Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS run_spend,
+      |  row_number() OVER w AS order_seq
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Global sort + limit (top-k): driver only ever sees k rows — Spark
+    * runs TakeOrderedAndProject, no full global sort materialization. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 4).as("o_totalprice"))
+  }
+  private val q12Sql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Set ops: nation-key overlap of customers vs suppliers via
+    * INTERSECT / EXCEPT, tagged and unioned. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ck = Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+    val sk = Tables.supplier(s, dir).select($"s_nationkey".as("nationkey"))
+    val both = ck.intersect(sk).withColumn("tag", lit("both"))
+    val cOnly = ck.except(sk).withColumn("tag", lit("cust_only"))
+    val sOnly = sk.except(ck).withColumn("tag", lit("supp_only"))
+    both.unionAll(cOnly).unionAll(sOnly)
+      .select($"tag", $"nationkey")
+      .orderBy($"tag", $"nationkey")
+  }
+  private val q13Sql =
+    """WITH ck AS (SELECT c_nationkey AS nationkey FROM customer),
+      |     sk AS (SELECT s_nationkey AS nationkey FROM supplier)
+      |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM ck INTERSECT SELECT nationkey FROM sk)
+      |UNION ALL
+      |SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM ck EXCEPT SELECT nationkey FROM sk)
+      |UNION ALL
+      |SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM sk EXCEPT SELECT nationkey FROM ck)
+      |ORDER BY tag, nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Distinct (dropDuplicates) on a projected pair. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+  private val q14Sql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey
+      |FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** String scalar functions over part. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey",
+        lower($"p_name").as("name_lower"),
+        upper($"p_brand").as("brand_upper"),
+        length($"p_name").as("name_len"),
+        substring($"p_name", 1, 5).as("name_pfx"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        regexp_extract($"p_name", "^(\\w+)", 1).as("first_word"),
+        regexp_replace($"p_name", "a", "X").as("name_subst"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy($"p_partkey")
+  }
+  private val q15Sql =
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower,
+      |  upper(p_brand) AS brand_upper,
+      |  length(p_name) AS name_len,
+      |  substring(p_name, 1, 5) AS name_pfx,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+      |  regexp_replace(p_name, 'a', 'X', 'g') AS name_subst,
+      |  trim('  pad  ') AS trimmed
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Date/time scalar functions over orders. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey",
+        year($"o_orderdate").as("order_year"),
+        month($"o_orderdate").as("order_month"),
+        dayofmonth($"o_orderdate").as("order_day"),
+        date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_2002"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+      .orderBy($"o_orderkey")
+  }
+  private val q16Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS order_year,
+      |  CAST(month(o_orderdate) AS INT) AS order_month,
+      |  CAST(day(o_orderdate) AS INT) AS order_day,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Math scalar functions over lineitem (rounded — libm last-ulp noise). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 2).as("price_r2"),
+        abs($"l_quantity" - lit(25)).as("qty_dev"),
+        floor($"l_discount" * 100).cast("long").as("disc_pct_floor"),
+        ceil($"l_tax" * 100).cast("long").as("tax_pct_ceil"),
+        round(pow($"l_quantity", 2), 4).as("qty_sq"),
+        round(log($"l_extendedprice" + 1), 6).as("log_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+  private val q17Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  round(l_extendedprice, 2) AS price_r2,
+      |  abs(l_quantity - 25) AS qty_dev,
+      |  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+      |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+      |  round(pow(l_quantity, 2), 4) AS qty_sq,
+      |  round(ln(l_extendedprice + 1), 6) AS log_price
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Array functions: split / size / contains / sort_array / explode. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey", split($"p_name", " ").as("toks"))
+      .select($"p_partkey",
+        size($"toks").as("ntoks"),
+        array_contains($"toks", "widget").as("is_widget"),
+        sort_array($"toks").as("toks_sorted"),
+        explode($"toks").as("tok"))
+      .orderBy($"p_partkey", $"tok")
+  }
+  private val q18Sql =
+    """SELECT p_partkey,
+      |  CAST(len(toks) AS INT) AS ntoks,
+      |  list_contains(toks, 'widget') AS is_widget,
+      |  list_sort(toks) AS toks_sorted,
+      |  unnest(toks) AS tok
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+      |ORDER BY p_partkey, tok""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** JSON extraction over events.props + aggregation by event_type. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+  private val q19Sql =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** count(DISTINCT) + plain aggregates per market segment. */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey").as("nations"),
+        count(lit(1)).as("customers"),
+        Det.moneySum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+  private val q20Sql =
+    s"""SELECT c_mktsegment,
+       |  count(DISTINCT c_nationkey) AS nations,
+       |  count(*) AS customers,
+       |  ${Det.sqlSum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Grouped collect_set with deterministic (sorted) array output. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_nationkey")
+      .agg(sort_array(collect_set($"c_mktsegment")).as("segments"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_nationkey")
+  }
+  private val q21Sql =
+    """SELECT c_nationkey, list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments, count(*) AS n
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Multi-key group with derived key (year) — agg over join output. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    li.groupBy($"l_returnflag", year($"l_shipdate").as("ship_year"))
+      .agg(count(lit(1)).as("n"), Det.moneySum($"l_quantity").as("qty"))
+      .orderBy($"l_returnflag", $"ship_year")
+  }
+  private val q22Sql =
+    s"""SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+       |  count(*) AS n, ${Det.sqlSum("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY 1, 2
+       |ORDER BY l_returnflag, ship_year""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_star_revenue" -> q03,
+    "q04_join_left_orders" -> q04,
+    "q05_join_semi_open" -> q05,
+    "q06_join_anti_noorders" -> q06,
+    "q07_join_full_nation" -> q07,
+    "q08_join_cross_dims" -> q08,
+    "q09_window_rank_topk" -> q09,
+    "q10_window_lag_lead" -> q10,
+    "q11_window_running_sum" -> q11,
+    "q12_sort_limit_topk" -> q12,
+    "q13_set_ops" -> q13,
+    "q14_distinct" -> q14,
+    "q15_scalar_string" -> q15,
+    "q16_scalar_date" -> q16,
+    "q17_scalar_math" -> q17,
+    "q18_scalar_array" -> q18,
+    "q19_json_events" -> q19,
+    "q20_agg_distinct" -> q20,
+    "q21_collect_set" -> q21,
+    "q22_group_derived_key" -> q22,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_star_revenue" -> q03Sql,
+    "q04_join_left_orders" -> q04Sql,
+    "q05_join_semi_open" -> q05Sql,
+    "q06_join_anti_noorders" -> q06Sql,
+    "q07_join_full_nation" -> q07Sql,
+    "q08_join_cross_dims" -> q08Sql,
+    "q09_window_rank_topk" -> q09Sql,
+    "q10_window_lag_lead" -> q10Sql,
+    "q11_window_running_sum" -> q11Sql,
+    "q12_sort_limit_topk" -> q12Sql,
+    "q13_set_ops" -> q13Sql,
+    "q14_distinct" -> q14Sql,
+    "q15_scalar_string" -> q15Sql,
+    "q16_scalar_date" -> q16Sql,
+    "q17_scalar_math" -> q17Sql,
+    "q18_scalar_array" -> q18Sql,
+    "q19_json_events" -> q19Sql,
+    "q20_agg_distinct" -> q20Sql,
+    "q21_collect_set" -> q21Sql,
+    "q22_group_derived_key" -> q22Sql,
+  )
+}

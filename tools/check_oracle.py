@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local driver-sim: compare Verify.scala's parquet dumps against the
+DuckDB oracle SQL, the way the driver does (sort columns by name, sort
+rows, compare values). Usage:
+    python3 tools/check_oracle.py <sfDir> <outDir> [query ...]
+Run after:  sbt "runMain graft.Verify <sfDir> <outDir>"
+"""
+import sys, json, math, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize list/array cells to tuples so sorting works
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str)).any():
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if hasattr(v, "tolist") else (tuple(v) if isinstance(v, (list, tuple)) else v))
+    try:
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    except Exception:
+        df = df.reset_index(drop=True)
+    return df
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    # timestamps: compare as pandas
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except Exception:
+        pass
+    if hasattr(a, "isoformat") and hasattr(b, "isoformat"):
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    return a == b or str(a) == str(b)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures, passes, skips = [], [], []
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            failures.append((name, "no spark output"))
+            continue
+        try:
+            got = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        except Exception as e:
+            failures.append((name, f"spark read fail: {e}"))
+            continue
+        try:
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            failures.append((name, f"oracle SQL fail: {e}"))
+            continue
+        if sorted(got.columns) != sorted(want.columns):
+            failures.append((name, f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}"))
+            continue
+        if len(got) != len(want):
+            failures.append((name, f"row count: spark={len(got)} oracle={len(want)}"))
+            continue
+        bad = None
+        for col in got.columns:
+            ga, wa = got[col].tolist(), want[col].tolist()
+            for i, (x, y) in enumerate(zip(ga, wa)):
+                if not cells_equal(x, y):
+                    bad = f"col {col} row {i}: spark={x!r} oracle={y!r}"
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, bad))
+        else:
+            passes.append(name)
+    # queries with no oracle (rows-only)
+    for name in sorted(os.listdir(out_dir)):
+        if os.path.isdir(f"{out_dir}/{name}") and name not in oracle:
+            skips.append(name)
+    print(f"PASS ({len(passes)}): " + " ".join(passes))
+    if skips:
+        print(f"ROWS-ONLY ({len(skips)}): " + " ".join(skips))
+    if failures:
+        print(f"FAIL ({len(failures)}):")
+        for n, why in failures:
+            print(f"  {n}: {why}")
+        sys.exit(1)
+    print("ALL OK")
+
+if __name__ == "__main__":
+    main()
