@@ -13,6 +13,7 @@ object SparkEntry {
   /** All query catalogs, in SURVEY.md §7.1 build order. */
   def catalogs: Seq[QueryCatalog] = Seq(
     rel.RelQueries,
+    text.TextQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,253 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryCatalog, Tables}
+import graft.apps.{InvertedIndex, WordCount}
+
+/** Text-analysis surface over `documents` (SURVEY.md §2.3 "text
+  * analysis" + the training-data-pipeline operators): word count,
+  * inverted index, n-grams, token stats, language ID, quality scoring,
+  * fingerprinting.
+  *
+  * All token work uses `\s+` splitting with empty tokens dropped —
+  * the reference's tokenizer contract (`src/WordCounter.cpp:24-29`,
+  * `stringstream >>`: punctuation retained, case-sensitive).
+  *
+  * Scale: every query here is a scan → per-row array work (codegen'd
+  * higher-order functions, no UDFs) → single partial+final aggregation.
+  * Nothing shuffles more than once; nothing collects to the driver.
+  */
+object TextQueries extends QueryCatalog {
+
+  /** `\s+` tokens with empties dropped, as a SQL expression over `text`. */
+  private val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
+  /** DuckDB twin of [[toksExpr]]. */
+  private val toksSql = raw"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+  // ---------------------------------------------------------------- q30
+  /** Reference app 1 (WordCount) over documents.text. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    WordCount.counts(Tables.documents(s, dir).select($"text".as("value")).as[String])
+  }
+  private val q30Sql =
+    s"""SELECT word, count(*) AS cnt
+       |FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |GROUP BY word
+       |ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Reference app 2 (InvertedIndex): word → lexicographically sorted
+    * distinct positions (doc_ids) AS STRINGS — preserving the
+    * reference's "10" < "2" ordering quirk (src/InvertedIndex.cpp:35). */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    InvertedIndex.index(Tables.documents(s, dir), "doc_id", "text")
+  private val q31Sql =
+    s"""SELECT word, list(DISTINCT pos ORDER BY pos) AS positions
+       |FROM (SELECT CAST(doc_id AS VARCHAR) AS pos, unnest($toksSql) AS word FROM documents)
+       |GROUP BY word
+       |ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Word 3-gram counts. Spark arrays are 0-indexed, DuckDB 1-indexed —
+    * both sides enumerate i over the n-2 window starts. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("ngram"))
+      .groupBy($"ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"ngram")
+  }
+  private val q32Sql =
+    s"""SELECT ngram, count(*) AS cnt
+       |FROM (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks)-2),
+       |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+       |  FROM (SELECT $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |)
+       |GROUP BY ngram
+       |ORDER BY ngram""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Per-document token statistics (exact integer arithmetic + one
+    * final double division → engine-agnostic). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"), length($"text").as("chars"))
+      .select($"doc_id",
+        $"chars".cast("long").as("n_chars"),
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        expr("aggregate(toks, 0, (a, t) -> a + length(t))").cast("long").as("token_chars"))
+      .withColumn("avg_token_len", round($"token_chars".cast("double") / $"n_tokens", 4))
+      .withColumn("type_token_ratio", round($"n_distinct".cast("double") / $"n_tokens", 4))
+      .orderBy($"doc_id")
+  }
+  private val q33Sql =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
+       |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+       |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS type_token_ratio
+       |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Heuristic language ID: stopword-hit counts per language with a
+    * fixed-precedence argmax (deterministic tiebreak en>de>es>fr). */
+  private val stop = Map(
+    "en" -> Seq("the", "is", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+  private def hitsExpr(words: Seq[String]) =
+    s"size(filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+  private def hitsSql(words: Seq[String]) =
+    s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"), expr(toksExpr).as("toks"))
+      .select($"doc_id", $"labeled_lang",
+        expr(hitsExpr(stop("en"))).cast("long").as("s_en"),
+        expr(hitsExpr(stop("de"))).cast("long").as("s_de"),
+        expr(hitsExpr(stop("es"))).cast("long").as("s_es"),
+        expr(hitsExpr(stop("fr"))).cast("long").as("s_fr"))
+      .withColumn("predicted_lang",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+          .when($"s_es" >= $"s_fr", "es")
+          .otherwise("fr"))
+      .orderBy($"doc_id")
+  }
+  private val q34Sql =
+    s"""SELECT doc_id, labeled_lang, s_en, s_de, s_es, s_fr,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    ${hitsSql(stop("en"))} AS s_en,
+       |    ${hitsSql(stop("de"))} AS s_de,
+       |    ${hitsSql(stop("es"))} AS s_es,
+       |    ${hitsSql(stop("fr"))} AS s_fr
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+       |)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Quality scoring: length / punctuation / stopword signals combined
+    * into one bounded score (all inputs exact ints; one double op per
+    * signal). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", expr(toksExpr).as("toks"))
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size($"toks").cast("long").as("n_tokens"),
+        (length($"text") - length(regexp_replace($"text", "[^a-z0-9 ]", ""))).cast("long").as("punct_chars"),
+        expr(hitsExpr(allStop)).cast("long").as("stop_hits"))
+      .withColumn("punct_ratio", round($"punct_chars".cast("double") / $"n_chars", 4))
+      .withColumn("stop_ratio", round($"stop_hits".cast("double") / $"n_tokens", 4))
+      .withColumn("len_score", round(least($"n_tokens".cast("double") / 50.0, lit(1.0)), 4))
+      .withColumn("quality_score",
+        round(($"len_score" * 0.5 + (lit(1.0) - $"punct_ratio") * 0.3 + $"stop_ratio" * 0.2), 4))
+      .orderBy($"doc_id")
+  }
+  private val q35Sql = {
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    s"""SELECT doc_id, n_chars, n_tokens, punct_chars, stop_hits,
+       |  punct_ratio, stop_ratio, len_score,
+       |  round(len_score * 0.5 + (1.0 - punct_ratio) * 0.3 + stop_ratio * 0.2, 4) AS quality_score
+       |FROM (
+       |  SELECT doc_id, n_chars, n_tokens, punct_chars, stop_hits,
+       |    round(CAST(punct_chars AS DOUBLE) / n_chars, 4) AS punct_ratio,
+       |    round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |    round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0), 4) AS len_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(length(text) AS BIGINT) AS n_chars,
+       |      CAST(len(toks) AS BIGINT) AS n_tokens,
+       |      CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+       |      ${hitsSql(allStop)} AS stop_hits
+       |    FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |  )
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q36
+  /** Document fingerprinting: full-content md5 + min-hash over word
+    * 3-gram shingles (the winnowing-style representative hash). md5 is
+    * bit-identical across engines, so fingerprints are portable. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", expr(toksExpr).as("toks"))
+      .select($"doc_id",
+        md5($"text").as("content_md5"),
+        coalesce(
+          expr("array_min(transform(sequence(0, size(toks)-3), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"),
+          md5($"text")).as("shingle_fingerprint"))
+      .orderBy($"doc_id")
+  }
+  private val q36Sql =
+    s"""SELECT doc_id,
+       |  md5(text) AS content_md5,
+       |  coalesce(
+       |    list_min(list_transform(generate_series(1, len(toks)-2),
+       |             i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))),
+       |    md5(text)) AS shingle_fingerprint
+       |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** The MapReduce facade end-to-end (SURVEY.md §7.3): WordCount run
+    * through runFold — (key, values-list) output like the reference's
+    * emit(k2, v3_list). */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    WordCount.viaFacade(Tables.documents(s, dir).select($"text".as("value")).as[String])
+      .toDF("key", "values")
+  }
+  private val q37Sql =
+    s"""SELECT word AS key, [CAST(count(*) AS VARCHAR)] AS values
+       |FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |GROUP BY word
+       |ORDER BY key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_wordcount" -> q30,
+    "q31_inverted_index" -> q31,
+    "q32_ngrams" -> q32,
+    "q33_token_stats" -> q33,
+    "q34_langid" -> q34,
+    "q35_quality_score" -> q35,
+    "q36_fingerprint" -> q36,
+    "q37_mr_facade_wordcount" -> q37,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_wordcount" -> q30Sql,
+    "q31_inverted_index" -> q31Sql,
+    "q32_ngrams" -> q32Sql,
+    "q33_token_stats" -> q33Sql,
+    "q34_langid" -> q34Sql,
+    "q35_quality_score" -> q35Sql,
+    "q36_fingerprint" -> q36Sql,
+    "q37_mr_facade_wordcount" -> q37Sql,
+  )
+}
