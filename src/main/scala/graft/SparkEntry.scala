@@ -14,6 +14,10 @@ object SparkEntry {
   def catalogs: Seq[QueryCatalog] = Seq(
     rel.RelQueries,
     text.TextQueries,
+    dedup.DedupQueries,
+    sim.SimilarityQueries,
+    streaming.StreamQueries,
+    multimodal.MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star operator family): image /
+  * audio / video travel as opaque `binary` columns with typed metadata;
+  * decode / feature-extract / resize / frame-sample run as partition-
+  * local batch functions over those bytes.
+  *
+  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
+  * so [[FakeDecoder]] derives deterministic pseudo-features from the raw
+  * bytes. Everything around it is real and tested: the schema contract,
+  * the mapPartitions batch shape (one decoder instance per partition,
+  * streamed rows — the same shape a JNI/FFmpeg decoder needs), and the
+  * partitioning (decode is a narrow transformation: no shuffle, scales
+  * linearly with executors).
+  */
+object Multimodal {
+
+  /** Typed media row: the engine's multimodal schema contract. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("media", BinaryType, nullable = false),
+    StructField("meta_source", StringType, nullable = true)))
+
+  /** Decoded feature row appended by [[decodeFeatures]]. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** Decoder contract: bytes → (width, height, nFrames, featureVec).
+    * A real implementation wraps a codec library; one instance is
+    * created per partition (see [[decodeFeatures]]) so native handles
+    * are reused across the rows of a partition. */
+  trait Decoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+  }
+
+  /** Deterministic stand-in for the codec: features are pure functions
+    * of the bytes, so tests are stable. A real image decoder would
+    * replace exactly this class. */
+  object FakeDecoder extends Decoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val n = bytes.length
+      val w = 64 + (if (n == 0) 0 else math.abs(bytes(0).toInt) % 64)
+      val h = 64 + (if (n < 2) 0 else math.abs(bytes(1).toInt) % 64)
+      val frames = 1 + n % 4
+      // 8-dim pseudo-embedding: banded byte sums, L1-normalized
+      val acc = new Array[Float](8)
+      var i = 0
+      while (i < n) { acc(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+      val s = math.max(acc.sum, 1e-6f)
+      (w, h, frames, acc.map(_ / s))
+    }
+  }
+
+  /** Partition-local decode: the multimodal workhorse. mapPartitions so
+    * the decoder is instantiated once per partition and rows stream
+    * through it — the batch shape a vectorized/NATIVE decoder needs. */
+  def decodeFeatures(media: DataFrame, decoder: Decoder = FakeDecoder): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, f, feat) = decoder.decode(bytes)
+        Row(id, bytes.length.toLong, w, h, f, feat.toSeq)
+      }
+    }
+    spark.createDataFrame(out, featureSchema)
+  }
+
+  /** Frame sampling: keep every `stride`-th frame of a "video" (stub:
+    * fixed-size byte slices stand in for frames — the slicing/explode
+    * plumbing is the real part). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+    media
+      .select(col("media_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(floor((octet_length(media) - 1) / $frameBytes) AS INT)), " +
+            s"i -> substring(media, i * $frameBytes + 1, $frameBytes))")).as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % stride === 0)
+
+  /** "Resize": deterministic byte-level downsample of each frame (stub
+    * for a pixel resize; truncates to 1/factor of the bytes — the
+    * column plumbing, not the pixel math, is the real part). */
+  def resize(frames: DataFrame, factor: Int): DataFrame =
+    frames.withColumn("frame",
+      expr(s"substring(frame, 1, greatest(1, CAST(octet_length(frame) / $factor AS INT)))"))
+}

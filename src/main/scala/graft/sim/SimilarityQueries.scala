@@ -1,0 +1,120 @@
+package graft.sim
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryCatalog, Tables}
+
+/** Approximate-nearest-neighbor surface over `embeddings.embedding`
+  * (Array[Float], 64-dim).
+  *
+  * Two paths, per the north-star contract:
+  *  - q50: brute-force cosine top-k — the correctness baseline. Linear
+  *    scan, broadcast query vector, TakeOrdered top-k: no shuffle of
+  *    the corpus, so it scales to any row count (but pays a full scan
+  *    per query).
+  *  - q51: random-hyperplane LSH bucketing — the scale path. Bucket
+  *    assignment is a linear codegen-friendly scan; search touches only
+  *    the query's bucket (expected corpus/2^planes of the data). The
+  *    hyperplanes are derived from md5 at plan-build time (in Scala)
+  *    and inlined as ±1 literals into BOTH engines' plans, so the
+  *    bucketing is deterministic and oracle-checkable.
+  *
+  * Cosines are computed as exact left-to-right double folds over
+  * float→double-cast values in both engines, then rounded to 4 dp.
+  */
+object SimilarityQueries extends QueryCatalog {
+
+  private val DIMS = 64
+  private val PLANES = 6 // 64 buckets
+
+  /** Deterministic ±1 hyperplane matrix: sign(p,d) from md5("p-d"). */
+  private[sim] def planeSign(p: Int, d: Int): Int = {
+    val h = MessageDigest.getInstance("MD5").digest(s"$p-$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
+  /** Spark SQL expression for the bucket id of double-array column `v`. */
+  private def bucketExpr(v: String): String =
+    (0 until PLANES).map { p =>
+      val dot = (0 until DIMS).map(d => s"$v[$d] * ${planeSign(p, d)}").mkString(" + ")
+      s"(CASE WHEN ($dot) > 0D THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB twin (1-based subscripts). */
+  private def bucketSql(v: String): String =
+    (0 until PLANES).map { p =>
+      val dot = (0 until DIMS).map(d => s"$v[${d + 1}] * ${planeSign(p, d)}").mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def withVec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+  }
+  private val withVecSql =
+    """SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm
+      |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Brute-force cosine top-10 neighbors of vec_id = 0. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withVec(s, dir)
+    val q = e.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"norm".as("qnorm"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / ($"norm" * $"qnorm"), 4))
+      .select($"vec_id", $"label", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+  private val q50Sql =
+    s"""WITH e AS ($withVecSql),
+       |q AS (SELECT v AS qv, norm AS qnorm FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label,
+       |  round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 4) AS cos
+       |FROM e, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** LSH-bucketed ANN: top-10 within vec 0's hyperplane bucket. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withVec(s, dir).withColumn("bucket", expr(bucketExpr("v")).cast("int"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"norm".as("qnorm"), $"bucket".as("qbucket"))
+    e.filter($"vec_id" =!= 0)
+      .join(broadcast(q), $"bucket" === $"qbucket")
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / ($"norm" * $"qnorm"), 4))
+      .select($"vec_id", $"label", $"bucket", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+  private val q51Sql =
+    s"""WITH e AS (SELECT vec_id, label, v, norm, CAST(${bucketSql("v")} AS INT) AS bucket FROM ($withVecSql)),
+       |q AS (SELECT v AS qv, norm AS qnorm, bucket AS qbucket FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, e.bucket,
+       |  round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 4) AS cos
+       |FROM e JOIN q ON e.bucket = q.qbucket
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_sim_topk_bruteforce" -> q50,
+    "q51_sim_topk_lsh" -> q51,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_sim_topk_bruteforce" -> q50Sql,
+    "q51_sim_topk_lsh" -> q51Sql,
+  )
+}

@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Multimodal plumbing: schema contract, partition-local decode batch
+  * shape, frame sampling and resize — with the stub decoder standing in
+  * for a codec (deterministic, so results are assertable). */
+class MultimodalSpec extends SparkTestBase {
+
+  private def mediaDf = {
+    val rows = Seq(
+      Row(1L, "image", "abcdefgh".getBytes("UTF-8"), "s1"),
+      Row(2L, "video", ("x" * 100).getBytes("UTF-8"), "s2"),
+      Row(3L, "audio", Array[Byte](), "s3"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+  }
+
+  test("decodeFeatures: schema contract + deterministic stub features") {
+    val out = Multimodal.decodeFeatures(mediaDf)
+    assert(out.schema == Multimodal.featureSchema)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 8L) // n_bytes
+    assert(byId(3L).getLong(1) == 0L) // empty media decodes, not crashes
+    // deterministic: two runs produce identical feature vectors
+    val again = Multimodal.decodeFeatures(mediaDf).collect().map(r => r.getLong(0) -> r.getSeq[Float](5)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](5)).toMap
+    assert(first == again)
+  }
+
+  test("decode is a narrow transformation (partition count preserved, no shuffle)") {
+    val out = Multimodal.decodeFeatures(mediaDf)
+    assert(out.rdd.getNumPartitions == mediaDf.rdd.getNumPartitions)
+  }
+
+  test("sampleFrames slices fixed-size frames and honors stride") {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(mediaDf.filter($"media_id" === 2L), frameBytes = 10, stride = 2)
+    val nos = frames.select($"frame_no").collect().map(_.getInt(0)).sorted.toSeq
+    assert(nos == Seq(0, 2, 4, 6, 8)) // 100 bytes → 10 frames → stride 2 keeps 5
+    val lens = frames.select(octet_length($"frame")).collect().map(_.getInt(0)).toSet
+    assert(lens == Set(10))
+  }
+
+  test("resize truncates frames to 1/factor of the bytes") {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(mediaDf.filter($"media_id" === 2L), 10, 1)
+    val small = Multimodal.resize(frames, 5)
+    val lens = small.select(octet_length($"frame")).collect().map(_.getInt(0)).toSet
+    assert(lens == Set(2))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Real Structured Streaming runs (readStream → transform → writeStream
+  * with a memory source/sink): watermarked tumbling windows including
+  * late-data drop, session windows, and batch/stream equivalence for
+  * on-time data — the behaviors DuckDB cannot oracle (SURVEY.md §7.5). */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsAt(hour: Int, minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("tumbling window with watermark: on-time counts and late-data drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = EventStreams.tumblingCountsStream(events)
+      .writeStream.format("memory").queryName("tumbling_test").outputMode("update").start()
+    try {
+      // batch 1: two events in the 10:00 hour, one in 11:00
+      input.addData((tsAt(10, 5), "click"), (tsAt(10, 40), "click"), (tsAt(11, 10), "view"))
+      q.processAllAvailable()
+      // batch 2: advance watermark far past 10:00 (12:30 - 30min = 12:00)
+      input.addData((tsAt(12, 30), "view"))
+      q.processAllAvailable()
+      // batch 3: a LATE click at 10:50 — behind the watermark, must be dropped
+      input.addData((tsAt(10, 50), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .groupBy($"w_start", $"event_type").agg(max($"n").as("n")) // update mode: take latest
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((tsAt(10, 0), "click", 2L)), s"on-time counts wrong: $rows")
+      assert(!rows.contains((tsAt(10, 0), "click", 3L)), "late event behind watermark must be dropped")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization via session_window groups by 30-min gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionizeStream(events)
+      .writeStream.format("memory").queryName("session_test").outputMode("append").start()
+    try {
+      // user 1: events at 10:00, 10:10 (same session), 11:30 (new session)
+      input.addData((ts(0), 1L), (ts(10), 1L), (tsAt(11, 30), 1L))
+      q.processAllAvailable()
+      // push watermark forward so both sessions close
+      input.addData((tsAt(14, 0), 99L))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .filter($"user_id" === 1L)
+        .collect().map(r => (r.getTimestamp(1), r.getLong(3))).toSet
+      assert(rows == Set((ts(0), 2L), (tsAt(11, 30), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling counts agree for on-time data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq((tsAt(9, 5), "a"), (tsAt(9, 55), "a"), (tsAt(10, 5), "b"), (tsAt(10, 6), "a"))
+    // streaming pass
+    val input = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.tumblingCountsStream(input.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("equiv_test").outputMode("complete").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("equiv_test")
+        .select($"w_start", $"event_type", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // batch pass over the same frame (same transform family)
+      val batch = EventStreams.tumblingCounts(data.toDF("ts", "event_type").withColumn("value", lit(1.0)))
+        .select($"w_start", $"event_type", $"n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
