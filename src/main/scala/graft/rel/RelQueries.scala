@@ -501,6 +501,83 @@ object RelQueries extends QueryCatalog {
        |GROUP BY 1, 2
        |ORDER BY l_returnflag, ship_year""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** ROLLUP: per (flag, status) + per-flag subtotals + grand total.
+    * grouping() columns disambiguate real NULL keys from subtotal rows. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        Det.moneySum($"l_quantity").as("qty"),
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"l_linestatus").cast("long").as("g_status"))
+      .orderBy($"g_flag", $"g_status", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+  private val q23Sql =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${Det.sqlSum("l_quantity")} AS qty,
+       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** CUBE over (returnflag, ship_year): all grouping-set combinations. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("ship_year", year($"l_shipdate"))
+      .cube($"l_returnflag", $"ship_year")
+      .agg(count(lit(1)).as("n"),
+        Det.moneySum($"l_extendedprice").as("price"),
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"ship_year").cast("long").as("g_year"))
+      .orderBy($"g_flag", $"g_year", $"l_returnflag".asc_nulls_first, $"ship_year".asc_nulls_first)
+  }
+  private val q24Sql =
+    s"""SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n,
+       |  ${Det.sqlSum("l_extendedprice")} AS price,
+       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       |  CAST(grouping(year(l_shipdate)) AS BIGINT) AS g_year
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, year(l_shipdate))
+       |ORDER BY g_flag, g_year, l_returnflag ASC NULLS FIRST, ship_year ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** approx_count_distinct (HLL++): no oracle — DuckDB's approx sketch
+    * differs by construction; the driver applies its rows-only check.
+    * The exact twin is q20 (countDistinct), which IS oracle-checked. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Multi-key sort with explicit null ordering (engine defaults
+    * differ: Spark ASC=nulls-first, DuckDB ASC=nulls-last — always
+    * declared explicitly on both sides). */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey",
+        nullif($"o_orderpriority", lit("5-LOW")).as("prio"),
+        round($"o_totalprice", 4).as("o_totalprice"))
+      .orderBy($"prio".desc_nulls_last, $"o_totalprice".desc, $"o_orderkey")
+      .limit(500)
+  }
+  private val q26Sql =
+    """SELECT o_orderkey, nullif(o_orderpriority, '5-LOW') AS prio,
+      |  round(o_totalprice, 4) AS o_totalprice
+      |FROM orders
+      |ORDER BY prio DESC NULLS LAST, o_totalprice DESC, o_orderkey
+      |LIMIT 500""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -524,6 +601,10 @@ object RelQueries extends QueryCatalog {
     "q20_agg_distinct" -> q20,
     "q21_collect_set" -> q21,
     "q22_group_derived_key" -> q22,
+    "q23_rollup" -> q23,
+    "q24_cube" -> q24,
+    "q25_approx_distinct" -> q25,
+    "q26_sort_nulls" -> q26,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -549,5 +630,9 @@ object RelQueries extends QueryCatalog {
     "q20_agg_distinct" -> q20Sql,
     "q21_collect_set" -> q21Sql,
     "q22_group_derived_key" -> q22Sql,
+    "q23_rollup" -> q23Sql,
+    "q24_cube" -> q24Sql,
+    // q25_approx_distinct: intentionally no oracle (approximate sketch)
+    "q26_sort_nulls" -> q26Sql,
   )
 }

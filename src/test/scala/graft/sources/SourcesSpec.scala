@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Round-trip and pruning behavior of the source/sink surface. */
+class SourcesSpec extends SparkTestBase {
+
+  private def sample = {
+    import spark.implicits._
+    Seq((1L, "alpha", 2.5, "2024-01-15"),
+        (2L, "beta", 4.0, "2024-02-20"),
+        (3L, "gamma", 1.25, "2025-01-05"))
+      .toDF("id", "name", "score", "day")
+      .withColumn("day", to_date($"day"))
+  }
+
+  // file readers mark all columns nullable — compare modulo nullability
+  private def loose(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  test("parquet round-trip preserves schema and rows") {
+    val dir = Files.createTempDirectory("pq").toString + "/t"
+    Sources.writeParquet(sample, dir)
+    val back = Sources.readParquet(spark, dir)
+    assert(loose(back.schema) == loose(sample.schema))
+    assert(back.orderBy("id").collect().toSeq == sample.orderBy("id").collect().toSeq)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pqpart").toString + "/t"
+    Sources.writeParquet(sample.withColumn("yr", year($"day")), dir, partitionBy = Seq("yr"))
+    val pruned = Sources.readParquet(spark, dir).filter($"yr" === 2024)
+    // the partition filter must reach the scan, not a post-scan Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("yr"), plan)
+    assert(pruned.count() == 2)
+  }
+
+  test("csv round-trip with explicit schema (no inference pass)") {
+    val dir = Files.createTempDirectory("csv").toString + "/t"
+    Sources.writeCsv(sample, dir)
+    val back = Sources.readCsv(spark, dir, sample.schema)
+    assert(loose(back.schema) == loose(sample.schema))
+    assert(back.orderBy("id").collect().toSeq == sample.orderBy("id").collect().toSeq)
+  }
+
+  test("jsonl round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("jsonl").toString + "/t"
+    Sources.writeJsonl(sample, dir)
+    val back = Sources.readJsonl(spark, dir, sample.schema)
+    assert(back.orderBy("id").collect().toSeq == sample.orderBy("id").collect().toSeq)
+  }
+
+  test("textLines: line-oriented source feeds the MapReduce facade contract") {
+    val dir = Files.createTempDirectory("txt").toString + "/t"
+    import spark.implicits._
+    Seq("one line", "two line").toDF("value").write.mode(SaveMode.Overwrite).text(dir)
+    val lines = Sources.textLines(spark, dir).collect().sorted.toSeq
+    assert(lines == Seq("one line", "two line"))
+  }
+}
