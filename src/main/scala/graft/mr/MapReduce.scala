@@ -52,6 +52,19 @@ object MapReduce {
       .orderBy(col("_1"))
   }
 
+  /** The reference's mapper input shard (O2): mapper `i` of `n` keeps
+    * line iff `hash(record_number) % n == i`, and libstdc++'s
+    * `std::hash<int>` is the identity ⇒ round-robin by line number
+    * (`include/MapReduceMaster.h:434-440,:465`). Spark's input splits
+    * make this unnecessary (each split is read once), but the exact
+    * record-to-task assignment is reproducible when bit-parity matters. */
+  def mapperShard(lines: Dataset[String], nrMapper: Int, mapperId: Int): Dataset[String] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    spark.createDataset(
+      lines.rdd.zipWithIndex().collect { case (l, no) if no % nrMapper == mapperId => l })
+  }
+
   /** Algebraic variant: when the user reduce is a fold (zero/step/merge),
     * run it as a typed Aggregator so Spark performs map-side combine —
     * the optimization the reference explicitly lacks

@@ -62,13 +62,15 @@ object SimilarityQueries extends QueryCatalog {
   /** Brute-force cosine top-10 neighbors of vec_id = 0. */
   private def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val e = withVec(s, dir)
-    val q = e.filter($"vec_id" === 0)
-      .select($"v".as("qv"), $"norm".as("qnorm"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    // native codegen'd Expression (graft.functions.CosineSimilarity):
+    // bit-identical to the HOF fold / DuckDB list_dot_product formula,
+    // but runs inside whole-stage codegen — no per-element lambda calls
     e.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / ($"norm" * $"qnorm"), 4))
+      .withColumn("cos", round(expr("cosine_similarity(v, qv)"), 4))
       .select($"vec_id", $"label", $"cos")
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
@@ -87,13 +89,13 @@ object SimilarityQueries extends QueryCatalog {
   /** LSH-bucketed ANN: top-10 within vec 0's hyperplane bucket. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val e = withVec(s, dir).withColumn("bucket", expr(bucketExpr("v")).cast("int"))
     val q = e.filter($"vec_id" === 0)
-      .select($"v".as("qv"), $"norm".as("qnorm"), $"bucket".as("qbucket"))
+      .select($"v".as("qv"), $"bucket".as("qbucket"))
     e.filter($"vec_id" =!= 0)
       .join(broadcast(q), $"bucket" === $"qbucket")
-      .withColumn("cos", round(
-        expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") / ($"norm" * $"qnorm"), 4))
+      .withColumn("cos", round(expr("cosine_similarity(v, qv)"), 4))
       .select($"vec_id", $"label", $"bucket", $"cos")
       .orderBy($"cos".desc, $"vec_id")
       .limit(10)
