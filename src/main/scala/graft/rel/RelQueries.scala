@@ -578,6 +578,83 @@ object RelQueries extends QueryCatalog {
       |ORDER BY prio DESC NULLS LAST, o_totalprice DESC, o_orderkey
       |LIMIT 500""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** Statistical moments built from exact decimal sums (sum, sum of
+    * squares) so variance/stddev are order-independent — the built-in
+    * stddev/var aggregates stream doubles and would differ across
+    * engines' addition orders. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("decimal(18,6)")).cast("double").as("s1"),
+        sum(($"l_quantity".cast("decimal(18,6)") * $"l_quantity".cast("decimal(18,6)"))).cast("double").as("s2"))
+      .select($"l_returnflag", $"n",
+        round($"s1" / $"n", 4).as("mean_qty"),
+        round(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1), 4).as("var_qty"),
+        round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 4).as("stddev_qty"))
+      .orderBy($"l_returnflag")
+  }
+  private val q27Sql =
+    """SELECT l_returnflag, n,
+      |  round(s1 / n, 4) AS mean_qty,
+      |  round((s2 - s1 * s1 / n) / (n - 1), 4) AS var_qty,
+      |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS stddev_qty
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      |  FROM lineitem
+      |  GROUP BY l_returnflag
+      |)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Exact interpolated percentiles (no summation — sort-based, so
+    * engine-agnostic without the decimal trick). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy($"o_orderstatus")
+  }
+  private val q28Sql =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Pivot (wide aggregation): order counts + spend per status column.
+    * Oracle expresses the same thing as conditional aggregation. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Det.moneySum($"o_totalprice"))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0.0)).as("spend_f"),
+        coalesce($"O", lit(0.0)).as("spend_o"),
+        coalesce($"P", lit(0.0)).as("spend_p"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q29Sql =
+    s"""SELECT o_orderpriority,
+       |  coalesce(${Det.sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}, 0.0) AS spend_f,
+       |  coalesce(${Det.sqlSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}, 0.0) AS spend_o,
+       |  coalesce(${Det.sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}, 0.0) AS spend_p
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -605,6 +682,9 @@ object RelQueries extends QueryCatalog {
     "q24_cube" -> q24,
     "q25_approx_distinct" -> q25,
     "q26_sort_nulls" -> q26,
+    "q27_stats_moments" -> q27,
+    "q28_percentiles" -> q28,
+    "q29_pivot" -> q29,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -634,5 +714,8 @@ object RelQueries extends QueryCatalog {
     "q24_cube" -> q24Sql,
     // q25_approx_distinct: intentionally no oracle (approximate sketch)
     "q26_sort_nulls" -> q26Sql,
+    "q27_stats_moments" -> q27Sql,
+    "q28_percentiles" -> q28Sql,
+    "q29_pivot" -> q29Sql,
   )
 }
