@@ -24,22 +24,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runNoop(name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+    def runNoop(name: String): Boolean =
+      try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
 
     // warmup (untimed): touches the fact table + one agg + one join path
     runNoop("q01_pricing_summary")
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      runNoop(name)
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val ok = runNoop(name)
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    // A failing query must not silently lower the total: it is reported
+    // as -1 in the per-query map and listed in "failed".
+    val qs = results
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,17 @@ object MapReduce {
 
   /** Arbitrary user map/reduce — the reference's full generality.
     * Output is (key, values) sorted by key (O6 semantics: byte-wise
-    * string order, matching std::string operator<). */
+    * string order, matching std::string operator<).
+    *
+    * The O4 hash-partition-by-key exchange is delivered by the
+    * `groupByKey` shuffle itself — an explicit `repartition(n, key)`
+    * before it would be a second, pure-waste exchange of the same
+    * data. `numPartitions` (≅ nr_reducer) is advisory on Spark: the
+    * shuffle width comes from `spark.sql.shuffle.partitions` and the
+    * one-file-per-reducer layout from the sink
+    * ([[graft.sinks.TextKVSink]] repartitions on write); per the
+    * reference's contract (and the partition-invariance property test)
+    * it never changes answers. */
   def run(lines: Dataset[String],
           mapFn: (Long, String) => Iterator[(String, String)],
           reduceFn: (String, Iterator[String]) => Seq[String],
@@ -46,8 +56,7 @@ object MapReduce {
     val indexed = lines.rdd.zipWithIndex() // (line, 0-based global line number)
     val kv: Dataset[(String, String)] =
       spark.createDataset(indexed.flatMap { case (line, no) => mapFn(no, line) })
-    kv.repartition(numPartitions, col("_1")) // ≅ hash(key) % nr_reducer, O4
-      .groupByKey(_._1)
+    kv.groupByKey(_._1)
       .mapGroups((k, vs) => (k, reduceFn(k, vs.map(_._2)).toList: Seq[String]))
       .orderBy(col("_1"))
   }

@@ -94,9 +94,13 @@ object RelQueries extends QueryCatalog {
     val su = Tables.supplier(s, dir)
     val n  = Tables.nation(s, dir)
     val r  = Tables.region(s, dir)
+    // Broadcast-hint ONLY the fixed-cardinality dims (nation=25,
+    // region=5 at every sf). customer/supplier grow with sf — hinting
+    // them would ship gigabytes to every executor at the 100× target;
+    // AQE's size-based decision handles them correctly at any scale.
     li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
-      .join(broadcast(su), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(su, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .filter($"r_name".isin("ASIA", "EUROPE"))
@@ -122,15 +126,23 @@ object RelQueries extends QueryCatalog {
        |ORDER BY revenue DESC, n_name""".stripMargin
 
   // ---------------------------------------------------------------- q04
-  /** Left outer join: every customer with order count/total (zeros kept). */
+  /** Left outer join: every customer with order count/total (zeros kept).
+    * Scale shape: orders are PRE-aggregated by o_custkey before the
+    * join, so the join input is |custkeys| narrow rows instead of the
+    * full |orders|×(customer width) join output crossing the shuffle
+    * and then aggregating back down. Catalyst does not push aggregates
+    * through outer joins on its own — this restructuring is the plan
+    * we'd want at 100×. */
   private def q04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
-    c.join(o, $"c_custkey" === $"o_custkey", "left")
-      .groupBy($"c_custkey", $"c_name")
-      .agg(count($"o_orderkey").as("order_cnt"),
-        coalesce(Det.moneySum($"o_totalprice"), lit(0.0)).as("total_spent"))
+    val oAgg = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("cnt"), Det.moneySum($"o_totalprice").as("spent"))
+    c.join(oAgg, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_name",
+        coalesce($"cnt", lit(0L)).as("order_cnt"),
+        coalesce($"spent", lit(0.0)).as("total_spent"))
       .orderBy($"c_custkey")
   }
   private val q04Sql =
@@ -409,7 +421,10 @@ object RelQueries extends QueryCatalog {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // ---------------------------------------------------------------- q18
-  /** Array functions: split / size / contains / sort_array / explode. */
+  /** Array functions: split / size / contains / sort_array / explode.
+    * The sorted-array column is serialized with array_join so the
+    * driver harness (pandas sort+hash) can order it — typed arrays
+    * stay in the library API; only the catalog output is stringly. */
   private def q18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.part(s, dir)
@@ -417,7 +432,7 @@ object RelQueries extends QueryCatalog {
       .select($"p_partkey",
         size($"toks").as("ntoks"),
         array_contains($"toks", "widget").as("is_widget"),
-        sort_array($"toks").as("toks_sorted"),
+        array_join(sort_array($"toks"), " ").as("toks_sorted"),
         explode($"toks").as("tok"))
       .orderBy($"p_partkey", $"tok")
   }
@@ -425,7 +440,7 @@ object RelQueries extends QueryCatalog {
     """SELECT p_partkey,
       |  CAST(len(toks) AS INT) AS ntoks,
       |  list_contains(toks, 'widget') AS is_widget,
-      |  list_sort(toks) AS toks_sorted,
+      |  array_to_string(list_sort(toks), ' ') AS toks_sorted,
       |  unnest(toks) AS tok
       |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
       |ORDER BY p_partkey, tok""".stripMargin
@@ -440,9 +455,11 @@ object RelQueries extends QueryCatalog {
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
       .orderBy($"event_type")
   }
+  // DuckDB sum(INT) is HUGEINT (renders float64 in pandas) while Spark
+  // sum(int) is int64 — CAST to BIGINT so both engines hash identically.
   private val q19Sql =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events
@@ -470,17 +487,18 @@ object RelQueries extends QueryCatalog {
        |ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- q21
-  /** Grouped collect_set with deterministic (sorted) array output. */
+  /** Grouped collect_set with deterministic (sorted) output, serialized
+    * to a string for the driver harness (see q18 note). */
   private def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.customer(s, dir)
       .groupBy($"c_nationkey")
-      .agg(sort_array(collect_set($"c_mktsegment")).as("segments"),
+      .agg(array_join(sort_array(collect_set($"c_mktsegment")), " ").as("segments"),
         count(lit(1)).as("n"))
       .orderBy($"c_nationkey")
   }
   private val q21Sql =
-    """SELECT c_nationkey, list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments, count(*) AS n
+    """SELECT c_nationkey, array_to_string(list(DISTINCT c_mktsegment ORDER BY c_mktsegment), ' ') AS segments, count(*) AS n
       |FROM customer
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
@@ -655,6 +673,28 @@ object RelQueries extends QueryCatalog {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Right outer join (closes the declared join matrix: inner/left/
+    * RIGHT/full/semi/anti/cross): orders RIGHT JOIN customer keeps
+    * order-less customers; per-nation order and customer counts. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey", "right")
+      .groupBy($"c_nationkey")
+      .agg(count($"o_orderkey").as("order_cnt"),
+        countDistinct($"c_custkey").as("cust_cnt"),
+        coalesce(Det.moneySum($"o_totalprice"), lit(0.0)).as("total_spent"))
+      .orderBy($"c_nationkey")
+  }
+  private val q38Sql =
+    s"""SELECT c_nationkey, count(o_orderkey) AS order_cnt,
+       |  count(DISTINCT c_custkey) AS cust_cnt,
+       |  coalesce(${Det.sqlSum("o_totalprice")}, 0.0) AS total_spent
+       |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -685,6 +725,7 @@ object RelQueries extends QueryCatalog {
     "q27_stats_moments" -> q27,
     "q28_percentiles" -> q28,
     "q29_pivot" -> q29,
+    "q38_join_right_orders" -> q38,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -717,5 +758,6 @@ object RelQueries extends QueryCatalog {
     "q27_stats_moments" -> q27Sql,
     "q28_percentiles" -> q28Sql,
     "q29_pivot" -> q29Sql,
+    "q38_join_right_orders" -> q38Sql,
   )
 }

@@ -110,13 +110,52 @@ object SimilarityQueries extends QueryCatalog {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Multi-probe LSH ANN: top-10 within vec 0's bucket PLUS its
+    * PLANES Hamming-1 neighbor buckets (flip one hyperplane bit each).
+    * Single-probe (q51) loses recall when true neighbors straddle a
+    * hyperplane; multi-probe recovers most of it for (PLANES+1)/2^PLANES
+    * of the corpus scanned — the shape that survives skewed real data
+    * at 100×. The probe set is generated on the broadcast query side,
+    * so the corpus still sees exactly one equi-join on `bucket`. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = withVec(s, dir).withColumn("bucket", expr(bucketExpr("v")).cast("int"))
+    val probes = e.filter($"vec_id" === 0)
+      .select($"v".as("qv"),
+        explode(array(
+          col("bucket") +: (0 until PLANES).map(p =>
+            col("bucket").bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
+    e.filter($"vec_id" =!= 0)
+      .join(broadcast(probes), $"bucket" === $"probe")
+      .withColumn("cos", round(expr("cosine_similarity(v, qv)"), 4))
+      .select($"vec_id", $"label", $"bucket", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+  private val q52Sql = {
+    val probeList = "[qbucket" + (0 until PLANES).map(p => s", xor(qbucket, ${1 << p})").mkString + "]"
+    s"""WITH e AS (SELECT vec_id, label, v, norm, CAST(${bucketSql("v")} AS INT) AS bucket FROM ($withVecSql)),
+       |q AS (SELECT v AS qv, norm AS qnorm, bucket AS qbucket FROM e WHERE vec_id = 0),
+       |probes AS (SELECT qv, qnorm, unnest($probeList) AS probe FROM q)
+       |SELECT e.vec_id, e.label, e.bucket,
+       |  round(list_dot_product(e.v, p.qv) / (e.norm * p.qnorm), 4) AS cos
+       |FROM e JOIN probes p ON e.bucket = p.probe
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
+    "q52_sim_topk_lsh_multiprobe" -> q52,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q50_sim_topk_bruteforce" -> q50Sql,
     "q51_sim_topk_lsh" -> q51Sql,
+    "q52_sim_topk_lsh_multiprobe" -> q52Sql,
   )
 }

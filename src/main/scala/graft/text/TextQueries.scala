@@ -40,11 +40,15 @@ object TextQueries extends QueryCatalog {
   // ---------------------------------------------------------------- q31
   /** Reference app 2 (InvertedIndex): word → lexicographically sorted
     * distinct positions (doc_ids) AS STRINGS — preserving the
-    * reference's "10" < "2" ordering quirk (src/InvertedIndex.cpp:35). */
+    * reference's "10" < "2" ordering quirk (src/InvertedIndex.cpp:35).
+    * Catalog output serializes the positions array with array_join so
+    * the driver harness can sort+hash it; the library API
+    * ([[InvertedIndex.index]]) keeps the typed array. */
   private def q31(s: SparkSession, dir: String): DataFrame =
     InvertedIndex.index(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("word"), array_join(col("positions"), " ").as("positions"))
   private val q31Sql =
-    s"""SELECT word, list(DISTINCT pos ORDER BY pos) AS positions
+    s"""SELECT word, array_to_string(list(DISTINCT pos ORDER BY pos), ' ') AS positions
        |FROM (SELECT CAST(doc_id AS VARCHAR) AS pos, unnest($toksSql) AS word FROM documents)
        |GROUP BY word
        |ORDER BY word""".stripMargin
@@ -199,9 +203,15 @@ object TextQueries extends QueryCatalog {
       .select($"doc_id", $"text", expr(toksExpr).as("toks"))
       .select($"doc_id",
         md5($"text").as("content_md5"),
-        coalesce(
-          expr("array_min(transform(sequence(0, size(toks)-3), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"),
-          md5($"text")).as("shingle_fingerprint"))
+        // Guard the <3-token case explicitly: Spark's sequence(0, n-3)
+        // DESCENDS for n<3 (e.g. [0,-1]) and nulls silently vanish in
+        // concat_ws, producing a bogus real fingerprint — while DuckDB's
+        // generate_series(1, n-2) is empty and falls back. Matching the
+        // guard in DedupQueries.withShingles keeps both engines on
+        // md5(text) for short docs.
+        when(size($"toks") >= 3,
+          expr("array_min(transform(sequence(0, size(toks)-3), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"))
+          .otherwise(md5($"text")).as("shingle_fingerprint"))
       .orderBy($"doc_id")
   }
   private val q36Sql =
@@ -222,9 +232,10 @@ object TextQueries extends QueryCatalog {
     import s.implicits._
     WordCount.viaFacade(Tables.documents(s, dir).select($"text".as("value")).as[String])
       .toDF("key", "values")
+      .select($"key", array_join($"values", " ").as("values"))
   }
   private val q37Sql =
-    s"""SELECT word AS key, [CAST(count(*) AS VARCHAR)] AS values
+    s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS "values"
        |FROM (SELECT unnest($toksSql) AS word FROM documents)
        |GROUP BY word
        |ORDER BY key""".stripMargin
