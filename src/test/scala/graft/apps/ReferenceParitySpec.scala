@@ -74,4 +74,25 @@ class ReferenceParitySpec extends SparkTestBase {
     assert(merged == Seq("a 1 3 ", "again 3 ", "alpha 1 ", "b 0 ", "beta 0 ", "c 2 ", "gamma 2 "))
     assert(TextKVSink.formatRow("a", Seq("0", "1")) == "a 0 1 ")
   }
+
+  test("WordCount → O8 sink byte-equals the checked-in golden file (Gutenberg corpus)") {
+    assume(Files.exists(Paths.get(corpusPath)))
+    // The literal parity artifact: what the reference binaries write as
+    // output_<r>.txt (`include/Utility.h:61-76`), merged + key-sorted
+    // (per-file assignment is std::hash-dependent, SURVEY.md §7.4).
+    // src/test/resources/wordcount_gutenberg_o8.txt holds the expected
+    // `word␣count␣` lines for testcase/WordCounterInput.txt.
+    val counts = WordCount.viaFacade(spark.read.textFile(corpusPath)).toDF("key", "values")
+    val dir = Files.createTempDirectory("o8golden").toString
+    TextKVSink.write(counts, "key", "values", dir, 2)
+    val merged = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala).sorted.toSeq
+    val expected = {
+      val in = getClass.getResourceAsStream("/wordcount_gutenberg_o8.txt")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(merged.size == expected.size)
+    merged.zip(expected).foreach { case (g, e) => assert(g == e, s"golden mismatch: '$g' != '$e'") }
+  }
 }

@@ -64,9 +64,26 @@ class CosineSimilaritySpec extends SparkTestBase {
   }
 
   test("GraftExtensions injects the function at session build time") {
-    val fresh = spark.newSession()
-    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions) // smoke: applies cleanly
-    GraftFunctions.register(fresh)
-    assert(fresh.sql("SELECT cosine_similarity(array(1D,0D), array(1D,0D)) AS c").head().getDouble(0) == 1.0)
+    import org.apache.spark.sql.SparkSession
+    // spark.sql.extensions is STATIC conf — it must be on the
+    // SparkContext at creation, so this test owns the context
+    // lifecycle: stop the shared one, build with the extension class,
+    // assert the function resolves WITHOUT GraftFunctions.register,
+    // then tear down (SparkTestBase.session is getOrCreate-based and
+    // rebuilds transparently for later suites).
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(_.stop())
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val withExt = SparkSession.builder()
+      .master("local[2]").appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val c = withExt.sql("SELECT cosine_similarity(array(1D,0D), array(1D,0D)) AS c").head().getDouble(0)
+      assert(c == 1.0)
+    } finally {
+      withExt.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
   }
 }
