@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val only = args.toSet // optional query-name subset (local dev)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -31,7 +32,8 @@ object Bench {
     // warmup (untimed): touches the fact table + one agg + one join path
     runNoop("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n)).map { name =>
       val t0 = System.nanoTime()
       val ok = runNoop(name)
       (name, (System.nanoTime() - t0) / 1e9, ok)

@@ -695,6 +695,101 @@ object RelQueries extends QueryCatalog {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** As-of join — an operator Spark lacks natively: for every purchase
+    * event, the latest click by the same user at or before the purchase
+    * timestamp. Implemented as union + window `last(_, ignoreNulls)`:
+    * ONE shuffle on user_id and a linear per-partition scan — the
+    * shape that survives 100 TB. (A naive `t1.ts >= t2.ts` range join
+    * explodes to |clicks|×|purchases| per user before filtering; the
+    * window formulation never materializes that product.) The oracle
+    * is DuckDB's native ASOF JOIN. Clicks are deduped per (user, ts)
+    * first so the as-of match is deterministic under ts ties. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val tagged = clicks
+      .select($"user_id", $"ts", lit(0).as("side"), $"click_id",
+        lit(null).cast("long").as("purchase_id"))
+      .unionByName(purchases.select($"user_id", $"ts", lit(1).as("side"),
+        lit(null).cast("long").as("click_id"), $"purchase_id"))
+    // side=0 (click) sorts before side=1 (purchase) at equal ts, so a
+    // same-instant click is visible to the purchase — ASOF `>=` semantics
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("click_ts", last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"purchase_id", $"user_id", $"ts",
+        $"asof_click_id".as("click_id"), $"click_ts")
+      .orderBy($"purchase_id")
+  }
+  private val q39Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), purchases AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.user_id, p.ts, c.click_id, c.click_ts
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Map-typed column surface: events.props parsed to map<string,string>
+    * — key listing, cardinality, typed element access. (The oracle
+    * reads the same JSON with DuckDB's json functions.) */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        from_json($"props", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("m"))
+      .select($"event_id",
+        array_join(sort_array(map_keys($"m")), " ").as("prop_keys"),
+        size($"m").as("n_props"),
+        element_at($"m", "k").cast("int").as("k_val"))
+      .orderBy($"event_id")
+  }
+  private val q48Sql =
+    """SELECT event_id,
+      |  array_to_string(list_sort(json_keys(props)), ' ') AS prop_keys,
+      |  CAST(len(json_keys(props)) AS INT) AS n_props,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Extended string scalar surface: pad / translate / edit distance /
+    * repeat / reverse (all codegen'd built-ins in both engines). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey",
+        lpad($"p_brand", 12, "*").as("brand_lpad"),
+        rpad($"p_brand", 12, "-").as("brand_rpad"),
+        translate($"p_name", "aeiou", "AEIOU").as("name_tr"),
+        levenshtein($"p_name", reverse($"p_name")).as("lev_rev"),
+        repeat(substring($"p_type", 1, 3), 2).as("type_rep"))
+      .orderBy($"p_partkey")
+  }
+  private val q49Sql =
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '*') AS brand_lpad,
+      |  rpad(p_brand, 12, '-') AS brand_rpad,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+      |  CAST(levenshtein(p_name, reverse(p_name)) AS INT) AS lev_rev,
+      |  repeat(substring(p_type, 1, 3), 2) AS type_rep
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -726,6 +821,9 @@ object RelQueries extends QueryCatalog {
     "q28_percentiles" -> q28,
     "q29_pivot" -> q29,
     "q38_join_right_orders" -> q38,
+    "q39_asof_join" -> q39,
+    "q48_map_functions" -> q48,
+    "q49_scalar_string_ext" -> q49,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -759,5 +857,8 @@ object RelQueries extends QueryCatalog {
     "q28_percentiles" -> q28Sql,
     "q29_pivot" -> q29Sql,
     "q38_join_right_orders" -> q38Sql,
+    "q39_asof_join" -> q39Sql,
+    "q48_map_functions" -> q48Sql,
+    "q49_scalar_string_ext" -> q49Sql,
   )
 }

@@ -147,15 +147,51 @@ object SimilarityQueries extends QueryCatalog {
        |LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Batch ANN: top-3 bucketed-LSH neighbors for EACH of several query
+    * vectors in one pass — the realistic serving shape. The query set
+    * is broadcast; the corpus sees one equi-join on `bucket`; per-query
+    * ranking is a window row_number (partitioned by query), not a
+    * global limit. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = withVec(s, dir).withColumn("bucket", expr(bucketExpr("v")).cast("int"))
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"bucket".as("qbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(qs), $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+      .withColumn("cos", round(expr("cosine_similarity(v, qv)"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"qid", $"vec_id", $"label", $"cos", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  private val q53Sql =
+    s"""WITH e AS (SELECT vec_id, label, v, norm, CAST(${bucketSql("v")} AS INT) AS bucket FROM ($withVecSql)),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, bucket AS qbucket FROM e WHERE vec_id < 3)
+       |SELECT qid, vec_id, label, cos, rn FROM (
+       |  SELECT q.qid, e.vec_id, e.label,
+       |    round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 4) AS cos,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 4) DESC, e.vec_id) AS rn
+       |  FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.qid
+       |)
+       |WHERE rn <= 3
+       |ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
     "q52_sim_topk_lsh_multiprobe" -> q52,
+    "q53_sim_batch_topk" -> q53,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q50_sim_topk_bruteforce" -> q50Sql,
     "q51_sim_topk_lsh" -> q51Sql,
     "q52_sim_topk_lsh_multiprobe" -> q52Sql,
+    "q53_sim_batch_topk" -> q53Sql,
   )
 }
