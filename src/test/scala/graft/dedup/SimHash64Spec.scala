@@ -1,0 +1,55 @@
+package graft.dedup
+
+import graft.SparkTestBase
+
+/** Correctness evidence for the xxhash64 SimHash path (no DuckDB
+  * oracle — xxhash64 is Spark-native): determinism, the
+  * near-dup-means-near-signature property, and band recall. */
+class SimHash64Spec extends SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("signatures are deterministic and zero for empty docs") {
+    val d = docs(1L -> "the quick brown fox", 2L -> "the quick brown fox",
+      3L -> "", 4L -> "   ")
+    val sigs = SimHash64.signatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L)) // identical text, identical signature
+    assert(sigs(3L) == 0L && sigs(4L) == 0L) // no tokens, no votes
+    val again = SimHash64.signatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == again) // run-to-run deterministic
+  }
+
+  test("near-duplicates have small Hamming distance; unrelated text large") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val oneEdit = ((1 to 39).map(i => s"token$i") :+ "CHANGED").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val sigs = SimHash64.signatures(
+      docs(1L -> base, 2L -> oneEdit, 3L -> unrelated), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(sigs(1L), sigs(2L)) < dist(sigs(1L), sigs(3L)),
+      s"near-dup must be closer than unrelated: ${dist(sigs(1L), sigs(2L))} vs ${dist(sigs(1L), sigs(3L))}")
+    assert(dist(sigs(1L), sigs(2L)) <= 16) // one token of 40 changed
+  }
+
+  test("nearDupPairs finds exact and near duplicates via band join, not all-pairs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      1L -> base,
+      2L -> base,                                           // exact dup: dist 0
+      3L -> base.replace("w30", "edited"),                  // near dup
+      4L -> (1 to 60).map(i => s"z$i").mkString(" "))       // unrelated
+    val pairs = SimHash64.nearDupPairs(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists { case (a, b, dist) => a == 1L && b == 2L && dist == 0 })
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 3L } ||
+      pairs.exists { case (a, b, _) => a == 2L && b == 3L })
+    assert(!pairs.exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+}
