@@ -709,7 +709,7 @@ object RelQueries extends QueryCatalog {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val clicks = ev.filter($"event_type" === "click")
-      .groupBy($"user_id", $"ts").agg(max($"event_id").as("click_id"))
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id", $"ts")
     val tagged = clicks
@@ -718,8 +718,12 @@ object RelQueries extends QueryCatalog {
       .unionByName(purchases.select($"user_id", $"ts", lit(1).as("side"),
         lit(null).cast("long").as("click_id"), $"purchase_id"))
     // side=0 (click) sorts before side=1 (purchase) at equal ts, so a
-    // same-instant click is visible to the purchase — ASOF `>=` semantics
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+    // same-instant click is visible to the purchase — ASOF `>=`
+    // semantics. click_id in the sort key makes `last()` pick the
+    // max event_id among same-ts clicks — the same tie-break the
+    // oracle's pre-dedup applies — WITHOUT a separate groupBy shuffle:
+    // the whole query is one user_id exchange + a linear window pass.
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side", $"click_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(w))

@@ -181,11 +181,61 @@ object SimilarityQueries extends QueryCatalog {
        |WHERE rn <= 3
        |ORDER BY qid, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** IVF-style ANN: the second classic ANN scale path next to LSH.
+    * Coarse quantizer = 16 deterministic centroids (vec_id < 16); every
+    * vector is assigned to its max-cosine cell (broadcast centroids ×
+    * linear scan + one window pass — the one-time index build); search
+    * touches only the query's cell (~1/16 of the corpus; probing more
+    * cells trades scan for recall exactly like q52's multi-probe).
+    * Cosines are the bit-identical fold both engines share, so cell
+    * assignment is deterministic and oracle-checkable. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = withVec(s, dir)
+    val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cent_id"), $"v".as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cs".desc, $"cent_id")
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cs", expr("cosine_similarity(v, cv)"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"label", $"v", $"cent_id".as("cell"))
+    val q = assigned.filter($"vec_id" === 0).select($"v".as("qv"), $"cell".as("qcell"))
+    assigned.filter($"vec_id" =!= 0)
+      .join(broadcast(q), $"cell" === $"qcell")
+      .withColumn("cos", round(expr("cosine_similarity(v, qv)"), 4))
+      .select($"vec_id", $"label", $"cell", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+  private val q54Sql =
+    s"""WITH e AS ($withVecSql),
+       |cents AS (SELECT vec_id AS cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnorm
+       |          FROM (SELECT vec_id, v AS cv FROM e WHERE vec_id < 16)),
+       |assigned AS (
+       |  SELECT vec_id, label, v, norm, cell FROM (
+       |    SELECT e.vec_id, e.label, e.v, e.norm, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv) / (e.norm * c.cnorm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |q AS (SELECT v AS qv, norm AS qnorm, cell AS qcell FROM assigned WHERE vec_id = 0)
+       |SELECT a.vec_id, a.label, a.cell,
+       |  round(list_dot_product(a.v, q.qv) / (a.norm * q.qnorm), 4) AS cos
+       |FROM assigned a JOIN q ON a.cell = q.qcell
+       |WHERE a.vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
     "q52_sim_topk_lsh_multiprobe" -> q52,
     "q53_sim_batch_topk" -> q53,
+    "q54_sim_ivf" -> q54,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -193,5 +243,6 @@ object SimilarityQueries extends QueryCatalog {
     "q51_sim_topk_lsh" -> q51Sql,
     "q52_sim_topk_lsh_multiprobe" -> q52Sql,
     "q53_sim_batch_topk" -> q53Sql,
+    "q54_sim_ivf" -> q54Sql,
   )
 }

@@ -48,6 +48,22 @@ object Sources {
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
 
+  /** Bucketed (hash-clustered + sorted) table write — the co-located
+    * join path for 100 TB: two tables bucketed on the same key with the
+    * same bucket count join with NO exchange and NO sort (sort-merge
+    * directly on bucket files). This is how repeatedly-joined fact
+    * tables should be laid out; SourcesSpec proves the exchange-free
+    * plan. Bucketing requires the table catalog (bucket metadata lives
+    * there), hence saveAsTable rather than a path write. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("compression", "snappy")
+      .format("parquet")
+      .saveAsTable(table)
+
   def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 }

@@ -240,6 +240,32 @@ object TextQueries extends QueryCatalog {
        |GROUP BY word
        |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape, minus
+    * lookahead — RE2 has none): runs of letters / digits / other, each
+    * with an optional leading space, via regexp_extract_all. Token
+    * counting for training-data budgeting: per-doc counts + a sample
+    * of the first tokens. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        expr(raw"regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0)").as("bpe"))
+      .select($"doc_id",
+        size($"bpe").cast("long").as("n_bpe_tokens"),
+        size(array_distinct($"bpe")).cast("long").as("n_distinct_tokens"),
+        array_join(slice($"bpe", 1, 5), "|").as("first_tokens"))
+      .orderBy($"doc_id")
+  }
+  private val q56Sql =
+    raw"""SELECT doc_id,
+         |  CAST(len(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(bpe)) AS BIGINT) AS n_distinct_tokens,
+         |  array_to_string(bpe[1:5], '|') AS first_tokens
+         |FROM (SELECT doc_id, regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+') AS bpe
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -249,6 +275,7 @@ object TextQueries extends QueryCatalog {
     "q35_quality_score" -> q35,
     "q36_fingerprint" -> q36,
     "q37_mr_facade_wordcount" -> q37,
+    "q56_bpe_tokens" -> q56,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -260,5 +287,6 @@ object TextQueries extends QueryCatalog {
     "q35_quality_score" -> q35Sql,
     "q36_fingerprint" -> q36Sql,
     "q37_mr_facade_wordcount" -> q37Sql,
+    "q56_bpe_tokens" -> q56Sql,
   )
 }

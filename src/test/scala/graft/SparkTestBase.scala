@@ -23,10 +23,14 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
   def session: SparkSession = SparkSession.builder()
     .master("local[4, 2]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse) // keep bucketed-table tests out of the repo tree
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()

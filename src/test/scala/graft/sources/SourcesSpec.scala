@@ -55,6 +55,27 @@ class SourcesSpec extends SparkTestBase {
     assert(back.orderBy("id").collect().toSeq == sample.orderBy("id").collect().toSeq)
   }
 
+  test("bucketed tables join with NO exchange (co-located join, the 100 TB layout)") {
+    import spark.implicits._
+    val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "payload")
+    val dims = (1 to 500).map(i => (i.toLong % 100, i * 1.0)).toDF("k", "score")
+    Sources.writeBucketed(facts, "facts_b", "k", 8)
+    Sources.writeBucketed(dims, "dims_b", "k", 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge path
+      val j = spark.table("facts_b").join(spark.table("dims_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      // same key, same bucket count → both sides are already hash-
+      // clustered: the join must not re-shuffle either side
+      assert(!plan.contains("Exchange"), plan)
+      assert(j.count() == 100 * 10 * 5) // 100 keys × 10 fact rows × 5 dim rows
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+      spark.sql("DROP TABLE IF EXISTS dims_b")
+    }
+  }
+
   test("textLines: line-oriented source feeds the MapReduce facade contract") {
     val dir = Files.createTempDirectory("txt").toString + "/t"
     import spark.implicits._
