@@ -83,9 +83,12 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media
       .select(col("media_id"),
+        // empty media guard: sequence(0, -1) DESCENDS in Spark (it
+        // would emit bogus frames); empty media must yield no frames
         posexplode(expr(
-          s"transform(sequence(0, CAST(floor((octet_length(media) - 1) / $frameBytes) AS INT)), " +
-            s"i -> substring(media, i * $frameBytes + 1, $frameBytes))")).as(Seq("frame_no", "frame")))
+          s"CASE WHEN octet_length(media) = 0 THEN CAST(array() AS ARRAY<BINARY>) " +
+            s"ELSE transform(sequence(0, CAST(floor((octet_length(media) - 1) / $frameBytes) AS INT)), " +
+            s"i -> substring(media, i * $frameBytes + 1, $frameBytes)) END")).as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % stride === 0)
 
   /** "Resize": deterministic byte-level downsample of each frame (stub

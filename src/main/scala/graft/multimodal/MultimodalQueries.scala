@@ -35,11 +35,55 @@ object MultimodalQueries extends QueryCatalog {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Frame-sample + resize plumbing through the oracle: fixed-size byte
+    * slices stand in for frames (stride 2), "resize" truncates each
+    * frame to a quarter (see Multimodal — the pixel math is the stub;
+    * the slicing/explode/narrow-transform plumbing is the real part
+    * and is what this query pins cross-engine). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media"))
+    Multimodal.resize(Multimodal.sampleFrames(media, frameBytes = 64, stride = 2), factor = 4)
+      .select($"media_id", $"frame_no",
+        octet_length($"frame").cast("long").as("frame_bytes"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"media_id", $"frame_no")
+  }
+  // Oracle note: DuckDB's substring cannot slice BLOBs, so the oracle
+  // slices the VARCHAR — byte-identical to the engine's binary slicing
+  // because the corpus is pure ASCII (verified: octet_length(encode(x))
+  // == length(x) for every doc).
+  private val q71Sql =
+    """WITH m AS (SELECT doc_id AS media_id, text AS media FROM documents),
+      |idx AS (
+      |  SELECT media_id, media,
+      |    unnest(generate_series(0, CAST((length(media) - 1) // 64 AS INT))) AS frame_no
+      |  FROM m WHERE length(media) > 0
+      |),
+      |fr AS (
+      |  SELECT media_id, frame_no, substring(media, frame_no * 64 + 1, 64) AS frame
+      |  FROM idx WHERE frame_no % 2 = 0
+      |),
+      |rs AS (
+      |  SELECT media_id, frame_no,
+      |    substring(frame, 1, greatest(1, CAST(length(frame) // 4 AS INT))) AS rframe
+      |  FROM fr
+      |)
+      |SELECT media_id, frame_no,
+      |  CAST(length(rframe) AS BIGINT) AS frame_bytes,
+      |  md5(rframe) AS frame_md5
+      |FROM rs
+      |ORDER BY media_id, frame_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_meta" -> q70,
+    "q71_multimodal_frames" -> q71,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q70_multimodal_meta" -> q70Sql,
+    "q71_multimodal_frames" -> q71Sql,
   )
 }
