@@ -794,6 +794,54 @@ object RelQueries extends QueryCatalog {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Non-hierarchical GROUPING SETS — the grouping-set shape rollup
+    * (q23) and cube (q24) cannot express: per-flag totals and
+    * per-status totals in one pass, no (flag, status) cross. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("q57_lineitem")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${Det.sqlSum("l_quantity")} AS qty,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+         |FROM q57_lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+  private val q57Sql =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${Det.sqlSum("l_quantity")} AS qty,
+       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** Higher-order array functions beyond q18: exists / forall /
+    * filter+size / aggregate fold — all codegen-friendly per-row array
+    * work, no shuffle until the output sort. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select($"p_partkey", split($"p_name", " ").as("toks"))
+      .select($"p_partkey",
+        expr("exists(toks, t -> length(t) > 7)").as("has_long"),
+        expr("forall(toks, t -> length(t) >= 2)").as("all_ge2"),
+        expr("size(filter(toks, t -> t rlike '^[aeiou]'))").as("n_vowel_start"),
+        expr("aggregate(toks, 0, (a, t) -> a + length(t))").cast("long").as("char_sum"))
+      .orderBy($"p_partkey")
+  }
+  private val q58Sql =
+    """SELECT p_partkey,
+      |  len(list_filter(toks, t -> length(t) > 7)) > 0 AS has_long,
+      |  len(list_filter(toks, t -> NOT length(t) >= 2)) = 0 AS all_ge2,
+      |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[aeiou]'))) AS INT) AS n_vowel_start,
+      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS char_sum
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -828,6 +876,8 @@ object RelQueries extends QueryCatalog {
     "q39_asof_join" -> q39,
     "q48_map_functions" -> q48,
     "q49_scalar_string_ext" -> q49,
+    "q57_grouping_sets" -> q57,
+    "q58_array_hof" -> q58,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -864,5 +914,7 @@ object RelQueries extends QueryCatalog {
     "q39_asof_join" -> q39Sql,
     "q48_map_functions" -> q48Sql,
     "q49_scalar_string_ext" -> q49Sql,
+    "q57_grouping_sets" -> q57Sql,
+    "q58_array_hof" -> q58Sql,
   )
 }

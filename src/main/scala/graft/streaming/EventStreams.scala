@@ -62,6 +62,18 @@ object EventStreams {
         round(col("session_end").cast("double") - col("session_start").cast("double"), 3))
   }
 
+  /** Streaming exactly-once dedup: drop events whose `idCol` was
+    * already seen within the watermark horizon — the at-least-once →
+    * exactly-once repair step in front of every downstream aggregate.
+    * State is bounded by the watermark (keys older than the horizon
+    * are expired), which is what makes this runnable forever at scale;
+    * the batch twin is a plain `dropDuplicates(idCol)`. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Streaming sessionization via session_window (native state store
     * path) — used by the streaming tests; semantics match
     * [[sessionize]] for on-time data. */

@@ -60,6 +60,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event_ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "event_id")
+    val q = EventStreams.dedupStream(events)
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData((tsAt(10, 0), 1L), (tsAt(10, 1), 2L), (tsAt(10, 1), 1L)) // 1 repeated in-batch
+      q.processAllAvailable()
+      input.addData((tsAt(10, 5), 2L), (tsAt(10, 6), 3L)) // 2 repeated across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(1)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L), s"each id exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree for on-time data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
