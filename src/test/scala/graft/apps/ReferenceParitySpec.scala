@@ -75,6 +75,26 @@ class ReferenceParitySpec extends SparkTestBase {
     assert(TextKVSink.formatRow("a", Seq("0", "1")) == "a 0 1 ")
   }
 
+  test("InvertedIndex → O8 sink byte-equals the checked-in golden file (Gutenberg corpus)") {
+    val idxCorpus = "/root/reference/testcase/InvertedIndexInput.txt"
+    assume(Files.exists(Paths.get(idxCorpus)))
+    // Facade path = the reference's exact pipeline: (word, lineNo) per
+    // occurrence, reduce = sort+unique of the position STRINGS
+    // (src/InvertedIndex.cpp:20-39), O8 text sink, merged + key-sorted.
+    val index = InvertedIndex.viaFacade(spark.read.textFile(idxCorpus), 2).toDF("key", "values")
+    val dir = Files.createTempDirectory("o8idx").toString
+    TextKVSink.write(index, "key", "values", dir, 2)
+    val merged = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+      .flatMap(f => Files.readAllLines(f.toPath).asScala).sorted.toSeq
+    val expected = {
+      val in = getClass.getResourceAsStream("/invertedindex_gutenberg_o8.txt")
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(merged.size == expected.size)
+    merged.zip(expected).foreach { case (g, e) => assert(g == e, s"golden mismatch: '$g' != '$e'") }
+  }
+
   test("WordCount → O8 sink byte-equals the checked-in golden file (Gutenberg corpus)") {
     assume(Files.exists(Paths.get(corpusPath)))
     // The literal parity artifact: what the reference binaries write as

@@ -34,6 +34,14 @@ class MinHash64Spec extends SparkTestBase {
       s"near ${agree(sigs(1L), sigs(2L))} vs unrelated ${agree(sigs(1L), sigs(3L))}")
   }
 
+  test("signatures are partition-count invariant (min is commutative)") {
+    val d = docs((1L to 50L).map(i =>
+      i -> (1 to 20).map(j => s"t${(i * 7 + j) % 31}").mkString(" ")): _*)
+    val one = sigRows(d.repartition(1))
+    val seven = sigRows(d.repartition(7))
+    assert(one == seven)
+  }
+
   test("candidatePairs catches every exact duplicate and no self/reversed pairs") {
     val base = (1 to 50).map(i => s"w$i").mkString(" ")
     val other = (1 to 50).map(i => s"x$i").mkString(" ")

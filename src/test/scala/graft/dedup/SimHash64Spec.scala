@@ -24,6 +24,15 @@ class SimHash64Spec extends SparkTestBase {
     assert(sigs == again) // run-to-run deterministic
   }
 
+  test("signatures are partition-count invariant (bit votes are commutative sums)") {
+    val d = docs((1L to 50L).map(i =>
+      i -> (1 to 20).map(j => s"w${(i * 5 + j) % 29}").mkString(" ")): _*)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      SimHash64.signatures(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(d.repartition(1)) == sigs(d.repartition(7)))
+  }
+
   test("near-duplicates have small Hamming distance; unrelated text large") {
     import org.apache.spark.sql.functions._
     val base = (1 to 40).map(i => s"token$i").mkString(" ")

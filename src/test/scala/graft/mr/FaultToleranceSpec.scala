@@ -34,6 +34,23 @@ class FaultToleranceSpec extends SparkTestBase {
       ("d", Seq("1")), ("e", Seq("2"))))
   }
 
+  test("a map_fn that always throws surfaces the user error (reference exit -2 parity)") {
+    import spark.implicits._
+    // The reference aborts with exit code -2 when map_fn throws
+    // (include/MapReduceMaster.h:467-475). Spark's equivalent: retries
+    // exhaust and the job fails with the user exception in the chain.
+    val lines = spark.createDataset(Seq("a b"))
+    val ex = intercept[Exception] {
+      MapReduce.run(lines,
+        (_, _) => throw new IllegalStateException("user map_fn error"),
+        (_, vs) => vs.toSeq, 2).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(c => String.valueOf(c.getMessage).contains("user map_fn error")))
+  }
+
   test("DataFrame-path task failure also recovers (scan → agg query)") {
     import spark.implicits._
     val base = spark.range(0, 1000, 1, 4).as[Long]
