@@ -842,6 +842,27 @@ object RelQueries extends QueryCatalog {
       |FROM (SELECT p_partkey, string_split(p_name, ' ') AS toks FROM part)
       |ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Correlated scalar subquery (Catalyst decorrelates to an aggregate
+    * + join — no per-row re-execution): customers above their nation's
+    * average balance. The threshold is the exact-decimal mean so row
+    * inclusion can't flip on an addition-order ULP. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q59_customer")
+    s.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal
+        |FROM q59_customer c
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |                   FROM q59_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+  private val q59Sql =
+    """SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -878,6 +899,7 @@ object RelQueries extends QueryCatalog {
     "q49_scalar_string_ext" -> q49,
     "q57_grouping_sets" -> q57,
     "q58_array_hof" -> q58,
+    "q59_scalar_subquery" -> q59,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -916,5 +938,6 @@ object RelQueries extends QueryCatalog {
     "q49_scalar_string_ext" -> q49Sql,
     "q57_grouping_sets" -> q57Sql,
     "q58_array_hof" -> q58Sql,
+    "q59_scalar_subquery" -> q59Sql,
   )
 }
