@@ -32,4 +32,15 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Register every table as a temp view under its own name, so
+    * `spark.sql("SELECT ... FROM lineitem ...")` works directly — the
+    * engine's SQL entry point. `events` goes through its µs-truncating
+    * loader so SQL sees the same timestamps as the DataFrame API. */
+  def registerTempViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
 }
