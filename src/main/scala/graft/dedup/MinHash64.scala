@@ -21,16 +21,20 @@ import org.apache.spark.sql.functions._
 object MinHash64 {
 
   /** Word 3-gram shingles (docs with <3 tokens degrade to the whole
-    * text as a single shingle, so every doc has a signature). */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = s"filter(split($textCol, '\\\\s+'), t -> t != '')"
+    * text as a single shingle, so every doc has a signature).
+    * `toks` is materialized as a column FIRST: inlining the
+    * filter(split(...)) expression into the transform lambda makes
+    * every `toks[i]` access re-split the text — O(tokens²) splits per
+    * document (measured 5× slower at sf0.1). */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      .select(col(idCol), col(textCol).as("__text"),
+        expr(s"filter(split($textCol, '\\\\s+'), t -> t != '')").as("toks"))
       .select(col(idCol),
         explode(expr(
-          s"CASE WHEN size($toks) >= 3 THEN " +
-            s"transform(sequence(0, size($toks) - 3), i -> concat_ws(' ', $toks[i], $toks[i+1], $toks[i+2])) " +
-            s"ELSE array($textCol) END")).as("shingle"))
-  }
+          "CASE WHEN size(toks) >= 3 THEN " +
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
+            "ELSE array(__text) END")).as("shingle"))
 
   /** k-column MinHash signature: sig_j = min over shingles of
     * xxhash64(j, shingle). */
