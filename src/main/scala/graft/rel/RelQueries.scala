@@ -712,25 +712,13 @@ object RelQueries extends QueryCatalog {
       .select($"user_id", $"ts", $"event_id".as("click_id"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id", $"ts")
-    val tagged = clicks
-      .select($"user_id", $"ts", lit(0).as("side"), $"click_id",
-        lit(null).cast("long").as("purchase_id"))
-      .unionByName(purchases.select($"user_id", $"ts", lit(1).as("side"),
-        lit(null).cast("long").as("click_id"), $"purchase_id"))
-    // side=0 (click) sorts before side=1 (purchase) at equal ts, so a
-    // same-instant click is visible to the purchase — ASOF `>=`
-    // semantics. click_id in the sort key makes `last()` pick the
-    // max event_id among same-ts clicks — the same tie-break the
-    // oracle's pre-dedup applies — WITHOUT a separate groupBy shuffle:
-    // the whole query is one user_id exchange + a linear window pass.
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side", $"click_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(w))
-      .withColumn("click_ts", last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
-      .filter($"side" === 1)
+    // tieBreak=click_id picks the max event_id among same-ts clicks —
+    // the same tie-break the oracle's pre-dedup applies
+    AsOfJoin.backward(purchases, clicks,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        valueCols = Seq("click_id"), tieBreak = Seq("click_id"))
       .select($"purchase_id", $"user_id", $"ts",
-        $"asof_click_id".as("click_id"), $"click_ts")
+        $"asof_click_id".as("click_id"), $"asof_ts".as("click_ts"))
       .orderBy($"purchase_id")
   }
   private val q39Sql =

@@ -1,0 +1,45 @@
+package graft.rel
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+
+/** Corner cases of the as-of operator the synthetic events table never
+  * hits: no-prior-match nulls, inclusive equal-ts, tie-break among
+  * same-ts right rows, key isolation. */
+class AsOfJoinSpec extends SparkTestBase {
+
+  private def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("matches the latest right row at or before each probe, per key") {
+    import spark.implicits._
+    val right = Seq((1L, t(10), 100L), (1L, t(20), 101L), (2L, t(15), 200L))
+      .toDF("k", "ts", "rid")
+    val left = Seq((1L, t(5), "a"), (1L, t(20), "b"), (1L, t(25), "c"), (2L, t(14), "d"))
+      .toDF("k", "ts", "tag")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("rid"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got("a").isEmpty)        // no right row at or before t(5)
+    assert(got("b").contains(101L)) // equal ts is inclusive (>= semantics)
+    assert(got("c").contains(101L))
+    assert(got("d").isEmpty)        // key 2's right row is later; key 1 rows invisible
+  }
+
+  test("tieBreak picks the last same-ts right row; values stay from one row") {
+    import spark.implicits._
+    val right = Seq((1L, t(10), 5L, "five"), (1L, t(10), 9L, "nine"), (1L, t(10), 7L, "seven"))
+      .toDF("k", "ts", "rid", "name")
+    val left = Seq((1L, t(11), "probe")).toDF("k", "ts", "tag")
+    val row = AsOfJoin.backward(left, right, Seq("k"), "ts",
+      valueCols = Seq("rid", "name"), tieBreak = Seq("rid")).head()
+    assert(row.getAs[Long]("asof_rid") == 9L)
+    assert(row.getAs[String]("asof_name") == "nine") // same winning row, not a column mix
+  }
+
+  test("matched timestamp is carried as asof_<ts>") {
+    import spark.implicits._
+    val right = Seq((1L, t(10), 100L)).toDF("k", "ts", "rid")
+    val left = Seq((1L, t(30), "x")).toDF("k", "ts", "tag")
+    val row = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("rid")).head()
+    assert(row.getAs[Timestamp]("asof_ts") == t(10))
+  }
+}
