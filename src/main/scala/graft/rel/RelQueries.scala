@@ -851,6 +851,29 @@ object RelQueries extends QueryCatalog {
       |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Range join via bucketization ([[RangeJoin]]): same-user event
+    * pairs within 30 minutes. The oracle states the naive BETWEEN
+    * self-join — same answer, quadratic shape; the engine's bucketed
+    * equi-join is the form that survives 100 TB. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RangeJoin.pairsWithin(
+        Tables.events(s, dir).select($"user_id", $"ts", $"event_id"),
+        keyCol = "user_id", tsCol = "ts", payloadCol = "event_id",
+        deltaSeconds = 1800L)
+      .select($"user_id", $"event_id_a", $"event_id_b", round($"gap_s", 3).as("gap_s"))
+      .orderBy($"user_id", $"event_id_a", $"event_id_b")
+  }
+  private val q65Sql =
+    """SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+      |  round((epoch_us(b.ts) - epoch_us(a.ts)) / 1e6, 3) AS gap_s
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+      |ORDER BY a.user_id, event_id_a, event_id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -888,6 +911,7 @@ object RelQueries extends QueryCatalog {
     "q57_grouping_sets" -> q57,
     "q58_array_hof" -> q58,
     "q59_scalar_subquery" -> q59,
+    "q65_range_join_pairs" -> q65,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -927,5 +951,6 @@ object RelQueries extends QueryCatalog {
     "q57_grouping_sets" -> q57Sql,
     "q58_array_hof" -> q58Sql,
     "q59_scalar_subquery" -> q59Sql,
+    "q65_range_join_pairs" -> q65Sql,
   )
 }
