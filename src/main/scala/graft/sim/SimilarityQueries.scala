@@ -230,12 +230,42 @@ object SimilarityQueries extends QueryCatalog {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Symmetric int8 quantization of embeddings (scale = 127/max|x|) —
+    * the 4× storage cut applied before ANN indexing at 100 TB. Rounding
+    * is floor(x·s + 0.5) — explicit half-up, bit-identical in both
+    * engines (library round() tie-handling differs across engines).
+    * Linear scan, no shuffle until the output sort. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter($"max_abs" > 0)
+      .select($"vec_id", $"label",
+        round($"max_abs", 6).as("max_abs"),
+        array_join(expr(
+          "transform(v, x -> CAST(CAST(floor(x * 127.0D / max_abs + 0.5D) AS INT) AS STRING))"), " ").as("q8"))
+      .orderBy($"vec_id")
+  }
+  private val q66Sql =
+    """SELECT vec_id, label, round(max_abs, 6) AS max_abs,
+      |  array_to_string(list_transform(v, x ->
+      |    CAST(CAST(floor(x * 127.0 / max_abs + 0.5) AS INT) AS VARCHAR)), ' ') AS q8
+      |FROM (
+      |  SELECT vec_id, label, v, list_max(list_transform(v, x -> abs(x))) AS max_abs
+      |  FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+      |)
+      |WHERE max_abs > 0
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
     "q52_sim_topk_lsh_multiprobe" -> q52,
     "q53_sim_batch_topk" -> q53,
     "q54_sim_ivf" -> q54,
+    "q66_embed_quantize" -> q66,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -244,5 +274,6 @@ object SimilarityQueries extends QueryCatalog {
     "q52_sim_topk_lsh_multiprobe" -> q52Sql,
     "q53_sim_batch_topk" -> q53Sql,
     "q54_sim_ivf" -> q54Sql,
+    "q66_embed_quantize" -> q66Sql,
   )
 }

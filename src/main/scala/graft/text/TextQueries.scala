@@ -266,6 +266,53 @@ object TextQueries extends QueryCatalog {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Document chunking for training: token windows of 32 with stride 24
+    * (8-token overlap) — the split-long-docs-into-examples op every LLM
+    * data pipeline runs. Linear: one explode per chunk, no shuffle
+    * until the output sort. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", size($"toks").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 1, 24), s -> concat_ws(' ', slice(toks, s + 1, 32)))"))
+          .as(Seq("chunk_no", "chunk_text")))
+      .select($"doc_id", $"chunk_no",
+        least(lit(32), $"n_toks" - $"chunk_no" * 24).cast("long").as("n_chunk_tokens"),
+        $"chunk_text")
+      .orderBy($"doc_id", $"chunk_no")
+  }
+  private val q67Sql =
+    s"""SELECT doc_id, CAST(s // 24 AS INT) AS chunk_no,
+       |  CAST(least(32, len(toks) - s) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(toks[s + 1 : least(s + 32, len(toks))], ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS s
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) > 0
+       |)
+       |ORDER BY doc_id, chunk_no""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Deterministic hash-based sampling (~12.5%): reproducible at any
+    * scale and partitioning, unlike rand()-based sampling — the
+    * only correct way to sample 100 TB and get the same subset twice. */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(substring(md5(concat(lit("sample|"), $"doc_id".cast("string"))), 1, 1).isin("0", "1"))
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+  private val q69Sql =
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE substring(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 1) IN ('0', '1')
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -276,6 +323,8 @@ object TextQueries extends QueryCatalog {
     "q36_fingerprint" -> q36,
     "q37_mr_facade_wordcount" -> q37,
     "q56_bpe_tokens" -> q56,
+    "q67_doc_chunking" -> q67,
+    "q69_hash_sample" -> q69,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -288,5 +337,7 @@ object TextQueries extends QueryCatalog {
     "q36_fingerprint" -> q36Sql,
     "q37_mr_facade_wordcount" -> q37Sql,
     "q56_bpe_tokens" -> q56Sql,
+    "q67_doc_chunking" -> q67Sql,
+    "q69_hash_sample" -> q69Sql,
   )
 }
