@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Driver-contract regression net over the whole catalog (analysis
+  * only — no query executes):
+  *  - catalog names are globally unique (SparkEntry merges maps with
+  *    ++, which would silently shadow a duplicate);
+  *  - every oracleSql key has a query;
+  *  - no catalog output column is array-/map-/struct-typed — the
+  *    driver's pandas sort+hash crashes on unhashable cells (the
+  *    round-1 q18/q21/q31/q37 failure mode). Library APIs keep typed
+  *    arrays; catalog outputs serialize them. */
+class QueryCatalogContractSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("catalog names are unique across modules") {
+    val all = SparkEntry.catalogs.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate catalog names: $dups")
+  }
+
+  test("every oracleSql key has a catalog query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("no catalog output column is array/map/struct typed (driver hashability)") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineitem.parquet")))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val schema: StructType = fn(spark, dir).schema // analysis only
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"serialize these with array_join/to_json for the driver harness: $offenders")
+  }
+}
