@@ -74,6 +74,42 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream–stream interval join: each click joined to purchases by
+    * the same user within `horizonMinutes` AFTER the click. Watermarks
+    * on BOTH sides bound the join state (clicks older than the horizon
+    * are dropped from the state store) — without the time bound in the
+    * join condition the state grows forever and a 100 TB/day stream
+    * OOMs the cluster. */
+  def clickPurchaseJoinStream(clicks: DataFrame, purchases: DataFrame,
+                              horizonMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", s"$horizonMinutes minutes").alias("c")
+    val p = purchases.withWatermark("ts", s"$horizonMinutes minutes").alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+         |p.ts >= c.ts AND
+         |p.ts <= c.ts + INTERVAL $horizonMinutes MINUTES""".stripMargin))
+      .select(col("c.user_id").as("user_id"),
+        col("c.click_id"), col("p.purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+  }
+
+  /** Arbitrary custom state via mapGroupsWithState: cumulative per-user
+    * event count across micro-batches (the `GroupState` path for
+    * semantics window()/session_window can't express). Update mode:
+    * one (user, runningCount) row per user per batch. */
+  def runningCountsStream(events: DataFrame): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          (user, total)
+      }
+  }
+
   /** Streaming sessionization via session_window (native state store
     * path) — used by the streaming tests; semantics match
     * [[sessionize]] for on-time data. */

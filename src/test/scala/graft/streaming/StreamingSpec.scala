@@ -77,6 +77,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to purchases within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStreams.clickPurchaseJoinStream(
+        clicks.toDF().toDF("ts", "user_id", "click_id"),
+        purchases.toDF().toDF("ts", "user_id", "purchase_id"))
+      .writeStream.format("memory").queryName("ssjoin_test").outputMode("append").start()
+    try {
+      clicks.addData((tsAt(10, 0), 1L, 100L), (tsAt(10, 0), 2L, 200L))
+      purchases.addData((tsAt(10, 30), 1L, 900L),  // within 60 min of click 100
+        (tsAt(12, 0), 2L, 901L))                   // 2 h after click 200 — outside
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData((tsAt(14, 0), 9L, 999L)); purchases.addData((tsAt(14, 0), 9L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet // (click_id, purchase_id)
+      assert(got.contains((100L, 900L)))
+      assert(!got.contains((200L, 901L)), "purchase beyond the horizon must not join")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps cumulative per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = EventStreams.runningCountsStream(input.toDF().toDF("user_id"))
+      .toDF("user_id", "running")
+      .writeStream.format("memory").queryName("state_test").outputMode("update").start()
+    try {
+      input.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      input.addData(1L, 2L, 2L)
+      q.processAllAvailable()
+      val latest = spark.table("state_test")
+        .groupBy($"user_id").agg(max($"running").as("running"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 3L), s"got $latest")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree for on-time data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
