@@ -1,0 +1,46 @@
+package graft.rel
+
+import graft.SparkTestBase
+
+/** Plan-shape assertions for the properties that matter at 100 TB —
+  * locked in as tests so a refactor can't silently regress them:
+  * filter pushdown reaching the parquet scan, column pruning, map-side
+  * partial aggregation, top-k without a global sort, and broadcast-only
+  * join plans where the corpus must not shuffle. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  }
+
+  private def ready = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineitem.parquet"))
+
+  test("q02: predicates reach the parquet scan as PushedFilters; schema is pruned") {
+    assume(ready)
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [") && p.contains("In(l_returnflag"), p)
+    // projection prunes: the scan must not read l_suppkey/l_partkey
+    assert(p.contains("ReadSchema") && !p.contains("l_suppkey"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine before the shuffle)") {
+    assume(ready)
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q12: top-k runs as TakeOrderedAndProject, not a global sort") {
+    assume(ready)
+    val p = plan("q12_sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q50: brute-force ANN never shuffles the corpus (broadcast + TakeOrdered only)") {
+    assume(ready)
+    val p = plan("q50_sim_topk_bruteforce")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
