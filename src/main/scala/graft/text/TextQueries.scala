@@ -296,6 +296,47 @@ object TextQueries extends QueryCatalog {
        |)
        |ORDER BY doc_id, chunk_no""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** TF-IDF with top-3 terms per document. Shape: explode → (doc,term)
+    * count (one shuffle), term document-frequency from that aggregate
+    * (second, |vocab|-sized shuffle), join back on term, per-doc window
+    * top-k. The corpus-size scalar travels via a broadcast cross join.
+    * tf·ln(N/df) is a single double multiply of exact ints — bit
+    * identical cross-engine. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tf = docs.select($"doc_id", explode(expr(toksExpr)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round($"tf" * log($"n".cast("double") / $"df"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn", $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rn")
+  }
+  private val q68Sql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |  GROUP BY 1, 2
+       |), df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents)
+       |SELECT doc_id, rn, term, tf, df, tfidf FROM (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC, tf.term) AS rn
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |)
+       |WHERE rn <= 3
+       |ORDER BY doc_id, rn""".stripMargin
+
   // ---------------------------------------------------------------- q69
   /** Deterministic hash-based sampling (~12.5%): reproducible at any
     * scale and partitioning, unlike rand()-based sampling — the
@@ -324,6 +365,7 @@ object TextQueries extends QueryCatalog {
     "q37_mr_facade_wordcount" -> q37,
     "q56_bpe_tokens" -> q56,
     "q67_doc_chunking" -> q67,
+    "q68_tfidf_topterms" -> q68,
     "q69_hash_sample" -> q69,
   )
 
@@ -338,6 +380,7 @@ object TextQueries extends QueryCatalog {
     "q37_mr_facade_wordcount" -> q37Sql,
     "q56_bpe_tokens" -> q56Sql,
     "q67_doc_chunking" -> q67Sql,
+    "q68_tfidf_topterms" -> q68Sql,
     "q69_hash_sample" -> q69Sql,
   )
 }
