@@ -35,6 +35,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.getAs[String]("asof_name") == "nine") // same winning row, not a column mix
   }
 
+  test("matches a naive per-probe scan on a dense random-ish fixture") {
+    import spark.implicits._
+    // deterministic pseudo-random layout: probes and builds interleaved
+    val rights = for (k <- 1 to 4; i <- 0 until 25)
+      yield (k.toLong, t(i * 11 + (k * 3) % 7), k * 1000L + i)
+    val lefts = for (k <- 1 to 4; i <- 0 until 25)
+      yield (k.toLong, t(i * 13 + (k * 5) % 11), s"p$k-$i")
+    val naive = lefts.map { case (k, ts, tag) =>
+      val cands = rights.filter(r => r._1 == k && !r._2.after(ts))
+      tag -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    val got = AsOfJoin.backward(
+        lefts.toDF("k", "ts", "tag"), rights.toDF("k", "ts", "rid"),
+        Seq("k"), "ts", Seq("rid"), tieBreak = Seq("rid"))
+      .collect().map(r => (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(got == naive)
+  }
+
   test("matched timestamp is carried as asof_<ts>") {
     import spark.implicits._
     val right = Seq((1L, t(10), 100L)).toDF("k", "ts", "rid")
