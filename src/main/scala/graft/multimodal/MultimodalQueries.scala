@@ -77,9 +77,27 @@ object MultimodalQueries extends QueryCatalog {
       |FROM rs
       |ORDER BY media_id, frame_no""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** The partition-local decode path through the driver pipeline:
+    * binary media → Multimodal.decodeFeatures (one decoder instance per
+    * partition, mapPartitions — the honest-stub codec). Rows-only
+    * check: FakeDecoder's pseudo-features are not SQL-expressible;
+    * MultimodalSpec pins their values. Feature vector serialized for
+    * driver hashability. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media"))
+    Multimodal.decodeFeatures(media)
+      .select($"media_id", $"n_bytes", $"width", $"height", $"n_frames",
+        array_join(expr("transform(feature, x -> CAST(round(x, 5) AS STRING))"), " ").as("feature"))
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_meta" -> q70,
     "q71_multimodal_frames" -> q71,
+    "q72_multimodal_decode" -> q72,
   )
 
   val oracleSql: Map[String, String] = Map(
