@@ -21,6 +21,7 @@ object RangeJoin {
     * both timestamps, and the gap in seconds. */
   def pairsWithin(events: DataFrame, keyCol: String, tsCol: String,
                   payloadCol: String, deltaSeconds: Long): DataFrame = {
+    require(deltaSeconds > 0, s"deltaSeconds must be positive, got $deltaSeconds")
     val micros = deltaSeconds * 1000000L
     val bucketed = events.select(
       col(keyCol), col(tsCol), col(payloadCol),
