@@ -1,0 +1,68 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+import graft.core.EngineConfig
+import graft.mr.MapReduce
+import graft.sinks.TextKVSink
+
+/** Executable parity with the reference's two shipped binaries
+  * (`./WordCounter config_WordCounter.txt`, `./InvertedIndex
+  * config_InvertedIndex.txt` — `src/WordCounter.cpp:45-85`,
+  * `src/InvertedIndex.cpp:43-74`): read the O14 config file, run the
+  * app over INPUTFILE with N_WORKER reducers, write O8-format
+  * `output` files under DATADIR. Exit codes mirror the reference's
+  * error surface: -1 missing input (`include/MapReduceMaster.h:454-460`),
+  * non-zero on task failure.
+  *
+  * Usage: `sbt "runMain graft.apps.WordCountMain <configFile>"`
+  *        `sbt "runMain graft.apps.InvertedIndexMain <configFile>"`
+  */
+private[apps] object AppRunner {
+
+  def run(configPath: String,
+          app: (SparkSession, String, Int) => org.apache.spark.sql.DataFrame): Int = {
+    val cfg = EngineConfig.load(configPath)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cfg.inputFile))) {
+      System.err.println(s"input file not found: ${cfg.inputFile}")
+      return -1 // reference: map controller returns -1 on missing input
+    }
+    // reuse an already-running session (tests, notebooks); only own —
+    // and therefore stop — a session this runner itself created
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .exists(s => !s.sparkContext.isStopped)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${cfg.nWorker}]"))
+      .config("spark.sql.shuffle.partitions", cfg.nWorker)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val out = app(spark, cfg.inputFile, cfg.nWorker)
+      TextKVSink.write(out, "key", "values", s"${cfg.dataDir.stripSuffix("/")}/output", cfg.nWorker)
+      0
+    } catch {
+      case e: Throwable => System.err.println(s"job failed: ${e.getMessage}"); -2
+    } finally if (!preexisting) spark.stop()
+  }
+}
+
+/** Reference app 1 as an executable (`src/WordCounter.cpp:45`). */
+object WordCountMain {
+  def main(args: Array[String]): Unit = {
+    val rc = AppRunner.run(args.headOption.getOrElse("config_WordCounter.txt"),
+      (spark, input, _) =>
+        WordCount.viaFacade(spark.read.textFile(input)).toDF("key", "values"))
+    if (rc != 0) sys.exit(rc)
+  }
+}
+
+/** Reference app 2 as an executable (`src/InvertedIndex.cpp:43`). */
+object InvertedIndexMain {
+  def main(args: Array[String]): Unit = {
+    val rc = AppRunner.run(args.headOption.getOrElse("config_InvertedIndex.txt"),
+      (spark, input, n) =>
+        InvertedIndex.viaFacade(spark.read.textFile(input), n).toDF("key", "values"))
+    if (rc != 0) sys.exit(rc)
+  }
+}
