@@ -48,16 +48,20 @@ object MinHash64 {
   /** LSH band candidate pairs over [[signatures]]: k/rowsPerBand bands;
     * docs sharing any band become a candidate. Identical docs have
     * identical signatures, so every exact-duplicate pair is guaranteed
-    * a candidate; near-dups are caught with the standard S-curve
+    * a candidate (up to the [[Banding]] skew cap — mega-clusters of
+    * identical docs are excluded because exact dedup already collapses
+    * them and their n²/2 fan-out on one band key is the 100 TB
+    * scale-killer); near-dups are caught with the standard S-curve
     * probability. Equi-join on (band_no, band_key) — never all-pairs. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
     val sigs = signatures(docs, idCol, textCol, k)
-    val bands = sigs.select(col(idCol).as("id"),
-      posexplode(array((0 until k / rowsPerBand).map { b =>
-        xxhash64((0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
-      }: _*)).as(Seq("band_no", "band_key")))
+    val bands = Banding.capBuckets(
+      sigs.select(col(idCol).as("id"),
+        posexplode(array((0 until k / rowsPerBand).map { b =>
+          xxhash64((0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
+        }: _*)).as(Seq("band_no", "band_key"))), "band_key")
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&

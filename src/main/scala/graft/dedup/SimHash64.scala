@@ -43,18 +43,25 @@ object SimHash64 {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-dup candidate pairs with Hamming distance ≤ `maxHamming`:
-    * 4 bands of 16 bits each — any shared band makes a candidate
-    * (guaranteed to catch every pair with distance ≤ 3 by pigeonhole;
-    * higher distances probabilistically), then the exact bit_count
-    * filter. Equi-join on (band_no, band_val): the 100 TB shape. */
+  /** BANDED near-dup pairs with Hamming distance ≤ `maxHamming` —
+    * recall-bounded, not exhaustive: 4 bands of 16 bits each, any
+    * shared band makes a candidate, then the exact bit_count filter.
+    * By pigeonhole every pair with distance ≤ 3 (bands − 1) is
+    * GUARANTEED a candidate; pairs at distance 4..maxHamming are found
+    * only when some 16-bit band happens to match (the standard banded
+    * S-curve). Callers needing full recall at a higher threshold must
+    * raise the band count, not just `maxHamming`. Equi-join on
+    * (band_no, band_val) with the [[Banding]] skew cap: the 100 TB
+    * shape — a template-spam cluster of n identical signatures would
+    * otherwise fan out n²/2 pairs on one hot band key. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
     val sigs = signatures(docs, idCol, textCol)
-    val bands = sigs.select(col(idCol).as("id"), col("simhash64"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash64"), 16 * b).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("band_no", "band_val")))
+    val bands = Banding.capBuckets(
+      sigs.select(col(idCol).as("id"), col("simhash64"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash64"), 16 * b).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("band_no", "band_val"))), "band_val")
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
