@@ -26,12 +26,15 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"========== $name ==========")
       df.explain("formatted")
-      // warm once, then time twice
+      // warm once, then time twice; scratch caches drained per run so
+      // every run does the same work (and nothing leaks across queries)
       df.write.format("noop").mode("overwrite").save()
+      graft.core.ScratchCache.drain()
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         println(f"[$name run$i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        graft.core.ScratchCache.drain()
       }
     }
     spark.stop()
