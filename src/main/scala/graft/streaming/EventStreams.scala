@@ -67,12 +67,17 @@ object EventStreams {
     * exactly-once repair step in front of every downstream aggregate.
     * State is bounded by the watermark (keys older than the horizon
     * are expired), which is what makes this runnable forever at scale;
-    * the batch twin is a plain `dropDuplicates(idCol)`. */
+    * the batch twin is a plain `dropDuplicates(idCol)` — Spark rejects
+    * dropDuplicatesWithinWatermark on static frames, so this transform
+    * branches on `isStreaming` to stay runnable in both modes (the
+    * batch mode is what the DuckDB oracle checks via q64). */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
                   watermark: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(idCol)
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
 
   /** Stream–stream interval join: each click joined to purchases by
     * the same user within `horizonMinutes` AFTER the click. Watermarks

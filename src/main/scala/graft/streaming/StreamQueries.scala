@@ -71,15 +71,72 @@ object StreamQueries extends QueryCatalog {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Batch twin of the stream–stream interval join
+    * ([[EventStreams.clickPurchaseJoinStream]]): clicks ⋈ purchases by
+    * user within 60 minutes after the click. The SAME transform runs
+    * here on static frames (`withWatermark` is a no-op in batch), so
+    * the DuckDB oracle checks the streaming join's SELECT/ON semantics;
+    * the state-bounding watermark behavior is StreamingSpec's job.
+    * Scale shape: equi-join on user_id with the interval as a join
+    * filter — a plain hash/sort-merge join, never a BNLJ. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("user_id"), col("event_id").as("purchase_id"))
+    EventStreams.clickPurchaseJoinStream(clicks, purchases)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+  private val q63Sql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Batch twin of the streaming exactly-once dedup
+    * ([[EventStreams.dedupStream]]): an at-least-once replay is
+    * simulated by re-appending every 10th event, then the SAME
+    * transform drops the duplicates (`dropDuplicatesWithinWatermark`
+    * degrades to plain dropDuplicates semantics in batch — duplicate
+    * rows here are bit-identical, so which survives is immaterial).
+    * The watermarked state-expiry behavior is StreamingSpec's job. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val replayed = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+    EventStreams.dedupStream(replayed)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("event_id"))
+  }
+  private val q64Sql =
+    """WITH replayed AS (
+      |  SELECT * FROM events
+      |  UNION ALL SELECT * FROM events WHERE event_id % 10 = 0
+      |)
+      |SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |FROM replayed
+      |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
     "q62_sessionize" -> q62,
+    "q63_stream_interval_join" -> q63,
+    "q64_stream_dedup" -> q64,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q60_stream_tumbling" -> q60Sql,
     "q61_stream_sliding" -> q61Sql,
     "q62_sessionize" -> q62Sql,
+    "q63_stream_interval_join" -> q63Sql,
+    "q64_stream_dedup" -> q64Sql,
   )
 }
