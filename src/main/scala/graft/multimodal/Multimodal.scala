@@ -33,30 +33,36 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),
-    StructField("feature", ArrayType(FloatType), nullable = false)))
+    StructField("feature", ArrayType(DoubleType), nullable = false)))
 
   /** Decoder contract: bytes → (width, height, nFrames, featureVec).
     * A real implementation wraps a codec library; one instance is
     * created per partition (see [[decodeFeatures]]) so native handles
     * are reused across the rows of a partition. */
   trait Decoder extends Serializable {
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double])
   }
 
   /** Deterministic stand-in for the codec: features are pure functions
     * of the bytes, so tests are stable. A real image decoder would
-    * replace exactly this class. */
+    * replace exactly this class.
+    *
+    * The pseudo-embedding is 8 banded byte sums (EXACT long integers —
+    * no float accumulation-order dependence) L1-normalized by one
+    * double division per band; every step is SQL-expressible, which is
+    * what lets q72's mapPartitions output be checked against the
+    * DuckDB oracle instead of a rows-only count. */
   object FakeDecoder extends Decoder {
-    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
       val n = bytes.length
       val w = 64 + (if (n == 0) 0 else math.abs(bytes(0).toInt) % 64)
       val h = 64 + (if (n < 2) 0 else math.abs(bytes(1).toInt) % 64)
       val frames = 1 + n % 4
       // 8-dim pseudo-embedding: banded byte sums, L1-normalized
-      val acc = new Array[Float](8)
+      val acc = new Array[Long](8)
       var i = 0
-      while (i < n) { acc(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
-      val s = math.max(acc.sum, 1e-6f)
+      while (i < n) { acc(i % 8) += (bytes(i) & 0xff); i += 1 }
+      val s = math.max(acc.sum.toDouble, 1e-6)
       (w, h, frames, acc.map(_ / s))
     }
   }

@@ -80,19 +80,49 @@ object MultimodalQueries extends QueryCatalog {
   // ---------------------------------------------------------------- q72
   /** The partition-local decode path through the driver pipeline:
     * binary media → Multimodal.decodeFeatures (one decoder instance per
-    * partition, mapPartitions — the honest-stub codec). Rows-only
-    * check: FakeDecoder's pseudo-features are not SQL-expressible;
-    * MultimodalSpec pins their values. Feature vector serialized for
-    * driver hashability. */
+    * partition, mapPartitions — the honest-stub codec). FakeDecoder's
+    * pseudo-features are exact integer band sums with one double
+    * division each, so the whole decode IS SQL-expressible and the
+    * DuckDB oracle hash-checks the mapPartitions output end to end
+    * (the corpus is pure ASCII, so text bytes == ascii codes on both
+    * sides). Features serialized with explicit half-up 1e5 scaling —
+    * the q66 trick; library round() tie-handling differs across
+    * engines. */
   private def q72(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media"))
     Multimodal.decodeFeatures(media)
       .select($"media_id", $"n_bytes", $"width", $"height", $"n_frames",
-        array_join(expr("transform(feature, x -> CAST(round(x, 5) AS STRING))"), " ").as("feature"))
+        array_join(expr(
+          "transform(feature, x -> CAST(CAST(floor(x * 100000D + 0.5D) AS BIGINT) AS STRING))"), " ")
+          .as("feature_q5"))
       .orderBy($"media_id")
   }
+  private val q72Sql =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n FROM documents
+      |), acc AS (
+      |  SELECT media_id, n,
+      |    list_transform(generate_series(0, 7), band ->
+      |      CAST(coalesce(list_sum(list_transform(
+      |        generate_series(band + 1, CAST(n AS INT), 8),
+      |        i -> ascii(substring(text, i, 1)))), 0) AS BIGINT)) AS bands
+      |  FROM b
+      |), nrm AS (
+      |  SELECT media_id, n, bands,
+      |    greatest(CAST(list_sum(bands) AS DOUBLE), 1e-6) AS s
+      |  FROM acc
+      |)
+      |SELECT media_id,
+      |  CAST(n AS BIGINT) AS n_bytes,
+      |  64 + (CASE WHEN n = 0 THEN 0 ELSE ascii(substring(text, 1, 1)) % 64 END) AS width,
+      |  64 + (CASE WHEN n < 2 THEN 0 ELSE ascii(substring(text, 2, 1)) % 64 END) AS height,
+      |  1 + CAST(n % 4 AS INT) AS n_frames,
+      |  array_to_string(list_transform(bands, a ->
+      |    CAST(CAST(floor(CAST(a AS DOUBLE) / s * 100000 + 0.5) AS BIGINT) AS VARCHAR)), ' ') AS feature_q5
+      |FROM nrm JOIN b USING (media_id, n)
+      |ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_meta" -> q70,
@@ -103,5 +133,6 @@ object MultimodalQueries extends QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "q70_multimodal_meta" -> q70Sql,
     "q71_multimodal_frames" -> q71Sql,
+    "q72_multimodal_decode" -> q72Sql,
   )
 }

@@ -25,9 +25,13 @@ class MultimodalSpec extends SparkTestBase {
     assert(byId(1L).getLong(1) == 8L) // n_bytes
     assert(byId(3L).getLong(1) == 0L) // empty media decodes, not crashes
     // deterministic: two runs produce identical feature vectors
-    val again = Multimodal.decodeFeatures(mediaDf).collect().map(r => r.getLong(0) -> r.getSeq[Float](5)).toMap
-    val first = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](5)).toMap
+    val again = Multimodal.decodeFeatures(mediaDf).collect().map(r => r.getLong(0) -> r.getSeq[Double](5)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getSeq[Double](5)).toMap
     assert(first == again)
+    // exact-arithmetic contract: integer band sums / double L1 norm
+    // ("abcdefgh": one byte per band, total 804)
+    val expected = "abcdefgh".getBytes("UTF-8").map(_.toDouble / 804d).toSeq
+    assert(first(1L) == expected)
   }
 
   test("decode is a narrow transformation (partition count preserved, no shuffle)") {
