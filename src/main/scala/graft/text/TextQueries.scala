@@ -299,10 +299,19 @@ object TextQueries extends QueryCatalog {
   // ---------------------------------------------------------------- q68
   /** TF-IDF with top-3 terms per document. Shape: explode → (doc,term)
     * count (one shuffle), term document-frequency from that aggregate
-    * (second, |vocab|-sized shuffle), join back on term, per-doc window
-    * top-k. The corpus-size scalar travels via a broadcast cross join.
-    * tf·ln(N/df) is a single double multiply of exact ints — bit
-    * identical cross-engine. */
+    * (second, |vocab|-sized shuffle), BROADCAST join back on term,
+    * per-doc window top-k. The corpus-size scalar travels via a
+    * broadcast cross join. tf·ln(N/df) is a single double multiply of
+    * exact ints — bit identical cross-engine.
+    *
+    * Skew note: `term` is a natural hot key — every doc contains "the",
+    * so a shuffle join tf⋈df would pile all (doc,"the") rows onto one
+    * reducer at 100×. Broadcasting df sidesteps that entirely: df is an
+    * AGGREGATE (one row per distinct term, no payload), orders of
+    * magnitude smaller than tf. For a corpus whose distinct-term count
+    * outgrows the driver, drop the hint and rely on AQE skew-join
+    * splitting instead — the hot key is on the probe side with a
+    * 1-row build side, the case AQE splits cleanly. */
   private def q68(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -312,7 +321,7 @@ object TextQueries extends QueryCatalog {
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
-    tf.join(df, "term")
+    tf.join(broadcast(df), "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round($"tf" * log($"n".cast("double") / $"df"), 6))
       .withColumn("rn", row_number().over(w))

@@ -43,4 +43,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q68: tf joins the df aggregate by broadcast, never shuffling on the skewed term key") {
+    assume(ready)
+    val p = plan("q68_tfidf_topterms")
+    // df joins by BroadcastHashJoin (the corpus-size scalar rides a
+    // 1-row BroadcastNestedLoopJoin); the only hash exchanges are the
+    // tf/df aggregations and the per-doc window — no shuffled join
+    // keyed on `term`, where "the" would pile onto one reducer at scale
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
 }
