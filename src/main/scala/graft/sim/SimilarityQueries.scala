@@ -34,17 +34,19 @@ object SimilarityQueries extends QueryCatalog {
     if (((h(0) >> 4) & 0xf) < 8) 1 else -1
   }
 
-  /** Spark SQL expression for the bucket id of double-array column `v`. */
-  private def bucketExpr(v: String): String =
+  /** Spark SQL expression for the bucket id of double-array column `v`
+    * in hash table `t` (each table draws PLANES independent
+    * hyperplanes from the same md5 stream). */
+  private def bucketExpr(v: String, t: Int = 0): String =
     (0 until PLANES).map { p =>
-      val dot = (0 until DIMS).map(d => s"$v[$d] * ${planeSign(p, d)}").mkString(" + ")
+      val dot = (0 until DIMS).map(d => s"$v[$d] * ${planeSign(t * PLANES + p, d)}").mkString(" + ")
       s"(CASE WHEN ($dot) > 0D THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
   /** DuckDB twin (1-based subscripts). */
-  private def bucketSql(v: String): String =
+  private def bucketSql(v: String, t: Int = 0): String =
     (0 until PLANES).map { p =>
-      val dot = (0 until DIMS).map(d => s"$v[${d + 1}] * ${planeSign(p, d)}").mkString(" + ")
+      val dot = (0 until DIMS).map(d => s"$v[${d + 1}] * ${planeSign(t * PLANES + p, d)}").mkString(" + ")
       s"(CASE WHEN ($dot) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -230,6 +232,65 @@ object SimilarityQueries extends QueryCatalog {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Multi-table multi-probe LSH ANN: 4 independent hyperplane tables,
+    * each probed at the query bucket + its PLANES Hamming-1 neighbors.
+    * The recall lever orthogonal to multi-probe: a true neighbor is
+    * found if ANY table collides (recall ≈ 1−(1−p)^L at L× index
+    * size). Measured on the sf0.01 fixture (AnnRecallSpec): recall@10
+    * 0.05 single-probe → 0.24 multi-probe → 0.69 with 4 tables. The
+    * corpus side explodes by table (the L× index build, linear); the
+    * search is still ONE equi-join on (table, bucket) with the probe
+    * set on the broadcast query side; candidates colliding in several
+    * tables are deduped before scoring. */
+  private val TABLES = 4
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // One branch per table (union), NOT one projection computing all 4
+    // bucket expressions: a single 4×384-term projection blows past the
+    // codegen method-size limits and executes 10×+ slower (measured
+    // 6–11 s vs 0.6 s at sf0.001); per-branch expressions stay inside
+    // whole-stage codegen. The union re-scans the corpus per table —
+    // the same L× index-build cost multi-table LSH pays by definition.
+    val e = (0 until TABLES).map { t =>
+      withVec(s, dir).select($"vec_id", $"label", $"v",
+        lit(t).as("tbl"), expr(bucketExpr("v", t)).cast("int").as("bucket"))
+    }.reduce(_ unionAll _)
+    val probes = e.filter($"vec_id" === 0)
+      .select($"tbl".as("qtbl"), $"v".as("qv"),
+        explode(array($"bucket" +: (0 until PLANES).map(p =>
+          $"bucket".bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
+    e.filter($"vec_id" =!= 0)
+      .join(broadcast(probes), $"tbl" === $"qtbl" && $"bucket" === $"probe")
+      .select($"vec_id", $"label", $"v", $"qv").distinct()
+      .withColumn("cos", round(expr("cosine_similarity(v, qv)"), 4))
+      .select($"vec_id", $"label", $"cos")
+      .orderBy($"cos".desc, $"vec_id")
+      .limit(10)
+  }
+  private val q74Sql = {
+    val tableUnion = (0 until TABLES).map(t =>
+      s"SELECT vec_id, label, v, norm, $t AS tbl, CAST(${bucketSql("v", t)} AS INT) AS bucket FROM e"
+    ).mkString("\n  UNION ALL ")
+    val probeList = "[qbucket" + (0 until PLANES).map(p => s", xor(qbucket, ${1 << p})").mkString + "]"
+    s"""WITH e AS ($withVecSql),
+       |b AS (
+       |  $tableUnion
+       |),
+       |q AS (SELECT tbl, bucket AS qbucket, v AS qv, norm AS qnorm FROM b WHERE vec_id = 0),
+       |probes AS (SELECT tbl, qv, qnorm, unnest($probeList) AS probe FROM q),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id, b.label, b.v, b.norm, p.qv, p.qnorm
+       |  FROM b JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.probe AND b.vec_id <> 0
+       |)
+       |SELECT vec_id, label,
+       |  round(list_dot_product(v, qv) / (norm * qnorm), 4) AS cos
+       |FROM cand
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q66
   /** Symmetric int8 quantization of embeddings (scale = 127/max|x|) —
     * the 4× storage cut applied before ANN indexing at 100 TB. Rounding
@@ -259,6 +320,88 @@ object SimilarityQueries extends QueryCatalog {
       |WHERE max_abs > 0
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- recall measurement
+  /** The ANN quality knob: every approximate path (LSH single/multi-
+    * probe, IVF) trades scan fraction for recall, and an operator whose
+    * recall is never measured invites silent collapse on real data.
+    * These helpers compute per-query top-k sets for the exact scan and
+    * each approximate path over the same corpus; AnnRecallSpec pins
+    * recall@10 floors and the multi-probe ≥ single-probe ordering on
+    * the sf0.01 fixture. The first `nQueries` vectors serve as queries
+    * (broadcast side), mirroring q50–q54's shapes. */
+  private def topK(cand: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Exact per-query top-k by full scan — the ground truth. */
+  def exactTopK(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = withVec(s, dir)
+    val qs = e.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"), col("v").as("qv"))
+    topK(e.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_similarity(v, qv)")), k)
+  }
+
+  /** LSH per-query top-k: single-probe (query bucket only) or
+    * multi-probe (+ PLANES Hamming-1 buckets), as in q51/q52, over
+    * `tables` independent hash tables (classic multi-table LSH — the
+    * recall lever that composes with multi-probe: a true neighbor is
+    * found if ANY table collides, so recall ≈ 1−(1−p)^L for per-table
+    * collision rate p, at L× index size). The corpus side explodes by
+    * table; the join stays one equi-join on (table, bucket). */
+  def lshTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
+              multiProbe: Boolean, tables: Int = 1): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // union of per-table branches, not one giant multi-bucket
+    // projection — see q74's codegen-size note
+    val e = (0 until tables).map { t =>
+      withVec(s, dir).select(col("vec_id"), col("v"),
+        lit(t).as("tbl"), expr(bucketExpr("v", t)).cast("int").as("bucket"))
+    }.reduce(_ unionAll _)
+    val probeCols = (b: Column) =>
+      if (multiProbe) b +: (0 until PLANES).map(p => b.bitwiseXOR(lit(1 << p)).cast("int"))
+      else Seq(b)
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("tbl").as("qtbl"),
+        explode(array(probeCols(col("bucket")): _*)).as("probe"))
+    val cand = e.join(broadcast(probes),
+        col("tbl") === col("qtbl") && col("bucket") === col("probe") &&
+          col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("v"), col("qv"))
+      .distinct() // a pair colliding in several tables scores once
+      .withColumn("cos", expr("cosine_similarity(v, qv)"))
+    topK(cand, k)
+  }
+
+  /** IVF per-query top-k: search confined to the query's cell (q54). */
+  def ivfTopK(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = withVec(s, dir)
+    val cents = e.filter(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cs", expr("cosine_similarity(v, cv)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val qs = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cell").as("qcell"))
+    topK(assigned.join(broadcast(qs), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("cosine_similarity(v, qv)")), k)
+  }
+
+  /** Mean recall@k: |approx ∩ exact| / |exact|, averaged over queries
+    * (denominator is the exact set size, so queries near the corpus
+    * edge with < k true neighbors are still scored fairly). */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val hits = exact.join(approx, Seq("qid", "vec_id")).count().toDouble
+    val total = exact.count().toDouble
+    if (total == 0) 0.0 else hits / total
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -266,6 +409,7 @@ object SimilarityQueries extends QueryCatalog {
     "q53_sim_batch_topk" -> q53,
     "q54_sim_ivf" -> q54,
     "q66_embed_quantize" -> q66,
+    "q74_sim_topk_lsh_multitable" -> q74,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -275,5 +419,6 @@ object SimilarityQueries extends QueryCatalog {
     "q53_sim_batch_topk" -> q53Sql,
     "q54_sim_ivf" -> q54Sql,
     "q66_embed_quantize" -> q66Sql,
+    "q74_sim_topk_lsh_multitable" -> q74Sql,
   )
 }
