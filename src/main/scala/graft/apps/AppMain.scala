@@ -27,10 +27,18 @@ private[apps] object AppRunner {
       return -1 // reference: map controller returns -1 on missing input
     }
     // reuse an already-running session (tests, notebooks); only own —
-    // and therefore stop — a session this runner itself created
-    val preexisting = SparkSession.getActiveSession
+    // and therefore stop — a session this runner itself created. On
+    // the reuse path getOrCreate MUTATES the existing session's
+    // runtime conf with the builder configs, so the shuffle width is
+    // saved first and restored after the job — a shared session must
+    // not come back from a config-file-driven app with its parallelism
+    // silently changed (the N_WORKER output-file contract is enforced
+    // by TextKVSink's explicit repartition, not by this conf).
+    val existing = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
-      .exists(s => !s.sparkContext.isStopped)
+      .filter(s => !s.sparkContext.isStopped)
+    val preexisting = existing.isDefined
+    val savedShuffle = existing.map(_.conf.get("spark.sql.shuffle.partitions", "200"))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${cfg.nWorker}]"))
       .config("spark.sql.shuffle.partitions", cfg.nWorker)
@@ -43,7 +51,10 @@ private[apps] object AppRunner {
       0
     } catch {
       case e: Throwable => System.err.println(s"job failed: ${e.getMessage}"); -2
-    } finally if (!preexisting) spark.stop()
+    } finally {
+      savedShuffle.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+      if (!preexisting) spark.stop()
+    }
   }
 }
 

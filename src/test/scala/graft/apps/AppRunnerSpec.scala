@@ -18,9 +18,13 @@ class AppRunnerSpec extends SparkTestBase {
     val input = write(dir.resolve("input.txt"), "b a\na c\n")
     val cfg = write(dir.resolve("config.txt"),
       s"N_WORKER 2\nINPUTFILE $input\nDATADIR $dir\n")
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
     val rc = AppRunner.run(cfg, (s, in, _) =>
       WordCount.viaFacade(s.read.textFile(in)).toDF("key", "values"))
     assert(rc == 0)
+    // reuse path must not leave the shared session's parallelism
+    // mutated to the config file's N_WORKER
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == shuffleBefore)
     val outFiles = new java.io.File(s"$dir/output").listFiles()
       .filter(_.getName.startsWith("part-"))
     // ≤ N_WORKER files (Spark skips empty reducer partitions — the
