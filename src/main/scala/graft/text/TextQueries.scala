@@ -363,6 +363,36 @@ object TextQueries extends QueryCatalog {
       |WHERE substring(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 1) IN ('0', '1')
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Stratified deterministic sampling: exactly N docs per stratum
+    * (lang), ranked by a content-independent md5 of the doc id — the
+    * balanced-eval-set builder next to q69's proportional hash sample.
+    * Reproducible at any scale and partitioning (no rand()). Scale
+    * shape: the rank-≤-N filter triggers Spark's WindowGroupLimit, so
+    * each input partition forwards at most N rows per stratum BEFORE
+    * the shuffle — a giant stratum never lands whole on one reducer
+    * (pinned in PlanShapeSpec). */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5(concat(lit("strat|"), $"doc_id".cast("string"))), $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 20)
+      .select($"doc_id", $"lang", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+  private val q76Sql =
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(concat('strat|', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS rk
+      |  FROM documents
+      |)
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -376,6 +406,7 @@ object TextQueries extends QueryCatalog {
     "q67_doc_chunking" -> q67,
     "q68_tfidf_topterms" -> q68,
     "q69_hash_sample" -> q69,
+    "q76_stratified_sample" -> q76,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -391,5 +422,6 @@ object TextQueries extends QueryCatalog {
     "q67_doc_chunking" -> q67Sql,
     "q68_tfidf_topterms" -> q68Sql,
     "q69_hash_sample" -> q69Sql,
+    "q76_stratified_sample" -> q76Sql,
   )
 }

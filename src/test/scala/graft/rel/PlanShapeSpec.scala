@@ -54,4 +54,11 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q76: per-stratum top-N pre-limits map-side (WindowGroupLimit before the shuffle)") {
+    assume(ready)
+    val p = plan("q76_stratified_sample")
+    // without this, a giant stratum lands whole on one reducer
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
