@@ -115,6 +115,36 @@ object EventStreams {
       }
   }
 
+  /** Threshold alerts via flatMapGroupsWithState — the zero-or-MANY-
+    * rows-per-group stateful shape (mapGroupsWithState emits exactly
+    * one): each user's `value` accumulates across micro-batches, and a
+    * row (user_id, m) is emitted for every multiple m of `step` the
+    * cumulative sum crosses — several in one batch, none in most.
+    * State is one decimal per user. The accumulator is an EXACT
+    * decimal(18,6) sum (Spark's own cast, summed with BigDecimal.add),
+    * so results are independent of batch/partition order and the SAME
+    * function run on a batch frame (Spark treats it as one batch with
+    * empty initial state) is DuckDB-checkable — q77. */
+  def thresholdAlertsStream(events: DataFrame, step: Long = 100L): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepBd = new java.math.BigDecimal(step)
+    events
+      .select(col("user_id").cast("long"), col("value").cast("decimal(18,6)"))
+      .as[(Long, java.math.BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, java.math.BigDecimal)],
+         state: GroupState[java.math.BigDecimal]) =>
+          val prev = state.getOption.getOrElse(java.math.BigDecimal.ZERO)
+          val total = batch.foldLeft(prev)((acc, r) => acc.add(r._2))
+          state.update(total)
+          val from = prev.divide(stepBd).setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+          val to = total.divide(stepBd).setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+          ((from + 1) to to).iterator.map(m => (user, m))
+      }
+  }
+
   /** Streaming sessionization via session_window (native state store
     * path) — used by the streaming tests; semantics match
     * [[sessionize]] for on-time data. */

@@ -124,12 +124,34 @@ object StreamQueries extends QueryCatalog {
       |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Batch run of the flatMapGroupsWithState threshold-alert transform
+    * ([[EventStreams.thresholdAlertsStream]]): one batch, empty initial
+    * state, so the emitted set is every multiple of 100 each user's
+    * exact decimal value-sum crosses. The incremental multi-batch
+    * behavior (same rows, split across batches, none re-emitted) is
+    * StreamingSpec's job. */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    EventStreams.thresholdAlertsStream(Tables.events(s, dir))
+      .toDF("user_id", "m")
+      .orderBy(col("user_id"), col("m"))
+  private val q77Sql =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    CAST(floor(sum(CAST(value AS DECIMAL(18,6))) / 100) AS BIGINT) AS k
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(unnest(generate_series(1, k)) AS BIGINT) AS m
+      |FROM t WHERE k >= 1
+      |ORDER BY user_id, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
     "q62_sessionize" -> q62,
     "q63_stream_interval_join" -> q63,
     "q64_stream_dedup" -> q64,
+    "q77_stream_threshold_alerts" -> q77,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -138,5 +160,6 @@ object StreamQueries extends QueryCatalog {
     "q62_sessionize" -> q62Sql,
     "q63_stream_interval_join" -> q63Sql,
     "q64_stream_dedup" -> q64Sql,
+    "q77_stream_threshold_alerts" -> q77Sql,
   )
 }

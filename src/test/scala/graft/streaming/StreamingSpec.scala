@@ -120,6 +120,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState threshold alerts: emitted once at each crossing, split across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = EventStreams.thresholdAlertsStream(
+        input.toDF().toDF("user_id", "value"), step = 100L)
+      .toDF("user_id", "m")
+      .writeStream.format("memory").queryName("alerts_test").outputMode("append").start()
+    try {
+      input.addData((1L, 60.0), (1L, 30.0)) // total 90: no alert
+      q.processAllAvailable()
+      assert(spark.table("alerts_test").count() == 0)
+      input.addData((1L, 220.0), (2L, 100.0)) // user1 -> 310 (crosses 100,200,300), user2 -> 100
+      q.processAllAvailable()
+      val rows = spark.table("alerts_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)), s"got $rows")
+      input.addData((1L, 50.0)) // 360: no new multiple, nothing re-emitted
+      q.processAllAvailable()
+      assert(spark.table("alerts_test").count() == 4)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree for on-time data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
