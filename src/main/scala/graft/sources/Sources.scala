@@ -66,4 +66,17 @@ object Sources {
 
   def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC — the other splittable columnar format with predicate pushdown
+    * and column pruning (warehouses with Hive lineage are ORC-native;
+    * an engine claiming source completeness reads both). Same explicit
+    * snappy + pushdown conventions as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
 }

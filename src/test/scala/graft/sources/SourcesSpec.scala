@@ -76,6 +76,21 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("orc round-trip preserves schema and rows; filters push to the ORC scan") {
+    val dir = Files.createTempDirectory("orc").toString + "/t"
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "tag", "x")
+    Sources.writeOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+    // ORC reads everything nullable; names+types are the contract
+    assert(back.schema.map(f => (f.name, f.dataType)) == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 3)
+    val filtered = back.filter($"tag" === "a").select($"id")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(tag,a)"), plan)
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("textLines: line-oriented source feeds the MapReduce facade contract") {
     val dir = Files.createTempDirectory("txt").toString + "/t"
     import spark.implicits._

@@ -143,6 +143,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: restart resumes from the offset log without duplicating output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val input = MemoryStream[Long]
+    def start() = input.toDF().toDF("event_id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // run 1: two batches, then a hard stop
+    val q1 = start()
+    input.addData(1L, 2L); q1.processAllAvailable()
+    input.addData(3L); q1.processAllAvailable()
+    q1.stop()
+    // run 2: SAME checkpoint — the committed offsets must not replay
+    val q2 = start()
+    input.addData(4L, 5L); q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    // exactly-once at the sink: every event exactly once across the restart
+    assert(rows == Seq(1L, 2L, 3L, 4L, 5L), s"got $rows")
+  }
+
   test("batch and streaming tumbling counts agree for on-time data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
