@@ -24,13 +24,16 @@ class AnnRecallSpec extends SparkTestBase {
     val multi = SimilarityQueries.recallAtK(exact, SimilarityQueries.lshTopK(spark, dir, N, K, multiProbe = true))
     val multi4 = SimilarityQueries.recallAtK(exact, SimilarityQueries.lshTopK(spark, dir, N, K, multiProbe = true, tables = 4))
     val ivf = SimilarityQueries.recallAtK(exact, SimilarityQueries.ivfTopK(spark, dir, N, K))
-    info(f"recall@$K over $N queries: lsh-single=$single%.3f lsh-multi=$multi%.3f lsh-multi-4tables=$multi4%.3f ivf=$ivf%.3f")
-    println(f"[ann-recall] recall@$K over $N queries: lsh-single=$single%.3f lsh-multi=$multi%.3f lsh-multi-4tables=$multi4%.3f ivf=$ivf%.3f")
+    val ivf4 = SimilarityQueries.recallAtK(exact, SimilarityQueries.ivfTopK(spark, dir, N, K, nProbe = 4))
+    info(f"recall@$K over $N queries: lsh-single=$single%.3f lsh-multi=$multi%.3f lsh-multi-4tables=$multi4%.3f ivf=$ivf%.3f ivf-nprobe4=$ivf4%.3f")
+    println(f"[ann-recall] recall@$K over $N queries: lsh-single=$single%.3f lsh-multi=$multi%.3f lsh-multi-4tables=$multi4%.3f ivf=$ivf%.3f ivf-nprobe4=$ivf4%.3f")
     exact.unpersist()
     assert(multi >= single, f"multi-probe ($multi%.3f) must not lose to single-probe ($single%.3f)")
     assert(multi4 >= multi, f"4-table multi-probe ($multi4%.3f) must not lose to 1-table ($multi%.3f)")
     assert(multi4 >= 0.5, f"4-table multi-probe recall collapsed: $multi4%.3f < 0.5")
     assert(single > 0.0, f"single-probe recall is zero — bucketing is broken")
     assert(ivf > 0.0, f"IVF recall is zero — cell assignment is broken")
+    assert(ivf4 >= ivf, f"nProbe=4 IVF ($ivf4%.3f) must not lose to nProbe=1 ($ivf%.3f)")
+    assert(ivf4 >= 0.5, f"nProbe=4 IVF recall collapsed: $ivf4%.3f < 0.5")
   }
 }
