@@ -393,6 +393,88 @@ object TextQueries extends QueryCatalog {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** PII redaction — the scrub-before-training op. Patterns are kept
+    * inside the common subset of Java regex (Spark) and RE2 (DuckDB)
+    * so both engines produce byte-identical redactions; Spark's
+    * regexp_replace is replace-ALL, DuckDB needs the 'g' flag. The
+    * synthetic corpus contains no PII (every changed=false), so the
+    * behavioral evidence lives in PiiRedactSpec's fixture strings;
+    * this entry pins the cross-engine regex semantics and the linear
+    * scan shape. Package-private pieces reused by the spec. */
+  private[text] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[text] val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[text] val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private[text] def redactCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      emailRe, "[EMAIL]"), ipRe, "[IP]"), phoneRe, "[PHONE]")
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", redactCol($"text").as("clean"))
+      .select($"doc_id", md5($"clean").as("clean_md5"),
+        length($"clean").cast("long").as("clean_len"))
+      .orderBy($"doc_id")
+  }
+  private val q79Sql =
+    s"""SELECT doc_id, md5(clean) AS clean_md5, CAST(length(clean) AS BIGINT) AS clean_len
+       |FROM (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$emailRe', '[EMAIL]', 'g'), '$ipRe', '[IP]', 'g'), '$phoneRe', '[PHONE]', 'g') AS clean
+       |  FROM documents
+       |)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Sequence packing (concat-and-split): the op that turns variable-
+    * length chunks into fixed-token training sequences. Chunks are
+    * sharded by hash (shard count scales with data — within a shard
+    * the packing is a prefix sum, across shards it's embarrassingly
+    * parallel: the layout real pipelines use, since global sequential
+    * packing would serialize 100 TB through one window). Within each
+    * shard, chunks are laid end to end in (doc_id, chunk_no) order and
+    * split every `budget` tokens: bin = floor(exclusive-prefix-sum /
+    * budget). */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"doc_id", $"chunk_no")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", size($"toks").as("n_toks"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 1, 24), s -> least(32, size(toks) - s))"))
+          .as(Seq("chunk_no", "n_chunk_tokens")))
+      .withColumn("shard", $"doc_id" % 32)
+      .withColumn("offset", coalesce(sum($"n_chunk_tokens").over(w), lit(0)).cast("long"))
+      .withColumn("bin", floor($"offset" / budget).cast("long"))
+      .select($"doc_id", $"chunk_no", $"shard", $"n_chunk_tokens".cast("long").as("n_chunk_tokens"),
+        $"offset", $"bin")
+      .orderBy($"doc_id", $"chunk_no")
+  }
+  private val q80Sql =
+    s"""WITH chunks AS (
+       |  SELECT doc_id, CAST(s // 24 AS INT) AS chunk_no,
+       |    CAST(least(32, len(toks) - s) AS BIGINT) AS n_chunk_tokens,
+       |    doc_id % 32 AS shard
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS s
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |    WHERE len(toks) > 0
+       |  )
+       |)
+       |SELECT doc_id, chunk_no, shard, n_chunk_tokens,
+       |  CAST(coalesce(sum(n_chunk_tokens) OVER (PARTITION BY shard
+       |    ORDER BY doc_id, chunk_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+       |  CAST(floor(coalesce(sum(n_chunk_tokens) OVER (PARTITION BY shard
+       |    ORDER BY doc_id, chunk_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+       |FROM chunks
+       |ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -407,6 +489,8 @@ object TextQueries extends QueryCatalog {
     "q68_tfidf_topterms" -> q68,
     "q69_hash_sample" -> q69,
     "q76_stratified_sample" -> q76,
+    "q79_pii_redact" -> q79,
+    "q80_sequence_packing" -> q80,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -423,5 +507,7 @@ object TextQueries extends QueryCatalog {
     "q68_tfidf_topterms" -> q68Sql,
     "q69_hash_sample" -> q69Sql,
     "q76_stratified_sample" -> q76Sql,
+    "q79_pii_redact" -> q79Sql,
+    "q80_sequence_packing" -> q80Sql,
   )
 }
