@@ -26,13 +26,23 @@ object ConnectedComponents {
 
   /** (id, comp) for every vertex: comp = min vertex id reachable in
     * the undirected graph given by `edges`. `maxIter` is a safety cap;
-    * the loop exits as soon as a round changes nothing. */
+    * the loop exits as soon as a round changes nothing.
+    *
+    * Each round MUST truncate lineage (`localCheckpoint`), not merely
+    * cache: the round's plan references the previous labels twice
+    * (propagation + convergence check), so the logical plan doubles
+    * per round — by round 8 that is a 2⁸-node tree whose AQE explain
+    * strings alone OOM the driver. Checkpointing replaces the lineage
+    * with the materialized rows, keeping every round's plan constant
+    * size — the standard discipline for iterative DataFrame
+    * algorithms (on a cluster, `checkpoint()` to reliable storage
+    * additionally survives executor loss). */
   def components(vertices: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eBoth = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).persist()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -41,17 +51,13 @@ object ConnectedComponents {
       val next = labels.join(prop, col("id") === col("dst"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist()
+        .localCheckpoint() // eager: truncates lineage, caches the round
       changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      labels = next // previous rounds' checkpoint RDDs free on GC
       it += 1
     }
     eBoth.unpersist(blocking = false)
-    // the final labels stay cached (the caller's plan reads them);
-    // registering with ScratchCache hands release to the runner's
-    // post-query drain
-    graft.core.ScratchCache.persist(labels)
+    labels
   }
 }
