@@ -55,6 +55,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q63: the interval join is an equi-join on user_id, never a nested loop") {
+    assume(ready)
+    val p = plan("q63_stream_interval_join")
+    // the time bound must ride the user_id equi-join as a filter; a
+    // BroadcastNestedLoopJoin here means the equi-key was lost and the
+    // join is O(clicks x purchases) at scale
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q76: per-stratum top-N pre-limits map-side (WindowGroupLimit before the shuffle)") {
     assume(ready)
     val p = plan("q76_stratified_sample")
