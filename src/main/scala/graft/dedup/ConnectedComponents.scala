@@ -48,13 +48,15 @@ object ConnectedComponents {
     while (changed > 0 && it < maxIter) {
       val prop = eBoth.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
+      // the changed flag rides the checkpointed frame, so convergence
+      // is a filter-count on cached rows — no extra join per round
       val next = labels.join(prop, col("id") === col("dst"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .withColumn("newcomp", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
+        .select(col("id"), col("newcomp").as("comp"),
+          (col("newcomp") < col("comp")).as("changed"))
         .localCheckpoint() // eager: truncates lineage, caches the round
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next // previous rounds' checkpoint RDDs free on GC
+      changed = next.filter(col("changed")).count()
+      labels = next.drop("changed") // previous rounds' RDDs free on GC
       it += 1
     }
     eBoth.unpersist(blocking = false)
