@@ -12,11 +12,14 @@ import graft.core.ScratchCache
   * footer costs don't land on the alphabetically-first query.
   *
   * Methodology: each query runs SPARK_GRAFT_BENCH_RUNS times (default
-  * 3) and the reported per-query number is the MEDIAN; "queries_max"
-  * carries the worst run. Single-shot timings at sf0.1 under a busy
-  * host swing up to 13× (measured: a 1.3 s query reported at 14.1 s),
-  * so one-run numbers routinely fake regressions — the median of three
-  * is stable to ~1.5× of an isolated run. Scratch caches registered by
+  * 3, floored at 1) and the reported per-query number is the LOWER
+  * MEDIAN (for even run counts this picks the faster middle run —
+  * never the max, which would hand a busy-host spike straight back to
+  * the report); "queries_max" carries the worst run. Single-shot
+  * timings at sf0.1 under a busy host swing up to 13× (measured: a
+  * 1.3 s query reported at 14.1 s), so one-run numbers routinely fake
+  * regressions — the median of three is stable to ~1.5× of an
+  * isolated run. Scratch caches registered by
   * catalog queries are drained after every run so no storage leaks
   * across the catalog and every run rebuilds its own cache (uniform
   * work per run).
@@ -26,7 +29,7 @@ object Bench {
     val only = args.toSet // optional query-name subset (local dev)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,7 +57,7 @@ object Bench {
       }
       val ok = times.forall(_._2)
       val sorted = times.map(_._1).sorted
-      (name, sorted(sorted.size / 2), sorted.last, ok)
+      (name, sorted((sorted.size - 1) / 2), sorted.last, ok)
     }
     // A failing query must not silently lower the total: it is reported
     // as -1 in the per-query map and listed in "failed".

@@ -13,6 +13,13 @@ import org.apache.spark.sql.DataFrame
   * [[drain]] once the action completes. At 100 TB the same discipline
   * applies: a pipeline that leaks its checkpoint cache re-reads it from
   * disk after eviction.
+  *
+  * The registry is process-global and assumes ONE runner executes
+  * catalog queries at a time (true for Bench/Verify/Explain and the
+  * sequential test suites, which drain via SparkTestBase.afterAll): a
+  * concurrent runner calling drain() would unpersist frames another
+  * query is still reading — harmless for correctness (Spark
+  * recomputes) but it forfeits that query's cache.
   */
 object ScratchCache {
 

@@ -42,24 +42,30 @@ object ConnectedComponents {
                  maxIter: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eBoth = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))).persist()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val prop = eBoth.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
-      // the changed flag rides the checkpointed frame, so convergence
-      // is a filter-count on cached rows — no extra join per round
-      val next = labels.join(prop, col("id") === col("dst"), "left")
-        .withColumn("newcomp", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
-        .select(col("id"), col("newcomp").as("comp"),
-          (col("newcomp") < col("comp")).as("changed"))
-        .localCheckpoint() // eager: truncates lineage, caches the round
-      changed = next.filter(col("changed")).count()
-      labels = next.drop("changed") // previous rounds' RDDs free on GC
-      it += 1
-    }
-    eBoth.unpersist(blocking = false)
-    labels
+    try {
+      var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val prop = eBoth.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
+        // the changed flag rides the checkpointed frame, so convergence
+        // is a filter-count on cached rows — no extra join per round
+        val next = labels.join(prop, col("id") === col("dst"), "left")
+          .withColumn("newcomp", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
+          .select(col("id"), col("newcomp").as("comp"),
+            (col("newcomp") < col("comp")).as("changed"))
+          .localCheckpoint() // eager: truncates lineage, caches the round
+        changed = next.filter(col("changed")).count()
+        labels = next.drop("changed") // previous rounds' RDDs free on GC
+        it += 1
+      }
+      // silently returning partial labels would hand a dedup pipeline
+      // multiple "canonical" ids for one true component — fail loudly
+      if (changed > 0) throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter for graphs of larger diameter")
+      labels
+    } finally eBoth.unpersist(blocking = false)
   }
 }

@@ -56,6 +56,34 @@ object SimilarityQueries extends QueryCatalog {
       .select($"vec_id", $"label", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
   }
+
+  /** Corpus exploded across `tables` independent LSH tables: one row
+    * per (vector, table) with that table's bucket. Built as a UNION of
+    * per-table branches, not one projection computing every bucket
+    * expression — a single 4×384-term projection overflows codegen
+    * method limits and ran 10×+ slower even warm (measured 6–11 s vs
+    * 0.6 s at sf0.001). Shared by q74 and the recall helpers so the
+    * catalog entry and the measurement that certifies it are the same
+    * algorithm by construction. */
+  private[sim] def tableBuckets(s: SparkSession, dir: String, tables: Int): DataFrame =
+    (0 until tables).map { t =>
+      withVec(s, dir).select(col("vec_id"), col("label"), col("v"),
+        lit(t).as("tbl"), expr(bucketExpr("v", t)).cast("int").as("bucket"))
+    }.reduce(_ unionAll _)
+
+  /** Every (vector, centroid) cosine ranked per vector: rn = 1 is the
+    * IVF cell assignment (index build); rn ≤ nProbe on the query side
+    * is the probe set. Shared by q54/q78 and the recall helpers.
+    * Callers must have registered cosine_similarity. */
+  private[sim] def ivfRanked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withVec(s, dir)
+    val cents = e.filter(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("cs", expr("cosine_similarity(v, cv)"))
+      .withColumn("rn", row_number().over(w))
+  }
   private val withVecSql =
     """SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm
       |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)""".stripMargin
@@ -195,14 +223,7 @@ object SimilarityQueries extends QueryCatalog {
   private def q54(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val e = withVec(s, dir)
-    val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cent_id"), $"v".as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"cs".desc, $"cent_id")
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cs", expr("cosine_similarity(v, cv)"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
+    val assigned = ivfRanked(s, dir).filter($"rn" === 1)
       .select($"vec_id", $"label", $"v", $"cent_id".as("cell"))
     val q = assigned.filter($"vec_id" === 0).select($"v".as("qv"), $"cell".as("qcell"))
     assigned.filter($"vec_id" =!= 0)
@@ -243,13 +264,7 @@ object SimilarityQueries extends QueryCatalog {
   private def q78(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val e = withVec(s, dir)
-    val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cent_id"), $"v".as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"cs".desc, $"cent_id")
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("cs", expr("cosine_similarity(v, cv)"))
-      .withColumn("rn", row_number().over(w))
+    val ranked = ivfRanked(s, dir)
     val assigned = ranked.filter($"rn" === 1)
       .select($"vec_id", $"label", $"v", $"cent_id".as("cell"))
     val q = ranked.filter($"vec_id" === 0 && $"rn" <= 4)
@@ -296,16 +311,7 @@ object SimilarityQueries extends QueryCatalog {
   private def q74(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    // One branch per table (union), NOT one projection computing all 4
-    // bucket expressions: a single 4×384-term projection blows past the
-    // codegen method-size limits and executes 10×+ slower (measured
-    // 6–11 s vs 0.6 s at sf0.001); per-branch expressions stay inside
-    // whole-stage codegen. The union re-scans the corpus per table —
-    // the same L× index-build cost multi-table LSH pays by definition.
-    val e = (0 until TABLES).map { t =>
-      withVec(s, dir).select($"vec_id", $"label", $"v",
-        lit(t).as("tbl"), expr(bucketExpr("v", t)).cast("int").as("bucket"))
-    }.reduce(_ unionAll _)
+    val e = tableBuckets(s, dir, TABLES)
     val probes = e.filter($"vec_id" === 0)
       .select($"tbl".as("qtbl"), $"v".as("qv"),
         explode(array($"bucket" +: (0 until PLANES).map(p =>
@@ -404,12 +410,7 @@ object SimilarityQueries extends QueryCatalog {
   def lshTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
               multiProbe: Boolean, tables: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // union of per-table branches, not one giant multi-bucket
-    // projection — see q74's codegen-size note
-    val e = (0 until tables).map { t =>
-      withVec(s, dir).select(col("vec_id"), col("v"),
-        lit(t).as("tbl"), expr(bucketExpr("v", t)).cast("int").as("bucket"))
-    }.reduce(_ unionAll _)
+    val e = tableBuckets(s, dir, tables)
     val probeCols = (b: Column) =>
       if (multiProbe) b +: (0 until PLANES).map(p => b.bitwiseXOR(lit(1 << p)).cast("int"))
       else Seq(b)
@@ -431,14 +432,8 @@ object SimilarityQueries extends QueryCatalog {
     * LSH's probe count — measured in AnnRecallSpec. */
   def ivfTopK(s: SparkSession, dir: String, nQueries: Int, k: Int,
               nProbe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val e = withVec(s, dir)
-    val cents = e.filter(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
-    val ranked = e.crossJoin(broadcast(cents))
-      .withColumn("cs", expr("cosine_similarity(v, cv)"))
-      .withColumn("rn", row_number().over(w))
+    val ranked = ivfRanked(s, dir)
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val qs = ranked.filter(col("vec_id") < nQueries && col("rn") <= nProbe)

@@ -128,19 +128,30 @@ object EventStreams {
   def thresholdAlertsStream(events: DataFrame, step: Long = 100L): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(step > 0, "step must be positive")
     val stepBd = new java.math.BigDecimal(step)
     events
       .select(col("user_id").cast("long"), col("value").cast("decimal(18,6)"))
       .as[(Long, java.math.BigDecimal)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state = (running total, HIGH-WATER mark). Alerts fire on
+        // high-water crossings only, so negative values can never
+        // re-emit an already-fired multiple (the sum dips and climbs
+        // back) or emit bogus zero/negative multiples. For all-
+        // non-negative streams high-water == total and the batch twin
+        // q77's plain-sum oracle is exact. divide(_, 0, FLOOR) is the
+        // explicit-scale form: plain divide() throws on any step whose
+        // reciprocal is non-terminating (3, 7, 30...).
         (user: Long, batch: Iterator[(Long, java.math.BigDecimal)],
-         state: GroupState[java.math.BigDecimal]) =>
-          val prev = state.getOption.getOrElse(java.math.BigDecimal.ZERO)
-          val total = batch.foldLeft(prev)((acc, r) => acc.add(r._2))
-          state.update(total)
-          val from = prev.divide(stepBd).setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
-          val to = total.divide(stepBd).setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+         state: GroupState[(java.math.BigDecimal, java.math.BigDecimal)]) =>
+          val (prevTotal, prevHw) = state.getOption
+            .getOrElse((java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO))
+          val total = batch.foldLeft(prevTotal)((acc, r) => acc.add(r._2))
+          val hw = if (total.compareTo(prevHw) > 0) total else prevHw
+          state.update((total, hw))
+          val from = prevHw.divide(stepBd, 0, java.math.RoundingMode.FLOOR).longValueExact()
+          val to = hw.divide(stepBd, 0, java.math.RoundingMode.FLOOR).longValueExact()
           ((from + 1) to to).iterator.map(m => (user, m))
       }
   }

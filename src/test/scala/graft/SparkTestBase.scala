@@ -15,11 +15,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * observe recovery, mirroring the reference's kill-a-worker demo
   * (README.md:173-186). Plain `local[4]` pins maxFailures to 1.
   */
-trait SparkTestBase extends AnyFunSuite {
+trait SparkTestBase extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   // lazy val (not def): `import spark.implicits._` needs a stable
   // identifier. Per-suite-instance, so a suite that ran after a
   // context teardown re-resolves through getOrCreate.
   lazy val spark: SparkSession = SparkTestBase.session
+
+  // suites that build catalog queries (plan-shape, recall, contract)
+  // register scratch caches the way Bench/Verify do — release them so
+  // they don't pile up across the shared session's lifetime
+  override protected def afterAll(): Unit = {
+    graft.core.ScratchCache.drain()
+    super.afterAll()
+  }
 }
 
 object SparkTestBase {

@@ -32,4 +32,15 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val comp = run(Seq(10L, 20L), Seq.empty)
     assert(comp == Map(10L -> 10L, 20L -> 20L))
   }
+
+  test("exhausting maxIter before the fixpoint fails loudly, never returns partial labels") {
+    import spark.implicits._
+    val v = (1L to 9L).toDF("doc_id")
+    val e = (2L to 9L).map(i => i -> (i - 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.components(v, "doc_id", e, "doc_a", "doc_b", maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    graft.core.ScratchCache.drain()
+  }
 }

@@ -140,6 +140,14 @@ class StreamingSpec extends SparkTestBase {
       input.addData((1L, 50.0)) // 360: no new multiple, nothing re-emitted
       q.processAllAvailable()
       assert(spark.table("alerts_test").count() == 4)
+      // negative values: sum dips to 60 then climbs back to 340 — still
+      // below the 360 high-water mark, so no multiple fires twice
+      input.addData((1L, -300.0))
+      q.processAllAvailable()
+      input.addData((1L, 280.0))
+      q.processAllAvailable()
+      assert(spark.table("alerts_test").count() == 4,
+        "re-crossing below the high-water mark must not re-emit alerts")
     } finally q.stop()
   }
 
