@@ -475,6 +475,43 @@ object TextQueries extends QueryCatalog {
        |FROM chunks
        |ORDER BY doc_id, chunk_no""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Mixture (weighted) sampling — the data-recipe step: downweight the
+    * dominant language, keep the rare ones whole (en 25%, de/fr/es 50%,
+    * zh 100%). Deterministic per doc: the first byte of
+    * md5("mix|"||doc_id) is compared against the stratum's threshold
+    * out of 256, so the same mixture reproduces at any scale and
+    * partitioning (rand() cannot). The hex→int parse uses the same
+    * instr() idiom both engines share bit-for-bit. Linear scan, no
+    * shuffle until the output sort. */
+  private val mixHashExpr =
+    "(instr('0123456789abcdef', substr(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16 + " +
+      "(instr('0123456789abcdef', substr(md5(concat('mix|', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("hv", expr(mixHashExpr).cast("long"))
+      .withColumn("thr",
+        when($"lang" === "en", 64L)
+          .when($"lang".isin("de", "fr", "es"), 128L)
+          .otherwise(256L))
+      .filter($"hv" < $"thr")
+      .select($"doc_id", $"lang", $"source", $"hv")
+      .orderBy($"doc_id")
+  }
+  private val q83Sql =
+    s"""SELECT doc_id, lang, source, hv
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |    CAST($mixHashExpr AS BIGINT) AS hv,
+       |    CASE WHEN lang = 'en' THEN 64
+       |         WHEN lang IN ('de', 'fr', 'es') THEN 128
+       |         ELSE 256 END AS thr
+       |  FROM documents
+       |)
+       |WHERE hv < thr
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -491,6 +528,7 @@ object TextQueries extends QueryCatalog {
     "q76_stratified_sample" -> q76,
     "q79_pii_redact" -> q79,
     "q80_sequence_packing" -> q80,
+    "q83_mixture_sample" -> q83,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -509,5 +547,6 @@ object TextQueries extends QueryCatalog {
     "q76_stratified_sample" -> q76Sql,
     "q79_pii_redact" -> q79Sql,
     "q80_sequence_packing" -> q80Sql,
+    "q83_mixture_sample" -> q83Sql,
   )
 }
