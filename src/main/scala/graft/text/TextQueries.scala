@@ -429,50 +429,80 @@ object TextQueries extends QueryCatalog {
   // ---------------------------------------------------------------- q80
   /** Sequence packing (concat-and-split): the op that turns variable-
     * length chunks into fixed-token training sequences. Chunks are
-    * sharded by hash (shard count scales with data — within a shard
-    * the packing is a prefix sum, across shards it's embarrassingly
-    * parallel: the layout real pipelines use, since global sequential
-    * packing would serialize 100 TB through one window). Within each
-    * shard, chunks are laid end to end in (doc_id, chunk_no) order and
-    * split every `budget` tokens: bin = floor(exclusive-prefix-sum /
-    * budget). */
-  private def q80(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    * sharded by doc_id; within a shard the packing is a prefix sum
+    * (one window), across shards it's embarrassingly parallel — the
+    * layout real pipelines use, since global sequential packing would
+    * serialize 100 TB through one window.
+    *
+    * The shard count is DERIVED FROM CORPUS SIZE: n_shards =
+    * ceil(total_chunk_tokens / [[TargetShardTokens]]), computed by a
+    * one-row aggregate (broadcast in Spark, scalar CTE in DuckDB). A
+    * fixed constant would pin per-shard width to corpus/K — at 100 TB
+    * each of K windows serializes corpus/K tokens; deriving K from the
+    * total keeps per-shard work ≈ TargetShardTokens no matter how the
+    * corpus grows (doubling the corpus doubles the shards, pinned by
+    * ShardScalingSpec). Within each shard, chunks are laid end to end
+    * in (doc_id, chunk_no) order and split every `budget` tokens:
+    * bin = floor(exclusive-prefix-sum / budget). */
+
+  /** Per-shard token target. At 100 TB tune this to the token volume
+    * one task should sort/prefix-sum (tens of millions); here it is
+    * small enough that even sf0.01 exercises the multi-shard path. */
+  private[text] val TargetShardTokens = 8192L
+
+  /** q80's body over an arbitrary documents-shaped frame, with the
+    * shard-width target exposed for ShardScalingSpec. */
+  private[text] def packChunksOf(docs: DataFrame,
+                                 targetShardTokens: Long = TargetShardTokens): DataFrame = {
     val budget = 2048
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"doc_id", $"chunk_no")
+      .partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_no"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .select($"doc_id", expr(toksExpr).as("toks"))
-      .filter(size($"toks") > 0)
-      .select($"doc_id", size($"toks").as("n_toks"),
+    val chunks = graft.core.ScratchCache.persist(docs
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, size(toks) - 1, 24), s -> least(32, size(toks) - s))"))
-          .as(Seq("chunk_no", "n_chunk_tokens")))
-      .withColumn("shard", $"doc_id" % 32)
-      .withColumn("offset", coalesce(sum($"n_chunk_tokens").over(w), lit(0)).cast("long"))
-      .withColumn("bin", floor($"offset" / budget).cast("long"))
-      .select($"doc_id", $"chunk_no", $"shard", $"n_chunk_tokens".cast("long").as("n_chunk_tokens"),
-        $"offset", $"bin")
-      .orderBy($"doc_id", $"chunk_no")
+          .as(Seq("chunk_no", "n_chunk_tokens"))))
+    val shardCount = chunks
+      .agg(greatest(lit(1L),
+        ceil(sum(col("n_chunk_tokens")).cast("double") / lit(targetShardTokens.toDouble)))
+        .as("n_shards"))
+    chunks.crossJoin(broadcast(shardCount))
+      .withColumn("shard", col("doc_id") % col("n_shards"))
+      .withColumn("offset", coalesce(sum(col("n_chunk_tokens")).over(w), lit(0)).cast("long"))
+      .withColumn("bin", floor(col("offset") / budget).cast("long"))
+      .select(col("doc_id"), col("chunk_no"), col("shard"),
+        col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        col("offset"), col("bin"))
+  }
+
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    packChunksOf(Tables.documents(s, dir)).orderBy($"doc_id", $"chunk_no")
   }
   private val q80Sql =
     s"""WITH chunks AS (
        |  SELECT doc_id, CAST(s // 24 AS INT) AS chunk_no,
-       |    CAST(least(32, len(toks) - s) AS BIGINT) AS n_chunk_tokens,
-       |    doc_id % 32 AS shard
+       |    CAST(least(32, len(toks) - s) AS BIGINT) AS n_chunk_tokens
        |  FROM (
        |    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS s
        |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |    WHERE len(toks) > 0
        |  )
-       |)
+       |),
+       |tot AS (
+       |  SELECT greatest(1, CAST(ceil(sum(n_chunk_tokens) / $TargetShardTokens.0) AS BIGINT)) AS n_shards
+       |  FROM chunks
+       |),
+       |sharded AS (SELECT c.*, c.doc_id % t.n_shards AS shard FROM chunks c, tot t)
        |SELECT doc_id, chunk_no, shard, n_chunk_tokens,
        |  CAST(coalesce(sum(n_chunk_tokens) OVER (PARTITION BY shard
        |    ORDER BY doc_id, chunk_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
        |  CAST(floor(coalesce(sum(n_chunk_tokens) OVER (PARTITION BY shard
        |    ORDER BY doc_id, chunk_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
-       |FROM chunks
+       |FROM sharded
        |ORDER BY doc_id, chunk_no""".stripMargin
 
   // ---------------------------------------------------------------- q83
