@@ -47,6 +47,24 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    /** Replica key ranges overlap silently if any source key reaches
+      * the per-replica offset — that would corrupt join fan-outs in
+      * every derived bench number, so check the actual data, not the
+      * assumption (one cheap max() per key column). */
+    def assertKeysBelowOffset(t: DataFrame, table: String): Unit = {
+      val present = t.columns.filter(keyCols)
+      if (present.nonEmpty) {
+        val maxes = t.agg(max(col(present.head).cast("long")),
+            present.tail.toSeq.map(c => max(col(c).cast("long"))): _*)
+          .head()
+        present.zipWithIndex.foreach { case (c, idx) =>
+          val m = maxes.getLong(idx)
+          require(m < Offset,
+            s"$table.$c max $m >= replica offset $Offset; raise Offset or shrink the source")
+        }
+      }
+    }
+
     def replicate(t: DataFrame, i: Int, table: String): DataFrame = {
       val keyed = t.columns.foldLeft(t) { (df, c) =>
         if (keyCols(c)) df.withColumn(c, col(c) + lit(i * Offset)) else df
@@ -63,6 +81,7 @@ object ScaleUp {
     Seq("customer", "supplier", "part", "orders", "lineitem",
       "events", "documents", "embeddings").foreach { t =>
       val base = spark.read.parquet(s"$src/$t.parquet")
+      assertKeysBelowOffset(base, t)
       val out = (0 until factor).map(i => replicate(base, i, t)).reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t: x$factor -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")

@@ -29,16 +29,18 @@ private[apps] object AppRunner {
     // reuse an already-running session (tests, notebooks); only own —
     // and therefore stop — a session this runner itself created. On
     // the reuse path getOrCreate MUTATES the existing session's
-    // runtime conf with the builder configs, so the shuffle width is
-    // saved first and restored after the job — a shared session must
-    // not come back from a config-file-driven app with its parallelism
+    // runtime conf with EVERY builder config it can apply, so each
+    // key the builder sets is saved first (value or absence) and
+    // restored after the job — a shared session must not come back
+    // from a config-file-driven app with its parallelism or UI conf
     // silently changed (the N_WORKER output-file contract is enforced
     // by TextKVSink's explicit repartition, not by this conf).
+    val builderConfs = Seq("spark.sql.shuffle.partitions", "spark.ui.enabled")
     val existing = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .filter(s => !s.sparkContext.isStopped)
     val preexisting = existing.isDefined
-    val savedShuffle = existing.map(_.conf.get("spark.sql.shuffle.partitions", "200"))
+    val saved = existing.map(s => builderConfs.map(k => k -> s.conf.getOption(k)))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[${cfg.nWorker}]"))
       .config("spark.sql.shuffle.partitions", cfg.nWorker)
@@ -52,7 +54,12 @@ private[apps] object AppRunner {
     } catch {
       case e: Throwable => System.err.println(s"job failed: ${e.getMessage}"); -2
     } finally {
-      savedShuffle.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+      saved.foreach(_.foreach { case (k, v) =>
+        // non-modifiable keys (static conf getOrCreate couldn't apply
+        // either) throw on set/unset — nothing was mutated, skip them
+        try v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      })
       if (!preexisting) spark.stop()
     }
   }

@@ -258,7 +258,7 @@ object SimilarityQueries extends QueryCatalog {
     * vector in its single nearest cell — the index build), but the
     * query searches its 4 nearest cells. IVF's recall knob (q54 is the
     * 1-probe operating point): measured recall@10 on the sf0.01
-    * fixture rises 0.68 → ≥0.68 at 4/16 of the corpus scanned
+    * fixture rises 0.68 → 0.81 at 4/16 of the corpus scanned
     * (AnnRecallSpec prints the numbers). Same scale shape as q54 —
     * broadcast centroids + one cell-keyed equi-join. */
   private def q78(s: SparkSession, dir: String): DataFrame = {

@@ -122,9 +122,16 @@ object EventStreams {
     * cumulative sum crosses — several in one batch, none in most.
     * State is one decimal per user. The accumulator is an EXACT
     * decimal(18,6) sum (Spark's own cast, summed with BigDecimal.add),
-    * so results are independent of batch/partition order and the SAME
-    * function run on a batch frame (Spark treats it as one batch with
-    * empty initial state) is DuckDB-checkable — q77. */
+    * so for NON-NEGATIVE value streams results are independent of
+    * batch/partition order and the SAME function run on a batch frame
+    * (Spark treats it as one batch with empty initial state) is
+    * DuckDB-checkable — q77. With negative values, crossings are
+    * evaluated at BATCH granularity: the high-water mark advances on
+    * end-of-batch totals, so an intra-batch peak (+250 then −200 inside
+    * one batch) fires no alert, while the same rows split across
+    * batches fire m=1,2 — order-independence is NOT claimed there.
+    * Null `value` rows are dropped (a null contributes nothing to a
+    * cumulative sum, and acc.add(null) would NPE the state fn). */
   def thresholdAlertsStream(events: DataFrame, step: Long = 100L): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -132,6 +139,7 @@ object EventStreams {
     val stepBd = new java.math.BigDecimal(step)
     events
       .select(col("user_id").cast("long"), col("value").cast("decimal(18,6)"))
+      .filter(col("value").isNotNull)
       .as[(Long, java.math.BigDecimal)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
