@@ -11,18 +11,29 @@ import graft.core.ScratchCache
   * queries). A warmup query runs first, untimed, so JVM/codegen/parquet
   * footer costs don't land on the alphabetically-first query.
   *
-  * Methodology: each query runs SPARK_GRAFT_BENCH_RUNS times (default
-  * 3, floored at 1) and the reported per-query number is the LOWER
-  * MEDIAN (for even run counts this picks the faster middle run —
-  * never the max, which would hand a busy-host spike straight back to
-  * the report); "queries_max" carries the worst run. Single-shot
-  * timings at sf0.1 under a busy host swing up to 13× (measured: a
-  * 1.3 s query reported at 14.1 s), so one-run numbers routinely fake
-  * regressions — the median of three is stable to ~1.5× of an
-  * isolated run. Scratch caches registered by
-  * catalog queries are drained after every run so no storage leaks
-  * across the catalog and every run rebuilds its own cache (uniform
-  * work per run).
+  * Methodology — two defenses against the host-contention mode that
+  * produced 10–14× phantom spikes in full-catalog runs (measured:
+  * 2.67 s isolated vs 26.8 s in-catalog for the same query):
+  *
+  *  1. INTERLEAVED SWEEPS: with SPARK_GRAFT_BENCH_RUNS = R (default 3,
+  *     floored at 1), the WHOLE catalog is swept R times round-robin
+  *     rather than running each query R times back-to-back. A
+  *     transient contention window (GC storm, page-cache churn, a
+  *     co-tenant burst) then lands on DIFFERENT queries in each sweep
+  *     instead of poisoning all R samples of one query, so the
+  *     per-query LOWER MEDIAN across sweeps discards it.
+  *  2. AUTOMATIC ISOLATED RE-TIME: any query whose median still
+  *     exceeds 3× its own best sweep (the query demonstrably CAN run
+  *     that fast) is re-timed once, alone, after the sweeps with
+  *     caches drained — the isolated number is what regressions must
+  *     be judged against. The reported per-query value is
+  *     min(median, re-time); the raw re-times are emitted under
+  *     "queries_retimed" and the worst sweep under "queries_max", so
+  *     both the contended and isolated views stay visible.
+  *
+  * Scratch caches registered by catalog queries are drained after
+  * every run so no storage leaks across the catalog and every run
+  * rebuilds its own cache (uniform work per run).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,29 +56,50 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       finally ScratchCache.drain()
 
+    def timeOne(name: String): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = runNoop(name)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
     // warmup (untimed): touches the fact table + one agg + one join path
     runNoop("q01_pricing_summary")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.isEmpty || only(n)).map { name =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = runNoop(name)
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val ok = times.forall(_._2)
-      val sorted = times.map(_._1).sorted
-      (name, sorted((sorted.size - 1) / 2), sorted.last, ok)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+
+    // R interleaved catalog sweeps (see scaladoc point 1)
+    val samples = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
+    for (_ <- 1 to runs; name <- names)
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ timeOne(name)
+
+    val prelim = names.map { name =>
+      val ts = samples(name)
+      val ok = ts.forall(_._2)
+      val sorted = ts.map(_._1).sorted
+      (name, sorted((sorted.size - 1) / 2), sorted.head, sorted.last, ok)
     }
+
+    // isolated re-time of contention suspects (see scaladoc point 2)
+    val retimed: Map[String, Double] = prelim.collect {
+      case (name, med, best, _, true) if runs > 1 && med > 3 * best =>
+        System.gc()
+        name -> timeOne(name)._1
+    }.toMap
+
     // A failing query must not silently lower the total: it is reported
     // as -1 in the per-query map and listed in "failed".
-    val qs = results
-      .map { case (k, med, _, ok) => "\"" + k + "\":" + (if (ok) med else -1) }.mkString("{", ",", "}")
-    val qsMax = results
-      .map { case (k, _, mx, ok) => "\"" + k + "\":" + (if (ok) mx else -1) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, med, _, true) => med }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_max":$qsMax,"failed":$failed,"sf":"$sfDir"}""")
+    def value(name: String, med: Double, ok: Boolean): Double =
+      if (!ok) -1 else retimed.get(name).fold(med)(math.min(med, _))
+    val qs = prelim
+      .map { case (k, med, _, _, ok) => "\"" + k + "\":" + value(k, med, ok) }.mkString("{", ",", "}")
+    val qsMax = prelim
+      .map { case (k, _, _, mx, ok) => "\"" + k + "\":" + (if (ok) mx else -1) }.mkString("{", ",", "}")
+    val qsRe = retimed.toSeq.sortBy(_._1)
+      .map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+    val failed = prelim.collect { case (k, _, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = prelim.collect { case (k, med, _, _, true) => value(k, med, ok = true) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_max":$qsMax,"queries_retimed":$qsRe,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
