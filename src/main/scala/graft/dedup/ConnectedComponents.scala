@@ -28,22 +28,37 @@ object ConnectedComponents {
     * the undirected graph given by `edges`. `maxIter` is a safety cap;
     * the loop exits as soon as a round changes nothing.
     *
-    * Each round MUST truncate lineage (`localCheckpoint`), not merely
-    * cache: the round's plan references the previous labels twice
-    * (propagation + convergence check), so the logical plan doubles
-    * per round — by round 8 that is a 2⁸-node tree whose AQE explain
-    * strings alone OOM the driver. Checkpointing replaces the lineage
-    * with the materialized rows, keeping every round's plan constant
-    * size — the standard discipline for iterative DataFrame
-    * algorithms (on a cluster, `checkpoint()` to reliable storage
-    * additionally survives executor loss). */
+    * Each round MUST truncate lineage, not merely cache: the round's
+    * plan references the previous labels twice (propagation +
+    * convergence check), so the logical plan doubles per round — by
+    * round 8 that is a 2⁸-node tree whose AQE explain strings alone
+    * OOM the driver. Checkpointing replaces the lineage with the
+    * materialized rows, keeping every round's plan constant size —
+    * the standard discipline for iterative DataFrame algorithms.
+    *
+    * `checkpointDir` picks the truncation mechanism:
+    *  - None (default): `localCheckpoint` — blocks live on executors.
+    *    Right for local mode and dev loops (no filesystem round-trip),
+    *    but an executor loss mid-iteration kills the job because the
+    *    checkpointed blocks have no lineage to recompute from.
+    *  - Some(dir): reliable `checkpoint()` to `dir` (HDFS/object
+    *    store on a cluster) — each round's labels are persisted to
+    *    storage that survives executor loss, the production-grade
+    *    variant for long-running 100 TB dedup jobs. Costs one
+    *    write+read of O(|V|) rows per round. */
   def components(vertices: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
-                 maxIter: Int = 50): DataFrame = {
+                 maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    // both variants are EAGER: the round must materialize before its
+    // changed-count is read, and lineage must be cut before the next
+    // round's plan is built on top
+    val truncate: DataFrame => DataFrame =
+      if (checkpointDir.isDefined) _.checkpoint() else _.localCheckpoint()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val eBoth = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))).persist()
     try {
-      var labels = vertices.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+      var labels = truncate(vertices.select(col(idCol).as("id"), col(idCol).as("comp")))
       var changed = 1L
       var it = 0
       while (changed > 0 && it < maxIter) {
@@ -51,11 +66,10 @@ object ConnectedComponents {
           .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
         // the changed flag rides the checkpointed frame, so convergence
         // is a filter-count on cached rows — no extra join per round
-        val next = labels.join(prop, col("id") === col("dst"), "left")
+        val next = truncate(labels.join(prop, col("id") === col("dst"), "left")
           .withColumn("newcomp", least(col("comp"), coalesce(col("ncomp"), col("comp"))))
           .select(col("id"), col("newcomp").as("comp"),
-            (col("newcomp") < col("comp")).as("changed"))
-          .localCheckpoint() // eager: truncates lineage, caches the round
+            (col("newcomp") < col("comp")).as("changed")))
         changed = next.filter(col("changed")).count()
         labels = next.drop("changed") // previous rounds' RDDs free on GC
         it += 1

@@ -43,27 +43,40 @@ object SimHash64 {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** BANDED near-dup pairs with Hamming distance ≤ `maxHamming` —
-    * recall-bounded, not exhaustive: 4 bands of 16 bits each, any
-    * shared band makes a candidate, then the exact bit_count filter.
-    * By pigeonhole every pair with distance ≤ 3 (bands − 1) is
-    * GUARANTEED a candidate; pairs at distance 4..maxHamming are found
-    * only when some 16-bit band happens to match (the standard banded
-    * S-curve). Callers needing full recall at a higher threshold must
-    * raise the band count, not just `maxHamming`. Equi-join on
+  /** BANDED near-dup pairs with Hamming distance ≤ `maxHamming`:
+    * the 64-bit signature is cut into `bands` equal bands, any shared
+    * band makes a candidate, then the exact bit_count filter. By
+    * pigeonhole every pair with distance ≤ bands − 1 is GUARANTEED a
+    * candidate (fewer differing bits than bands ⇒ some band is
+    * untouched); pairs between `bands` and `maxHamming` are found only
+    * when a band happens to match (the standard banded S-curve), so
+    * the full-recall contract is `maxHamming ≤ bands − 1` — enforced
+    * here rather than documented away: callers wanting a higher
+    * guaranteed threshold raise the band count (8 bands of 8 bits ⇒
+    * complete through distance 7, SimHash64Spec pins it against a
+    * brute-force oracle). More bands cost a proportionally larger
+    * band exchange and more chance collisions per band (8-bit bands
+    * collide at ~1/256) — the usual recall/cost dial. Equi-join on
     * (band_no, band_val) with the [[Banding]] skew cap: the 100 TB
     * shape — a template-spam cluster of n identical signatures would
     * otherwise fan out n²/2 pairs on one hot band key. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the banded recall guarantee of bands-1=${bands - 1}; " +
+        "raise `bands` instead of silently under-recalling")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = signatures(docs, idCol, textCol)
-    val bands = Banding.capBuckets(
+    val banded = Banding.capBuckets(
       sigs.select(col(idCol).as("id"), col("simhash64"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash64"), 16 * b).bitwiseAND(lit(0xffffL))): _*))
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash64"), width * b).bitwiseAND(lit(mask))): _*))
           .as(Seq("band_no", "band_val"))), "band_val")
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val a = banded.as("a")
+    val b = banded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_val") === col("b.band_val") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -42,7 +42,7 @@ class BandCapSpec extends SparkTestBase {
   }
 
   test("production SimHash64.nearDupPairs applies the same cap") {
-    val pairs = SimHash64.nearDupPairs(docs, "doc_id", "text", maxHamming = 12)
+    val pairs = SimHash64.nearDupPairs(docs, "doc_id", "text", maxHamming = 7, bands = 8)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     check(pairs, "SimHash64")

@@ -33,6 +33,25 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(comp == Map(10L -> 10L, 20L -> 20L))
   }
 
+  test("reliable checkpoint path (checkpointDir) computes identical components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      val v = (1L to 9L).toDF("doc_id")
+      val e = (2L to 9L).map(i => i -> (i - 1)).toDF("doc_a", "doc_b")
+      val comp = ConnectedComponents.components(v, "doc_id", e, "doc_a", "doc_b",
+          checkpointDir = Some(dir.toString))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp.values.toSet == Set(1L), comp.toString)
+      // the reliable path actually wrote round state to the dir
+      val wrote = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint must persist round state to the checkpoint dir")
+      graft.core.ScratchCache.drain()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("exhausting maxIter before the fixpoint fails loudly, never returns partial labels") {
     import spark.implicits._
     val v = (1L to 9L).toDF("doc_id")

@@ -47,6 +47,41 @@ class SimHash64Spec extends SparkTestBase {
     assert(dist(sigs(1L), sigs(2L)) <= 16) // one token of 40 changed
   }
 
+  test("8-band pigeonhole guarantee: banded pairs at maxHamming=7 EQUAL the brute-force pair set") {
+    // a corpus dense in near-duplicates: 30 variants of one base doc,
+    // each with a few tokens swapped, plus unrelated noise docs —
+    // signature Hamming distances spread across 0..~30
+    val base = (1 to 50).map(i => s"w$i")
+    val d = docs(
+      (1L to 30L).map(i =>
+        i -> base.zipWithIndex.map { case (t, j) =>
+          if (j % 30 < i - 1) s"v${i}_$j" else t
+        }.mkString(" ")) ++
+        (31L to 40L).map(i => i -> (1 to 50).map(j => s"n${i}_$j").mkString(" ")): _*)
+    val sigs = SimHash64.signatures(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "fixture must produce some pairs within distance 7")
+    val banded = SimHash64.nearDupPairs(d, "doc_id", "text", maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == expected,
+      s"missed=${expected -- banded} extra=${banded -- expected}")
+  }
+
+  test("parameter combinations that would silently under-recall are rejected") {
+    val d = docs(1L -> "a b c")
+    val ex = intercept[IllegalArgumentException] {
+      SimHash64.nearDupPairs(d, "doc_id", "text", maxHamming = 12, bands = 4)
+    }
+    assert(ex.getMessage.contains("maxHamming"))
+    intercept[IllegalArgumentException] {
+      SimHash64.nearDupPairs(d, "doc_id", "text", maxHamming = 2, bands = 5)
+    }
+  }
+
   test("nearDupPairs finds exact and near duplicates via band join, not all-pairs") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val d = docs(
@@ -54,7 +89,7 @@ class SimHash64Spec extends SparkTestBase {
       2L -> base,                                           // exact dup: dist 0
       3L -> base.replace("w30", "edited"),                  // near dup
       4L -> (1 to 60).map(i => s"z$i").mkString(" "))       // unrelated
-    val pairs = SimHash64.nearDupPairs(d, "doc_id", "text", maxHamming = 6)
+    val pairs = SimHash64.nearDupPairs(d, "doc_id", "text", maxHamming = 6, bands = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(pairs.exists { case (a, b, dist) => a == 1L && b == 2L && dist == 0 })
     assert(pairs.exists { case (a, b, _) => a == 1L && b == 3L } ||
