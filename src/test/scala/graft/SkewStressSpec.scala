@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Adversarial-skew stress suite: the 100 TB story of the dedup/ANN/
+  * text operators rests on caps and broadcasts; this spec runs the
+  * affected catalog queries against a fixture BUILT to break them
+  * ([[SkewUp]]: an over-cap identical-doc cluster, an over-cap
+  * template cluster, an under-cap cluster as the control, stopword-
+  * saturated docs, one dominant embedding label) and asserts the
+  * guards hold — structurally (pair counts, participants, plan
+  * shapes), not by hoping the runtime stays low.
+  *
+  * Fixture sizes are spec-scale (seconds); `SkewUp.main` writes the
+  * same distributions at sf0.1 scale for the bench numbers in
+  * BENCH_SKEW.md.
+  */
+class SkewStressSpec extends SparkTestBase {
+
+  private val src = "/root/testdata/sf0.01"
+  private def ready = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$src/documents.parquet"))
+
+  private val SpamN = 120  // identical docs, > MaxBandBucket=64: must cap out
+  private val TplN = 100   // near-identical template docs, > cap: must cap out
+  private val StopN = 50   // near-identical docs, < cap: the control — must still pair
+  private val DomN = 2000  // dominant-label vectors (~286 survive q45's %7 sample, > MaxLabelBlock=256)
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-skew-spec").toString
+    SkewUp.write(spark, src, d, SpamN, TplN, StopN, DomN)
+    d
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+  private def between(id: Column, lo: Long, hi: Long) = id >= lo && id < hi
+  private val (spamLo, spamHi) = (2000000L, 2000000L + SpamN)
+  private val (tplLo, tplHi) = (3000000L, 3000000L + TplN)
+  private val stopLo = 4000000L
+
+  test("q42/q44: over-cap clusters are excluded from band pairs; under-cap clusters still pair") {
+    assume(ready)
+    val pairs = run("q42_dedup_lsh_pairs").cache()
+    val spamSpam = pairs.filter(between(col("doc_a"), spamLo, spamHi) &&
+      between(col("doc_b"), spamLo, spamHi)).count()
+    val tplTpl = pairs.filter(between(col("doc_a"), tplLo, tplHi) &&
+      between(col("doc_b"), tplLo, tplHi)).count()
+    val stopStop = pairs.filter(col("doc_a") >= stopLo && col("doc_b") >= stopLo).count()
+    val total = pairs.count()
+    pairs.unpersist()
+    // uncapped, the three clusters alone would fan out
+    // C(120,2)+C(100,2)+C(50,2) = 13,315 pairs; the band cap kills the
+    // two over-cap clusters entirely and keeps the under-cap control
+    assert(spamSpam == 0L, s"identical $SpamN-doc cluster (> cap 64) must not band: $spamSpam pairs")
+    assert(tplTpl == 0L, s"template $TplN-doc cluster (> cap 64) must not band: $tplTpl pairs")
+    assert(stopStop == StopN.toLong * (StopN - 1) / 2,
+      s"under-cap $StopN-doc cluster must band in full, got $stopStop")
+    assert(total < 3000, s"pair fan-out not bounded: $total")
+    // verification work is confined to the banded candidates
+    assert(run("q44_dedup_jaccard_verify").count() == total,
+      "q44 must score exactly the banded candidate pairs")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q45: dominant embedding label is truncated to the label-block cap") {
+    assume(ready)
+    val cap = 256L // DedupQueries.MaxLabelBlock
+    val dom = run("q45_dedup_embed_cosine").filter(col("label") === 9999).cache()
+    val participants = dom.select(col("vec_a").as("v"))
+      .union(dom.select(col("vec_b"))).distinct().count()
+    val domPairs = dom.count()
+    dom.unpersist()
+    assert(participants <= cap,
+      s"label block not capped: $participants participants (~${DomN / 7} sampled uncapped)")
+    assert(domPairs <= cap * (cap - 1) / 2, s"dominant-label pair count $domPairs exceeds cap^2/2")
+    assert(domPairs > 0, "capped block must still be verified")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q46: capped-out exact-dup clusters survive near-dup removal (q40's job, documented)") {
+    assume(ready)
+    val out = run("q46_dedup_pipeline").cache()
+    val spamSurvivors = out.filter(col("source") === "spam").count()
+    val rows = out.count()
+    out.unpersist()
+    assert(spamSurvivors == SpamN.toLong,
+      s"band-capped identical cluster is exact dedup's job; near-dup must keep all $SpamN, got $spamSurvivors")
+    assert(rows > 0)
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q68: df stays broadcast under stopword saturation (no shuffle join on the hot term)") {
+    assume(ready)
+    val df = run("q68_tfidf_topterms")
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"hot-term shuffle join crept in:\n$plan")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q74: probe side stays broadcast with a flooded bucket region; top-k intact") {
+    assume(ready)
+    val df = run("q74_sim_topk_lsh_multitable")
+    assert(df.count() == 10L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$plan")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q80: per-shard packing width stays bounded under the bulk chunk volume") {
+    assume(ready)
+    val target = 8192L // TextQueries.TargetShardTokens
+    val widths = run("q80_sequence_packing")
+      .groupBy(col("shard")).agg(sum(col("n_chunk_tokens")).as("toks"))
+      .collect().map(_.getLong(1))
+    assert(widths.max <= 2 * target,
+      s"shard width ${widths.max} exceeds 2x target $target across ${widths.length} shards")
+    graft.core.ScratchCache.drain()
+  }
+}
