@@ -80,12 +80,14 @@ object Bench {
       (name, sorted((sorted.size - 1) / 2), sorted.head, sorted.last, ok)
     }
 
-    // isolated re-time of contention suspects (see scaladoc point 2)
+    // isolated re-time of contention suspects (see scaladoc point 2).
+    // A FAILED re-run must not contribute its (meaningless) wall time:
+    // keep the sweep median and drop the sample.
     val retimed: Map[String, Double] = prelim.collect {
       case (name, med, best, _, true) if runs > 1 && med > 3 * best =>
         System.gc()
-        name -> timeOne(name)._1
-    }.toMap
+        name -> timeOne(name)
+    }.collect { case (name, (t, true)) => name -> t }.toMap
 
     // A failing query must not silently lower the total: it is reported
     // as -1 in the per-query map and listed in "failed".

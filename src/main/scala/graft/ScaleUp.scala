@@ -58,9 +58,12 @@ object ScaleUp {
             present.tail.toSeq.map(c => max(col(c).cast("long"))): _*)
           .head()
         present.zipWithIndex.foreach { case (c, idx) =>
-          val m = maxes.getLong(idx)
-          require(m < Offset,
-            s"$table.$c max $m >= replica offset $Offset; raise Offset or shrink the source")
+          // null max = empty table / all-null column — nothing to overlap
+          if (!maxes.isNullAt(idx)) {
+            val m = maxes.getLong(idx)
+            require(m < Offset,
+              s"$table.$c max $m >= replica offset $Offset; raise Offset or shrink the source")
+          }
         }
       }
     }

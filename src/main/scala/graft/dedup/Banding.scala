@@ -27,14 +27,25 @@ object Banding {
     * same cap. */
   val MaxBandBucket = 64
 
-  /** Drop rows of `bands` whose (band_no, `keyCol`) bucket exceeds the
-    * cap. One window count over the band key — the same shuffle the
+  /** Drop rows of `bands` whose (band_no, `keyCol`) bucket exceeds
+    * `cap`. One window count over the band key — the same shuffle the
     * pair join needs anyway, so the guard adds no extra exchange shape
-    * at scale. */
-  def capBuckets(bands: DataFrame, keyCol: String): DataFrame =
+    * at scale.
+    *
+    * Cap sizing is a function of the band-key SPACE: buckets fill both
+    * with true duplicate clusters (what the cap is for) and with
+    * chance collisions at a rate of ~n/|key space|. md5/minhash band
+    * keys live in 2¹²⁸ — chance collisions never matter. Fixed-width
+    * w-bit bands (SimHash) have only 2^w values, so once
+    * n ≳ cap · 2^w the AVERAGE bucket breaches the cap and capping
+    * starts deleting ordinary docs, not spam — callers in that regime
+    * must raise `cap` (candidate cost grows ~cap·n) or widen the
+    * bands; see [[SimHash64.nearDupPairs]] for the envelope math. */
+  def capBuckets(bands: DataFrame, keyCol: String,
+                 cap: Int = MaxBandBucket): DataFrame =
     bands
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("band_no"), col(keyCol))))
-      .filter(col("__bsz") <= MaxBandBucket)
+      .filter(col("__bsz") <= cap)
       .drop("__bsz")
 }

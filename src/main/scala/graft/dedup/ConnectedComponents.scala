@@ -45,11 +45,23 @@ object ConnectedComponents {
     *    store on a cluster) — each round's labels are persisted to
     *    storage that survives executor loss, the production-grade
     *    variant for long-running 100 TB dedup jobs. Costs one
-    *    write+read of O(|V|) rows per round. */
+    *    write+read of O(|V|) rows per round. STORAGE NOTE: Spark does
+    *    not delete reliable checkpoint files on its own — without
+    *    cleanup `dir` accumulates one O(|V|) copy per round until the
+    *    application exits. This loop drops its reference to each
+    *    previous round, so setting
+    *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    *    context-creation conf) lets the ContextCleaner GC-delete
+    *    superseded rounds; otherwise reap `dir` after the job. The
+    *    context's previous checkpoint dir (a PROCESS-GLOBAL setting)
+    *    is restored on exit when one was set; if none was set, `dir`
+    *    remains the context's checkpoint dir — Spark has no unset. */
   def components(vertices: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    val sc = vertices.sparkSession.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
     // both variants are EAGER: the round must materialize before its
     // changed-count is read, and lineage must be cut before the next
     // round's plan is built on top
@@ -80,6 +92,9 @@ object ConnectedComponents {
         s"connected components did not converge within $maxIter rounds " +
           s"($changed labels still changing); raise maxIter for graphs of larger diameter")
       labels
-    } finally eBoth.unpersist(blocking = false)
+    } finally {
+      eBoth.unpersist(blocking = false)
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
+    }
   }
 }

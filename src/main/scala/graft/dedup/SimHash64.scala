@@ -54,14 +54,27 @@ object SimHash64 {
     * here rather than documented away: callers wanting a higher
     * guaranteed threshold raise the band count (8 bands of 8 bits ⇒
     * complete through distance 7, SimHash64Spec pins it against a
-    * brute-force oracle). More bands cost a proportionally larger
-    * band exchange and more chance collisions per band (8-bit bands
-    * collide at ~1/256) — the usual recall/cost dial. Equi-join on
-    * (band_no, band_val) with the [[Banding]] skew cap: the 100 TB
-    * shape — a template-spam cluster of n identical signatures would
-    * otherwise fan out n²/2 pairs on one hot band key. */
+    * brute-force oracle).
+    *
+    * OPERATING ENVELOPE — the contract has a corpus ceiling. A w-bit
+    * band (w = 64/bands) has only 2^w values, so buckets fill with
+    * CHANCE collisions at ~n/2^w docs per bucket on top of true dup
+    * clusters. The [[Banding]] skew cap (`bucketCap`, the guard that
+    * keeps a template-spam cluster from fanning out n²/2 pairs on one
+    * hot key) therefore starts swallowing ordinary buckets once
+    * n ≳ bucketCap · 2^w — ~16K docs for 8-bit bands, ~4M for 16-bit
+    * at the default cap of 64 — and recall silently degrades. Pick
+    * parameters by BOTH threshold and corpus: for n beyond the
+    * envelope either raise `bucketCap` (candidate volume grows as
+    * ~bucketCap·n — the price pigeonhole charges for a guaranteed
+    * high threshold; at w bits it is Θ(n²/2^w) uncapped) or widen the
+    * bands and accept a lower guaranteed distance. The md5/minhash
+    * band path (q42) has no such ceiling: its band keys are 128-bit
+    * digests, where buckets only form from genuinely equal
+    * signatures. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int, bands: Int = 4): DataFrame = {
+                   maxHamming: Int, bands: Int = 4,
+                   bucketCap: Int = Banding.MaxBandBucket): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must divide 64 (got $bands)")
     require(maxHamming <= bands - 1,
@@ -74,7 +87,7 @@ object SimHash64 {
       sigs.select(col(idCol).as("id"), col("simhash64"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("simhash64"), width * b).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band_no", "band_val"))), "band_val")
+          .as(Seq("band_no", "band_val"))), "band_val", bucketCap)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&

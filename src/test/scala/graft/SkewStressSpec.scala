@@ -26,10 +26,17 @@ class SkewStressSpec extends SparkTestBase {
   private val StopN = 50   // near-identical docs, < cap: the control — must still pair
   private val DomN = 2000  // dominant-label vectors (~286 survive q45's %7 sample, > MaxLabelBlock=256)
 
+  private var built = false
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-skew-spec").toString
     SkewUp.write(spark, src, d, SpamN, TplN, StopN, DomN)
+    built = true
     d
+  }
+
+  override protected def afterAll(): Unit = {
+    if (built) org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    super.afterAll()
   }
 
   private def run(name: String) = SparkEntry.queries(name)(spark, dir)
