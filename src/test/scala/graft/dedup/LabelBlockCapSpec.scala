@@ -43,4 +43,11 @@ class LabelBlockCapSpec extends SparkTestBase {
     val pairs = DedupQueries.embedCosinePairsOf(emb)
     assert(pairs.filter(pairs("label") === "small").count() == 3L) // C(3,2)
   }
+
+  test("cap selection is partition-count invariant (row_number ties broken by vec_id, not layout)") {
+    def pairsOf(parts: Int) = DedupQueries.embedCosinePairsOf(emb.repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(1) == pairsOf(13),
+      "the truncated block (and so the pair set) must not depend on physical partitioning")
+  }
 }

@@ -40,4 +40,12 @@ class ShardScalingSpec extends SparkTestBase {
       assert(toks <= 2 * target, s"per-shard width $toks exceeds 2x target $target")
     }
   }
+
+  test("packing is partition-count invariant (shard count from a global aggregate, bins from keyed windows)") {
+    def packed(parts: Int) = TextQueries.packChunksOf(docs(64).repartition(parts), targetShardTokens = target)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+    assert(packed(1) == packed(13),
+      "offsets/bins must not depend on physical partitioning")
+    graft.core.ScratchCache.drain()
+  }
 }
