@@ -542,6 +542,96 @@ object TextQueries extends QueryCatalog {
        |WHERE hv < thr
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Deterministic epoch shuffle — the per-epoch reordering every
+    * training data loader applies, in its distributed shape: a
+    * pseudorandom-but-reproducible sort key per doc (md5 over an epoch
+    * seed + doc_id — a different permutation per epoch, the same
+    * permutation on every rerun/partitioning, which rand() cannot
+    * give), sharded so each worker consumes its own shuffled stream.
+    * Shard count derives from corpus size like q80 (target docs per
+    * shard), and the within-shard position is a per-shard window —
+    * never one global ordinal, which would serialize the corpus
+    * through a single sort at 100 TB. */
+  private val EpochSeed = "epoch1"
+  private val TargetShardDocs = 1024L
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(greatest(lit(1L),
+      ceil(count(lit(1)).cast("double") / lit(TargetShardDocs.toDouble))).as("n_shards"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"skey", $"doc_id")
+    docs.select($"doc_id")
+      .withColumn("skey", md5(concat(lit(s"$EpochSeed|"), $"doc_id".cast("string"))))
+      .crossJoin(broadcast(n))
+      .withColumn("shard", $"doc_id" % $"n_shards")
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"skey", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+  private val q84Sql =
+    s"""WITH n AS (
+       |  SELECT greatest(1, CAST(ceil(count(*) / $TargetShardDocs.0) AS BIGINT)) AS n_shards
+       |  FROM documents
+       |),
+       |k AS (
+       |  SELECT doc_id, md5(concat('$EpochSeed|', CAST(doc_id AS VARCHAR))) AS skey,
+       |    doc_id % n.n_shards AS shard
+       |  FROM documents, n
+       |)
+       |SELECT doc_id, skey, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Length-bucketed batch assignment — dynamic batching's layout
+    * step: group docs of similar token length so fixed-size batches
+    * waste minimal padding. Bucket = bit-length of the token count
+    * (power-of-two boundaries, computed as length(bin(n)) — EXACT
+    * integer arithmetic in both engines, where ceil(log2(x)) would
+    * hash-mismatch on last-ulp log differences). Batches of 32 docs
+    * are numbered per (bucket, shard) window with the shard count
+    * derived from corpus size — the same anti-serialization shape as
+    * q80/q84. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sized = Tables.documents(s, dir)
+      .select($"doc_id", size(expr(toksExpr)).cast("long").as("n_toks"))
+      .filter($"n_toks" > 0)
+    val n = sized.agg(greatest(lit(1L),
+      ceil(count(lit(1)).cast("double") / lit(TargetShardDocs.toDouble))).as("n_shards"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket", $"shard").orderBy($"doc_id")
+    sized
+      .withColumn("bucket", length(bin($"n_toks")).cast("long"))
+      .crossJoin(broadcast(n))
+      .withColumn("shard", $"doc_id" % $"n_shards")
+      .withColumn("batch_no", floor((row_number().over(w) - 1) / 32).cast("long"))
+      .select($"doc_id", $"n_toks", $"bucket", $"shard", $"batch_no")
+      .orderBy($"doc_id")
+  }
+  private val q85Sql =
+    s"""WITH sized AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents
+       |  WHERE len($toksSql) > 0
+       |),
+       |n AS (
+       |  SELECT greatest(1, CAST(ceil(count(*) / $TargetShardDocs.0) AS BIGINT)) AS n_shards
+       |  FROM sized
+       |),
+       |k AS (
+       |  SELECT doc_id, n_toks, CAST(length(bin(n_toks)) AS BIGINT) AS bucket,
+       |    doc_id % n.n_shards AS shard
+       |  FROM sized, n
+       |)
+       |SELECT doc_id, n_toks, bucket, shard,
+       |  CAST(floor((row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) / 32) AS BIGINT) AS batch_no
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -559,6 +649,8 @@ object TextQueries extends QueryCatalog {
     "q79_pii_redact" -> q79,
     "q80_sequence_packing" -> q80,
     "q83_mixture_sample" -> q83,
+    "q84_epoch_shuffle" -> q84,
+    "q85_length_batching" -> q85,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -578,5 +670,7 @@ object TextQueries extends QueryCatalog {
     "q79_pii_redact" -> q79Sql,
     "q80_sequence_packing" -> q80Sql,
     "q83_mixture_sample" -> q83Sql,
+    "q84_epoch_shuffle" -> q84Sql,
+    "q85_length_batching" -> q85Sql,
   )
 }
