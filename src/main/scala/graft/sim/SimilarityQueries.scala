@@ -105,11 +105,21 @@ object SimilarityQueries extends QueryCatalog {
   private[sim] def trainedCents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val quant = withVec(s, dir).filter(col("norm") > 0)
-      .select(col("vec_id"), col("v"),
-        expr("transform(v, x -> CAST(floor(x / norm * 1000000D + 0.5D) AS BIGINT))").as("q"))
+    // ONE corpus scan feeds every training round (persisted, drained by
+    // the runners); each round's 16-row centroid frame is eagerly
+    // localCheckpoint'ed so round r+1's plan starts from materialized
+    // rows instead of re-deriving (and re-scanning) the whole training
+    // lineage — without this the unrolled rounds multiply corpus scans
+    // per branch (observed: 13 scans in q54's plan; at 100 TB each is
+    // a full corpus pass). Same iterative-DataFrame discipline as
+    // ConnectedComponents.
+    val quant = graft.core.ScratchCache.persist(
+      withVec(s, dir).filter(col("norm") > 0)
+        .select(col("vec_id"), col("v"),
+          expr("transform(v, x -> CAST(floor(x / norm * 1000000D + 0.5D) AS BIGINT))").as("q")))
     var cents = quant.filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cent_id"), expr("transform(q, x -> CAST(x AS DOUBLE))").as("cv"))
+      .localCheckpoint()
     for (_ <- 1 to KMeansIters) {
       val live = cents.filter(expr("aggregate(cv, 0D, (a, x) -> a + x * x) > 0D"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
@@ -122,12 +132,9 @@ object SimilarityQueries extends QueryCatalog {
         .groupBy(col("cent_id"), col("pos")).agg(sum(col("x")).as("sx"))
         .groupBy(col("cent_id"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, sx))), s -> CAST(s.sx AS DOUBLE))").as("cv"))
+        .localCheckpoint()
     }
-    // 16 tiny rows, but reached twice per IVF query (assignment + probe
-    // side) — persist so training runs once per action, drained by the
-    // runners like every scratch frame
-    graft.core.ScratchCache.persist(
-      cents.filter(expr("aggregate(cv, 0D, (a, x) -> a + x * x) > 0D")))
+    cents.filter(expr("aggregate(cv, 0D, (a, x) -> a + x * x) > 0D"))
   }
 
   /** Untrained baseline quantizer: the raw seed vectors as centroids.
