@@ -70,4 +70,16 @@ class PlanShapeSpec extends SparkTestBase {
     // without this, a giant stratum lands whole on one reducer
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q54: IVF training lineage stays truncated (bounded corpus scans in the plan)") {
+    assume(ready)
+    val p = plan("q54_sim_ivf")
+    // the unrolled k-means rounds once re-derived their full lineage
+    // per branch (13 parquet scans = 13 corpus passes at scale); the
+    // persisted quantized frame + per-round checkpoint keep the final
+    // plan at a handful of scans regardless of KMeansIters
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 6, s"$scans corpus scans in q54's plan — training lineage leaked:\n$p")
+    graft.core.ScratchCache.drain()
+  }
 }
