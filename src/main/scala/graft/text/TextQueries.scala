@@ -554,7 +554,10 @@ object TextQueries extends QueryCatalog {
     * never one global ordinal, which would serialize the corpus
     * through a single sort at 100 TB. */
   private val EpochSeed = "epoch1"
-  private val TargetShardDocs = 1024L
+  /** Docs per shard target. Small enough that even the sf0.01 oracle
+    * run exercises the multi-shard path (500 docs → 4 shards); at
+    * 100 TB tune to the doc count one task should window. */
+  private val TargetShardDocs = 128L
   private def q84(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
