@@ -22,14 +22,22 @@ import graft.core.ScratchCache
   *     co-tenant burst) then lands on DIFFERENT queries in each sweep
   *     instead of poisoning all R samples of one query, so the
   *     per-query LOWER MEDIAN across sweeps discards it.
-  *  2. AUTOMATIC ISOLATED RE-TIME: any query whose median still
-  *     exceeds 3× its own best sweep (the query demonstrably CAN run
-  *     that fast) is re-timed once, alone, after the sweeps with
-  *     caches drained — the isolated number is what regressions must
-  *     be judged against. The reported per-query value is
-  *     min(median, re-time); the raw re-times are emitted under
-  *     "queries_retimed" and the worst sweep under "queries_max", so
-  *     both the contended and isolated views stay visible.
+  *  2. AUTOMATIC ISOLATED RE-TIME: after the sweeps, a query is
+  *     re-timed once, alone, with caches drained, when EITHER (a) its
+  *     median exceeds 3× its own best sweep (the query demonstrably
+  *     CAN run that fast — classic transient spike), or (b) its median
+  *     exceeds SPARK_GRAFT_RETIME_FLOOR seconds (default 5) — the case
+  *     (a) misses when contention poisons ALL R sweeps of a heavy
+  *     query (r4: three queries sat at 10–15 s in every sweep vs ~3 s
+  *     isolated, and no re-time fired because best ≈ median). The
+  *     floor bounds the extra work to the handful of heavy queries.
+  *     The reported per-query value is min(median, re-time); the raw
+  *     re-times are emitted under "queries_retimed", the worst sweep
+  *     under "queries_max", and the UN-adjusted sweep median under
+  *     "queries_median" — so consumers can always tell whether the
+  *     sweeps or the re-time determined the headline number, and a
+  *     genuinely bimodal query is visible rather than silently
+  *     reported at its fastest mode.
   *
   * Scratch caches registered by catalog queries are drained after
   * every run so no storage leaks across the catalog and every run
@@ -83,8 +91,10 @@ object Bench {
     // isolated re-time of contention suspects (see scaladoc point 2).
     // A FAILED re-run must not contribute its (meaningless) wall time:
     // keep the sweep median and drop the sample.
+    val retimeFloor = sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "5.0").toDouble
     val retimed: Map[String, Double] = prelim.collect {
-      case (name, med, best, _, true) if runs > 1 && med > 3 * best =>
+      case (name, med, best, _, true)
+        if runs > 1 && (med > 3 * best || med > retimeFloor) =>
         System.gc()
         name -> timeOne(name)
     }.collect { case (name, (t, true)) => name -> t }.toMap
@@ -97,11 +107,13 @@ object Bench {
       .map { case (k, med, _, _, ok) => "\"" + k + "\":" + value(k, med, ok) }.mkString("{", ",", "}")
     val qsMax = prelim
       .map { case (k, _, _, mx, ok) => "\"" + k + "\":" + (if (ok) mx else -1) }.mkString("{", ",", "}")
+    val qsMed = prelim
+      .map { case (k, med, _, _, ok) => "\"" + k + "\":" + (if (ok) med else -1) }.mkString("{", ",", "}")
     val qsRe = retimed.toSeq.sortBy(_._1)
       .map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
     val failed = prelim.collect { case (k, _, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = prelim.collect { case (k, med, _, _, true) => value(k, med, ok = true) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_max":$qsMax,"queries_retimed":$qsRe,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_median":$qsMed,"queries_max":$qsMax,"queries_retimed":$qsRe,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *  - `spam`: a cluster of IDENTICAL documents far larger than
   *    [[graft.dedup.Banding.MaxBandBucket]] — the n²/2 hot-band-key
   *    fan-out that the band cap must exclude (q42/q44/q46/q75).
-  *  - `template`: near-identical documents (shared template, one
-  *    unique token each) — the boilerplate cluster whose band buckets
-  *    must stay capped even though signatures are not all identical.
+  *  - `template`: near-identical documents (a shared base of its own,
+  *    one unique token each) — the boilerplate cluster whose band
+  *    buckets must stay capped even though signatures are not all
+  *    identical.
   *  - `stopsat`: stopword-saturated long documents — the hot-term df
   *    skew q68 sidesteps by broadcasting the df aggregate, and bulk
   *    chunk volume for q80's sharded packing window.
@@ -30,8 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object SkewUp {
 
-  /** 40-token template shared by the spam/template clusters. */
+  /** 40-token base of the identical-doc spam cluster. */
   private val template = (1 to 40).map(i => s"tpl$i").mkString(" ")
+  /** The template cluster's OWN 40-token base — deliberately disjoint
+    * from the spam cluster's, so the two hazards occupy different band
+    * buckets and each guard's truncation behavior is observable in
+    * isolation (with a shared base, spam's lower doc_ids win every
+    * truncated bucket slot and the template cluster is shadowed). */
+  private val tplBase = (1 to 40).map(i => s"tmb$i").mkString(" ")
   /** 10 stopwords; repeated 40× = a 400-token saturated doc. */
   private val stopRun = Array.fill(40)("the of and to a in is it for on").mkString(" ")
 
@@ -58,7 +65,7 @@ object SkewUp {
     }
     val spam = docRows(spark, spamN, 2000000L, s"'$template'", "spam")
     val tpl = docRows(spark, templateN, 3000000L,
-      s"concat('$template', ' uniq', CAST(doc_id AS STRING))", "template")
+      s"concat('$tplBase', ' uniq', CAST(doc_id AS STRING))", "template")
     val stop = docRows(spark, stopN, 4000000L,
       s"concat('$stopRun', ' tail', CAST(doc_id AS STRING))", "stopsat")
     spark.read.parquet(s"$src/documents.parquet")

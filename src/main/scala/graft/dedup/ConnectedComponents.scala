@@ -55,7 +55,16 @@ object ConnectedComponents {
     *    superseded rounds; otherwise reap `dir` after the job. The
     *    context's previous checkpoint dir (a PROCESS-GLOBAL setting)
     *    is restored on exit when one was set; if none was set, `dir`
-    *    remains the context's checkpoint dir — Spark has no unset. */
+    *    remains the context's checkpoint dir — Spark has no unset.
+    *    CONCURRENCY: because `setCheckpointDir` mutates that global,
+    *    the `Some(dir)` path MUST NOT run concurrently with another
+    *    `components(checkpointDir = Some(...))` call or any other job
+    *    using `checkpoint()` on the same context — toggle and restore
+    *    can interleave and leave the context checkpointing into the
+    *    wrong directory. Concurrent callers should instead set the
+    *    context checkpoint dir ONCE at session creation and pass that
+    *    SAME dir here (setCheckpointDir is then idempotent and the
+    *    restore writes back the identical value). */
   def components(vertices: DataFrame, idCol: String,
                  edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {

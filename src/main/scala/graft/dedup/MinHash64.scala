@@ -61,7 +61,7 @@ object MinHash64 {
       sigs.select(col(idCol).as("id"),
         posexplode(array((0 until k / rowsPerBand).map { b =>
           xxhash64((0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
-        }: _*)).as(Seq("band_no", "band_key"))), "band_key")
+        }: _*)).as(Seq("band_no", "band_key"))), "band_key", "id")
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&

@@ -21,6 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object SimHash64 {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Corpus ceiling of the banded recall contract: with `bands` bands
+    * of w = 64/bands bits, chance collisions fill the 2^w buckets at
+    * ~n/2^w docs each, so once n exceeds bucketCap·2^w the skew cap
+    * starts truncating ORDINARY buckets and recall silently degrades.
+    * (8-bit bands at cap 64 → 16 384 docs; 16-bit → ~4.2 M.) */
+  def envelopeCeiling(bands: Int, bucketCap: Int): Long =
+    bucketCap.toLong << (64 / bands)
+
+  /** The largest band count (= highest guaranteed maxHamming of
+    * bands−1) whose [[envelopeCeiling]] still covers a corpus of `n`
+    * docs. Larger corpora force WIDER bands (fewer chance collisions
+    * per bucket) and therefore a lower guaranteed distance — the
+    * pigeonhole trade the fixed 64-bit signature imposes. */
+  def bandsForCorpus(n: Long, bucketCap: Int = Banding.MaxBandBucket): Int =
+    Seq(32, 16, 8, 4, 2).find(b => envelopeCeiling(b, bucketCap) >= n).getOrElse(2)
+
+  /** The envelope violation message for a corpus of `n` docs, or None
+    * while inside the contract. Pure — unit-testable without log
+    * capture; [[nearDupPairs]] emits it. */
+  def envelopeWarning(n: Long, bands: Int, bucketCap: Int): Option[String] = {
+    val ceiling = envelopeCeiling(bands, bucketCap)
+    if (n <= ceiling) None
+    else Some(
+      s"SimHash64.nearDupPairs: corpus of $n docs exceeds the recall envelope of " +
+        s"$bands×${64 / bands}-bit bands at bucketCap=$bucketCap (ceiling $ceiling): " +
+        s"chance collisions now fill average buckets past the cap, so band truncation " +
+        s"hides ordinary docs and the maxHamming≤${bands - 1} recall guarantee no " +
+        s"longer holds. Raise bucketCap (candidate volume grows ~bucketCap·n) or " +
+        s"use bands=${bandsForCorpus(n, bucketCap)} (guaranteed maxHamming " +
+        s"${bandsForCorpus(n, bucketCap) - 1}) for this corpus size.")
+  }
+
   /** Per-document 64-bit SimHash over `\s+` tokens of `textCol`.
     * Zero-token documents get signature 0 (no votes → all bits 0). */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -82,12 +116,19 @@ object SimHash64 {
         "raise `bands` instead of silently under-recalling")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // Envelope check: one count over the id column (cheap next to the
+    // signature scan). A violated envelope is NOT an error — callers
+    // may accept partial recall — but it must never be silent: the
+    // rows-only catalog entry (q47) has no oracle to expose it.
+    envelopeWarning(docs.select(col(idCol)).count(), bands, bucketCap).foreach { msg =>
+      log.warn(msg); System.err.println(s"[graft] WARN $msg")
+    }
     val sigs = signatures(docs, idCol, textCol)
     val banded = Banding.capBuckets(
       sigs.select(col(idCol).as("id"), col("simhash64"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("simhash64"), width * b).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band_no", "band_val"))), "band_val", bucketCap)
+          .as(Seq("band_no", "band_val"))), "band_val", "id", bucketCap)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&

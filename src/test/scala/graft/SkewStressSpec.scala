@@ -21,9 +21,9 @@ class SkewStressSpec extends SparkTestBase {
   private val src = "/root/testdata/sf0.01"
   private def ready = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$src/documents.parquet"))
 
-  private val SpamN = 120  // identical docs, > MaxBandBucket=64: must cap out
-  private val TplN = 100   // near-identical template docs, > cap: must cap out
-  private val StopN = 50   // near-identical docs, < cap: the control — must still pair
+  private val SpamN = 120  // identical docs, > MaxBandBucket=64: buckets truncate
+  private val TplN = 100   // near-identical template docs, > cap: buckets truncate
+  private val StopN = 50   // near-identical docs, < cap: the control — must pair in full
   private val DomN = 2000  // dominant-label vectors (~286 survive q45's %7 sample, > MaxLabelBlock=256)
 
   private var built = false
@@ -45,24 +45,37 @@ class SkewStressSpec extends SparkTestBase {
   private val (tplLo, tplHi) = (3000000L, 3000000L + TplN)
   private val stopLo = 4000000L
 
-  test("q42/q44: over-cap clusters are excluded from band pairs; under-cap clusters still pair") {
+  test("q42/q44: over-cap clusters are truncated to bounded pairs; under-cap clusters pair in full") {
     assume(ready)
+    val cap = 64 // Banding.MaxBandBucket
+    val capPairs = cap.toLong * (cap - 1) / 2 // 2016: worst case per bucket
     val pairs = run("q42_dedup_lsh_pairs").cache()
     val spamSpam = pairs.filter(between(col("doc_a"), spamLo, spamHi) &&
       between(col("doc_b"), spamLo, spamHi)).count()
+    val spamTruncated = pairs.filter(
+      between(col("doc_a"), spamLo + cap, spamHi) || between(col("doc_b"), spamLo + cap, spamHi)).count()
     val tplTpl = pairs.filter(between(col("doc_a"), tplLo, tplHi) &&
       between(col("doc_b"), tplLo, tplHi)).count()
     val stopStop = pairs.filter(col("doc_a") >= stopLo && col("doc_b") >= stopLo).count()
     val total = pairs.count()
     pairs.unpersist()
     // uncapped, the three clusters alone would fan out
-    // C(120,2)+C(100,2)+C(50,2) = 13,315 pairs; the band cap kills the
-    // two over-cap clusters entirely and keeps the under-cap control
-    assert(spamSpam == 0L, s"identical $SpamN-doc cluster (> cap 64) must not band: $spamSpam pairs")
-    assert(tplTpl == 0L, s"template $TplN-doc cluster (> cap 64) must not band: $tplTpl pairs")
+    // C(120,2)+C(100,2)+C(50,2) = 13,315 pairs; bucket truncation bounds
+    // each over-cap bucket to C(cap,2) pairs among its cap LOWEST ids
+    // (graceful degradation — the cluster stays visible, unlike the old
+    // drop-the-bucket semantics) and keeps the under-cap control intact
+    assert(spamSpam == capPairs,
+      s"identical $SpamN-doc cluster must truncate to C($cap,2)=$capPairs pairs, got $spamSpam")
+    assert(spamTruncated == 0L,
+      s"ids beyond the $cap lowest must not appear in pairs: $spamTruncated")
+    // per band the template cluster's main bucket (~90% of its docs)
+    // truncates to exactly cap rows → ≥ C(cap,2) pairs from one band,
+    // ≤ one truncated bucket per band in total
+    assert(tplTpl >= capPairs && tplTpl <= 4 * capPairs,
+      s"template $TplN-doc cluster must band truncated/bounded: $tplTpl pairs")
     assert(stopStop == StopN.toLong * (StopN - 1) / 2,
       s"under-cap $StopN-doc cluster must band in full, got $stopStop")
-    assert(total < 3000, s"pair fan-out not bounded: $total")
+    assert(total < 6000, s"pair fan-out not bounded: $total")
     // verification work is confined to the banded candidates
     assert(run("q44_dedup_jaccard_verify").count() == total,
       "q44 must score exactly the banded candidate pairs")
@@ -84,14 +97,20 @@ class SkewStressSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
-  test("q46: capped-out exact-dup clusters survive near-dup removal (q40's job, documented)") {
+  test("q46: truncated spam cluster collapses to canonical + truncation remainder") {
     assume(ready)
+    val cap = 64 // Banding.MaxBandBucket
     val out = run("q46_dedup_pipeline").cache()
     val spamSurvivors = out.filter(col("source") === "spam").count()
     val rows = out.count()
     out.unpersist()
-    assert(spamSurvivors == SpamN.toLong,
-      s"band-capped identical cluster is exact dedup's job; near-dup must keep all $SpamN, got $spamSurvivors")
+    // bucket truncation keeps the cap lowest spam ids in every band;
+    // verified pairs among them drop all but the canonical lowest, so
+    // survivors = 1 canonical + (SpamN − cap) truncated-away ids — the
+    // remainder is exact dedup's job (q40) / a later pass's, and is the
+    // documented price of bounding one hot band key's fan-out
+    assert(spamSurvivors == 1L + (SpamN - cap),
+      s"expected 1 canonical + ${SpamN - cap} truncation remainder, got $spamSurvivors")
     assert(rows > 0)
     graft.core.ScratchCache.drain()
   }

@@ -71,6 +71,23 @@ class SimHash64Spec extends SparkTestBase {
       s"missed=${expected -- banded} extra=${banded -- expected}")
   }
 
+  test("recall envelope: ceiling math, corpus-driven band choice, warning trigger") {
+    // 8-bit bands at cap 64: ceiling = 64·2^8 = 16 384 docs
+    assert(SimHash64.envelopeCeiling(bands = 8, bucketCap = 64) == 16384L)
+    // 16-bit bands: 64·2^16 ≈ 4.2 M
+    assert(SimHash64.envelopeCeiling(bands = 4, bucketCap = 64) == 64L * 65536)
+    // corpus-driven choice: highest guaranteed distance whose envelope covers n
+    assert(SimHash64.bandsForCorpus(256L) == 32)      // tiny corpus: even 2-bit bands hold (64·2²=256)
+    assert(SimHash64.bandsForCorpus(500L) == 16)      // 500 > 256: drop to 4-bit bands (64·2⁴=1024)
+    assert(SimHash64.bandsForCorpus(16384L) == 8)     // exactly at the 8-bit ceiling
+    assert(SimHash64.bandsForCorpus(50000L) == 4)     // sf1-scale: 16-bit bands, guarantee ≤ 3
+    assert(SimHash64.bandsForCorpus(10000000L) == 2)  // 10 M: 32-bit bands
+    // warning fires only past the ceiling, and names the remedy
+    assert(SimHash64.envelopeWarning(16384L, bands = 8, bucketCap = 64).isEmpty)
+    val w = SimHash64.envelopeWarning(50000L, bands = 8, bucketCap = 64)
+    assert(w.isDefined && w.get.contains("bands=4"), s"warning must suggest the in-envelope band count: $w")
+  }
+
   test("parameter combinations that would silently under-recall are rejected") {
     val d = docs(1L -> "a b c")
     val ex = intercept[IllegalArgumentException] {
