@@ -560,6 +560,97 @@ object SimilarityQueries extends QueryCatalog {
     if (total == 0) 0.0 else hits / total
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Random-projection embedding compression: 64-dim float vectors →
+    * RpDims signed-sum projections (Achlioptas ±1 scheme — the classic
+    * JL-style dimensionality reduction used to cheapen ANN index build
+    * and storage). The sign matrix is DERIVED, not stored: s(j,d) =
+    * +1 iff the first hex digit of md5("rp|j|d") < 8, so both engines
+    * (and any future worker) reconstruct the identical matrix from
+    * nothing — Spark folds the 16×64 signs into literals at plan time
+    * (driver-side MessageDigest, same digest DuckDB's md5() computes),
+    * the oracle evaluates the md5 inline. Each output coordinate is a
+    * sum of per-dimension BIGINT-quantized terms (floor(x·s·10⁵+0.5)),
+    * so addition is exact and order-independent — no cross-engine
+    * float-fold hazard, same discipline as the k-means trainer. One
+    * linear scan, no shuffle until the output sort. */
+  private val RpDims = 16
+  private def rpSign(j: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp|$j|$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) < 8) 1 else -1
+  }
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val projCols = (0 until RpDims).map { j =>
+      val signs = (0 until 64).map(d => s"${rpSign(j, d)}L").mkString("array(", ", ", ")")
+      expr(
+        s"aggregate(zip_with(v, $signs, (x, s) -> CAST(floor(x * s * 100000D + 0.5D) AS BIGINT)), " +
+          "0L, (acc, t) -> acc + t)").as(s"p_$j")
+    }
+    withVec(s, dir).select($"vec_id" +: projCols: _*).orderBy($"vec_id")
+  }
+  private val q87Sql = {
+    val projCols = (0 until RpDims).map { j =>
+      val sign = s"(CASE WHEN (instr('0123456789abcdef', substr(md5('rp|$j|' || CAST(d AS VARCHAR)), 1, 1)) - 1) < 8 THEN 1 ELSE -1 END)"
+      s"CAST(list_sum(list_transform(generate_series(0, 63), d -> " +
+        s"CAST(floor(v[d + 1] * $sign * 100000 + 0.5) AS BIGINT))) AS BIGINT) AS p_$j"
+    }.mkString(",\n|  ")
+    s"""SELECT vec_id,
+       |  $projCols
+       |FROM ($withVecSql)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q88
+  /** kNN majority-vote labeling — the semi-supervised classification
+    * pass a curation pipeline runs to propagate labels onto unlabeled
+    * data: each query vector takes the modal label of its 10 nearest
+    * corpus neighbors (cosine; ties → lower label). Same serving shape
+    * as q53: the query set is broadcast, scoring is the codegen'd
+    * cosine Expression, per-query ranking is a window row_number —
+    * at scale swap the brute-force score for q74's multi-table LSH or
+    * q54's IVF candidates and the vote logic is unchanged. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = withVec(s, dir)
+    val qs = e.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"v".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val topk = e.filter($"vec_id" >= 10)
+      .crossJoin(broadcast(qs))
+      .withColumn("cos", round(expr("cosine_similarity(v, qv)"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"votes".desc, $"pred_label")
+    topk.groupBy($"qid", $"label".as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter($"vr" === 1)
+      .select($"qid", $"pred_label", $"votes")
+      .orderBy($"qid")
+  }
+  private val q88Sql =
+    s"""WITH e AS ($withVecSql),
+       |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id, e.label,
+       |    round(list_dot_product(e.v, q.qv) / (e.norm * q.qnorm), 4) AS cos
+       |  FROM e, q
+       |  WHERE e.vec_id >= 10
+       |),
+       |topk AS (
+       |  SELECT * FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 10
+       |),
+       |votes AS (SELECT qid, label AS pred_label, count(*) AS votes FROM topk GROUP BY 1, 2)
+       |SELECT qid, pred_label, votes FROM votes
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, pred_label) = 1
+       |ORDER BY qid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -569,6 +660,8 @@ object SimilarityQueries extends QueryCatalog {
     "q66_embed_quantize" -> q66,
     "q74_sim_topk_lsh_multitable" -> q74,
     "q78_sim_ivf_nprobe" -> q78,
+    "q87_random_projection" -> q87,
+    "q88_knn_label" -> q88,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -580,5 +673,7 @@ object SimilarityQueries extends QueryCatalog {
     "q66_embed_quantize" -> q66Sql,
     "q74_sim_topk_lsh_multitable" -> q74Sql,
     "q78_sim_ivf_nprobe" -> q78Sql,
+    "q87_random_projection" -> q87Sql,
+    "q88_knn_label" -> q88Sql,
   )
 }

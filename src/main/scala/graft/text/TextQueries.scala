@@ -635,6 +635,57 @@ object TextQueries extends QueryCatalog {
        |FROM k
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Source-mixture report — the data-recipe accounting every corpus
+    * build publishes: per source, doc and token counts, each source's
+    * share of corpus tokens, and the cumulative share in descending
+    * token order (the "top k sources cover X% of the corpus" curve
+    * that drives mixture weighting like q83's). Shares are emitted as
+    * BIGINT parts-per-million (floor(x·10⁶+0.5)) — one division of two
+    * exact integer sums, then the shared quantization idiom, so there
+    * is no cross-engine float-rounding hazard. Shape: one linear
+    * token-count scan → per-source hash aggregate; the global total
+    * rides a broadcast 1-row aggregate (q80's scalar pattern) and the
+    * cumulative window runs over the AGGREGATED frame — #sources rows,
+    * small by definition at any corpus size, so the single-partition
+    * window is not a scale hazard. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, dir)
+      .select($"source", size(expr(toksExpr)).cast("long").as("ntoks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"ntoks").as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("tot_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_tokens".desc, $"source")
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .select($"source", $"n_docs", $"n_tokens",
+        expr("CAST(floor(n_tokens / CAST(tot_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST(floor(cum_tokens / CAST(tot_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          .as("cum_share_ppm"))
+      .orderBy($"n_tokens".desc, $"source")
+  }
+  private val q89Sql =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(CAST(len($toksSql) AS BIGINT)) AS n_tokens
+       |  FROM documents
+       |  GROUP BY source
+       |),
+       |tot AS (SELECT sum(n_tokens) AS tot_tokens FROM per),
+       |c AS (
+       |  SELECT p.*, t.tot_tokens,
+       |    sum(p.n_tokens) OVER (ORDER BY p.n_tokens DESC, p.source) AS cum_tokens
+       |  FROM per p, tot t
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(floor(n_tokens / CAST(tot_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS share_ppm,
+       |  CAST(floor(cum_tokens / CAST(tot_tokens AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS cum_share_ppm
+       |FROM c
+       |ORDER BY n_tokens DESC, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -654,6 +705,7 @@ object TextQueries extends QueryCatalog {
     "q83_mixture_sample" -> q83,
     "q84_epoch_shuffle" -> q84,
     "q85_length_batching" -> q85,
+    "q89_source_mixture" -> q89,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -675,5 +727,6 @@ object TextQueries extends QueryCatalog {
     "q83_mixture_sample" -> q83Sql,
     "q84_epoch_shuffle" -> q84Sql,
     "q85_length_batching" -> q85Sql,
+    "q89_source_mixture" -> q89Sql,
   )
 }
