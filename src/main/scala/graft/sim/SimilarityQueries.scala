@@ -651,6 +651,64 @@ object SimilarityQueries extends QueryCatalog {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, pred_label) = 1
        |ORDER BY qid""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Semantic dedup (the SemDeDup recipe): cluster embeddings with the
+    * trained coarse quantizer, then prune near-identical vectors
+    * WITHIN each cell — pairwise cosine confined to a cell, never
+    * across the corpus. Keep-lowest policy (drop the higher vec_id of
+    * any pair with cosine ≥ [[SemDedupTau]]), same as q46's textual
+    * pipeline. Scale shape: the k-means assignment is the one-time
+    * linear index build; within-cell pair work is bounded by
+    * [[SemDedupCellCap]] via the same row_number truncation guard as
+    * q45's label blocks (C(cap,2) pairs per cell worst case — a
+    * degenerate mega-cell cannot go quadratic). Output: the surviving
+    * (vec_id, cell) corpus. */
+  private val SemDedupTau = 0.25
+  private val SemDedupCellCap = 256
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val assigned = ivfRanked(s, dir).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"cent_id".as("cell"))
+    val capped = assigned
+      .withColumn("crn", row_number().over(Window.partitionBy($"cell").orderBy($"vec_id")))
+      .filter($"crn" <= SemDedupCellCap)
+      .select($"vec_id", $"v", $"cell")
+    val a = capped.select($"vec_id".as("vec_a"), $"v".as("va"), $"cell")
+    val b = capped.select($"vec_id".as("vec_b"), $"v".as("vb"), $"cell")
+    val dropped = a.join(b, Seq("cell"))
+      .filter($"vec_a" < $"vec_b")
+      .filter(round(expr("cosine_similarity(va, vb)"), 4) >= SemDedupTau)
+      .select($"vec_b".as("vec_id")).distinct()
+    assigned.select($"vec_id", $"cell")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy($"vec_id")
+  }
+  private val q90Sql =
+    s"""WITH e AS ($withVecSql),
+       |$trainedCentsSqlCtes,
+       |assigned AS (
+       |  SELECT vec_id, v, norm, cell FROM (
+       |    SELECT e.vec_id, e.v, e.norm, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv) / (e.norm * c.cnorm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |capped AS (
+       |  SELECT vec_id, v, norm, cell FROM assigned
+       |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id) <= $SemDedupCellCap
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) >= $SemDedupTau
+       |)
+       |SELECT vec_id, cell FROM assigned
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -662,6 +720,7 @@ object SimilarityQueries extends QueryCatalog {
     "q78_sim_ivf_nprobe" -> q78,
     "q87_random_projection" -> q87,
     "q88_knn_label" -> q88,
+    "q90_semdedup" -> q90,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -675,5 +734,6 @@ object SimilarityQueries extends QueryCatalog {
     "q78_sim_ivf_nprobe" -> q78Sql,
     "q87_random_projection" -> q87Sql,
     "q88_knn_label" -> q88Sql,
+    "q90_semdedup" -> q90Sql,
   )
 }

@@ -686,6 +686,71 @@ object TextQueries extends QueryCatalog {
        |FROM c
        |ORDER BY n_tokens DESC, source""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Content-defined chunking (CDC) + chunk-level exact dedup — the
+    * shift-robust counterpart to q67's fixed-stride chunking. A chunk
+    * boundary opens before token p whenever the md5 of the PRECEDING
+    * 4-token window starts with hex '0' (a 1-in-16 content gate →
+    * ~16-token expected chunks). Because boundaries depend only on
+    * local content, an edit near the start of a document resynchronizes
+    * at the next gate and every later chunk hashes identically —
+    * fixed-stride chunks would all shift and share nothing
+    * (CdcChunksSpec pins exactly that). Output is q40-style dedup
+    * accounting at chunk granularity: occurrences, distinct docs,
+    * canonical doc per chunk hash. Scale shape: one linear pass (one
+    * md5 per token position — same budget as the shingle scans), one
+    * hash aggregate on the chunk digest; nothing pairwise anywhere. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // boundary gate at 1-based p ∈ [5, n]: md5 of tokens p-4..p-1.
+    // sequence() guarded via greatest(): Spark's sequence DESCENDS when
+    // stop < start, so short docs must not build sequence(5, n<5); the
+    // p <= n conjunct discards the padding positions.
+    val startsExpr =
+      "concat(array(1), filter(sequence(5, greatest(size(toks), 5)), " +
+        "p -> p <= size(toks) AND substr(md5(concat_ws(' ', slice(toks, p - 4, 4))), 1, 1) = '0'))"
+    Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", $"toks", expr(startsExpr).as("starts"))
+      .select($"doc_id", $"toks", $"starts",
+        expr("concat(slice(starts, 2, size(starts) - 1), array(size(toks) + 1))").as("ends"))
+      .select($"doc_id", explode(expr(
+        "zip_with(starts, ends, (st, en) -> md5(concat_ws(' ', slice(toks, st, en - st))))"))
+        .as("chunk_hash"))
+      .groupBy($"chunk_hash")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("canonical_doc_id"))
+      .orderBy($"chunk_hash")
+  }
+  private val q91Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) > 0
+       |),
+       |st AS (
+       |  SELECT doc_id, toks,
+       |    list_concat([1], list_filter(generate_series(5, len(toks)),
+       |      p -> substr(md5(array_to_string(list_slice(toks, p - 4, p - 1), ' ')), 1, 1) = '0')) AS starts
+       |  FROM t
+       |),
+       |x AS (
+       |  SELECT doc_id, toks, starts,
+       |    list_concat(list_slice(starts, 2, len(starts)), [len(toks) + 1]) AS ends
+       |  FROM st
+       |),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(starts)),
+       |    k -> md5(array_to_string(list_slice(toks, starts[k], ends[k] - 1), ' ')))) AS chunk_hash
+       |  FROM x
+       |)
+       |SELECT chunk_hash, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canonical_doc_id
+       |FROM ch
+       |GROUP BY 1
+       |ORDER BY chunk_hash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -706,6 +771,7 @@ object TextQueries extends QueryCatalog {
     "q84_epoch_shuffle" -> q84,
     "q85_length_batching" -> q85,
     "q89_source_mixture" -> q89,
+    "q91_cdc_chunks" -> q91,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -728,5 +794,6 @@ object TextQueries extends QueryCatalog {
     "q84_epoch_shuffle" -> q84Sql,
     "q85_length_batching" -> q85Sql,
     "q89_source_mixture" -> q89Sql,
+    "q91_cdc_chunks" -> q91Sql,
   )
 }
