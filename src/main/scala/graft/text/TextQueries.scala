@@ -751,6 +751,131 @@ object TextQueries extends QueryCatalog {
        |GROUP BY 1
        |ORDER BY chunk_hash""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** BM25 ranked keyword retrieval (Lucene-style: k1 = 1.2, b = 0.75,
+    * idf = ln(1 + (N − df + ½)/(df + ½))) for a fixed conjunctive-OR
+    * query — the "find training docs about X" primitive next to q68's
+    * per-doc TF-IDF summary. Per-(doc, term) contributions are single
+    * double expressions over exact integers (the q68 contract: one ln,
+    * IEEE-defined mul/div in an identical tree on both engines), then
+    * QUANTIZED to BIGINT (floor(x·10⁴ + ½)) so the per-doc sum is an
+    * integer sum — order-independent, no float-fold hazard (q66 trick).
+    *
+    * Scale shape: one (doc, term) shuffle confined to query terms (the
+    * isin filter prunes before the aggregate), df and the corpus
+    * scalars are broadcast aggregates (q68's skew sidestep — every doc
+    * contains the hot terms, so a shuffled tf⋈df would pile the hot
+    * term on one reducer), and the final top-10 is
+    * TakeOrderedAndProject — no global sort materializes. avgdl is
+    * folded as dl·N/T so every operand stays an exact integer until
+    * the one double expression. */
+  private val bm25Terms = Seq("dup", "join", "scan", "filter")
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks")
+      .filter($"dl" > 0)
+    val scal = docs.agg(count(lit(1)).as("n"), sum($"dl").as("t"))
+    val tf = docs.select($"doc_id", $"dl", explode($"toks").as("term"))
+      .filter($"term".isin(bm25Terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val contrib =
+      (lit(10000.0) * log(lit(1.0) + (($"n" - $"df") + lit(0.5)) / ($"df" + lit(0.5)))) *
+        (($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + (((lit(0.75) * $"dl") * $"n") / $"t"))))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(scal))
+      .withColumn("contrib", floor(contrib + lit(0.5)).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"contrib").as("score_q"), count(lit(1)).as("n_terms"))
+      .orderBy($"score_q".desc, $"doc_id")
+      .limit(10)
+  }
+  private val q92Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) > 0
+       |),
+       |scal AS (SELECT count(*) AS n, sum(dl) AS t FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2, 3
+       |),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_q,
+       |  count(*) AS n_terms
+       |FROM (
+       |  SELECT tf.doc_id,
+       |    CAST(floor(
+       |      ((10000.0 * ln(1.0 + ((n - df) + 0.5) / (df + 0.5))) *
+       |       ((tf * 2.2) / (tf + 1.2 * (0.25 + (((0.75 * dl) * n) / t)))))
+       |      + 0.5) AS BIGINT) AS contrib
+       |  FROM tf JOIN df USING (term) CROSS JOIN scal
+       |)
+       |GROUP BY doc_id
+       |ORDER BY score_q DESC, doc_id
+       |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q93
+  /** Rare-bigram rate — the KenLM-free fluency filter: the share (ppm)
+    * of a document's word bigrams whose whole-corpus frequency is ≤ 5.
+    * Fluent text is built from common transitions; gibberish,
+    * boilerplate mangling, and OCR damage surface as runs of bigrams
+    * the rest of the corpus never produces. Pure integer counts and
+    * one integer division — no log, no float, hash-exact by
+    * construction.
+    *
+    * Scale shape: bigram explode → one (doc, bigram) aggregate; the
+    * corpus count frame joined back is itself an aggregate (one row
+    * per distinct bigram, no payload) and is broadcast — the q68
+    * sidestep for the hot-bigram key ("of the" is in every doc). For
+    * a corpus whose distinct-bigram count outgrows the driver, drop
+    * the hint: the hot key sits on the probe side of a 1-row-per-key
+    * build, the shape AQE skew-split handles cleanly. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+    val tf = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy($"bigram").agg(sum($"tf").as("corpus_cnt"))
+    tf.join(broadcast(cnt), "bigram")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"),
+        sum(when($"corpus_cnt" <= 5, $"tf").otherwise(lit(0L))).as("n_rare"))
+      .withColumn("rare_ppm", expr("(n_rare * 1000000) DIV n_bigrams"))
+      .withColumn("keep", when($"rare_ppm" <= 100000L, 1L).otherwise(0L))
+      .select($"doc_id", $"n_bigrams", $"n_rare", $"rare_ppm", $"keep")
+      .orderBy($"doc_id")
+  }
+  private val q93Sql =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 2
+       |),
+       |tf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |cnt AS (SELECT bigram, sum(tf) AS corpus_cnt FROM tf GROUP BY 1)
+       |SELECT doc_id, n_bigrams, n_rare,
+       |  (n_rare * 1000000) // n_bigrams AS rare_ppm,
+       |  CAST(CASE WHEN (n_rare * 1000000) // n_bigrams <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CASE WHEN cnt.corpus_cnt <= 5 THEN tf.tf ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM tf JOIN cnt USING (bigram)
+       |  GROUP BY 1
+       |)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -772,6 +897,8 @@ object TextQueries extends QueryCatalog {
     "q85_length_batching" -> q85,
     "q89_source_mixture" -> q89,
     "q91_cdc_chunks" -> q91,
+    "q92_bm25_search" -> q92,
+    "q93_rare_bigram_rate" -> q93,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -795,5 +922,7 @@ object TextQueries extends QueryCatalog {
     "q85_length_batching" -> q85Sql,
     "q89_source_mixture" -> q89Sql,
     "q91_cdc_chunks" -> q91Sql,
+    "q92_bm25_search" -> q92Sql,
+    "q93_rare_bigram_rate" -> q93Sql,
   )
 }
