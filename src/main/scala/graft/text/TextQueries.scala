@@ -876,6 +876,52 @@ object TextQueries extends QueryCatalog {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** BPE merge ranking — one real byte-pair-encoding training step:
+    * the top-20 adjacent character pairs by corpus occurrence count,
+    * the pair a tokenizer trainer would merge first. (q56 APPLIES a
+    * BPE-style pre-tokenization; this is the other half — choosing the
+    * merges.)
+    *
+    * Scale shape — the classic BPE trick, which is also the Spark
+    * shape: aggregate the corpus to its VOCABULARY first (one shuffle,
+    * |vocab| rows — sub-linear in the corpus), then do the per-type
+    * character work weighted by token counts. Character pairs are
+    * never generated per corpus occurrence — a 100 TB corpus with a
+    * 10 M-type vocabulary does the char work on 10 M rows. Top-20 is
+    * TakeOrderedAndProject; single-char tokens are filtered BEFORE the
+    * pair transform (Spark's `sequence(1, 0)` descends — the q36
+    * gotcha). */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(expr(toksExpr)).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter(length($"token") >= 2)
+      .select($"cnt", explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> concat(substr(token, i, 1), ' ', substr(token, i + 1, 1)))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"cnt").as("n_occurrences"))
+      .orderBy($"n_occurrences".desc, $"pair")
+      .limit(20)
+  }
+  private val q95Sql =
+    s"""WITH vocab AS (
+       |  SELECT token, count(*) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS token FROM documents)
+       |  GROUP BY 1
+       |),
+       |pairs AS (
+       |  SELECT cnt, unnest(list_transform(generate_series(1, length(token) - 1),
+       |    i -> concat(substr(token, i, 1), ' ', substr(token, i + 1, 1)))) AS pair
+       |  FROM vocab WHERE length(token) >= 2
+       |)
+       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+       |FROM pairs
+       |GROUP BY 1
+       |ORDER BY n_occurrences DESC, pair
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -899,6 +945,7 @@ object TextQueries extends QueryCatalog {
     "q91_cdc_chunks" -> q91,
     "q92_bm25_search" -> q92,
     "q93_rare_bigram_rate" -> q93,
+    "q95_bpe_merges" -> q95,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -924,5 +971,6 @@ object TextQueries extends QueryCatalog {
     "q91_cdc_chunks" -> q91Sql,
     "q92_bm25_search" -> q92Sql,
     "q93_rare_bigram_rate" -> q93Sql,
+    "q95_bpe_merges" -> q95Sql,
   )
 }
