@@ -39,7 +39,9 @@ import graft.core.ScratchCache
   *     (a) misses when contention poisons ALL R sweeps of a heavy
   *     query (r4: three queries sat at 10–15 s in every sweep vs ~3 s
   *     isolated, and no re-time fired because best ≈ median). The
-  *     floor bounds the extra work to the handful of heavy queries.
+  *     floor bounds the extra work to the handful of heavy queries and
+  *     applies even for single-sweep runs (runs = 1), where it is the
+  *     only contention defense available.
   *     The reported per-query value is min(median, re-time); the raw
   *     re-times are emitted under "queries_retimed", the worst sweep
   *     under "queries_max", and the UN-adjusted sweep median under
@@ -103,7 +105,7 @@ object Bench {
     val retimeFloor = sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "5.0").toDouble
     val retimed: Map[String, Double] = prelim.collect {
       case (name, med, best, _, true)
-        if runs > 1 && (med > 3 * best || med > retimeFloor) =>
+        if (runs > 1 && med > 3 * best) || med > retimeFloor =>
         System.gc()
         name -> timeOne(name)
     }.collect { case (name, (t, true)) => name -> t }.toMap

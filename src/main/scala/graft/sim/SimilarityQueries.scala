@@ -709,6 +709,69 @@ object SimilarityQueries extends QueryCatalog {
        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
        |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Document-clustering report — the corpus-curation view over the
+    * trained k-means index that q54/q78/q90 search: one row per
+    * cluster with its population, its dominant label, and an
+    * exact-integer label-purity score (ppm). This is the operator a
+    * data pipeline runs to DECIDE things about a corpus (which
+    * clusters to downsample, which are single-domain spam, whether
+    * the embedding space separates sources) rather than to search it.
+    *
+    * Scale shape: the assignment is the same broadcast-centroids
+    * linear pass as the IVF index build (nothing new is shuffled at
+    * corpus scale); the report itself aggregates to NCells rows, and
+    * the dominant label comes from a (cluster, label)-keyed partial
+    * aggregation — cardinality clusters × labels, tiny at any corpus
+    * size. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val byLabel = ivfRanked(s, dir).filter($"rn" === 1)
+      .groupBy($"cent_id".as("cluster"), $"label")
+      .agg(count(lit(1)).as("n"))
+    byLabel
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy($"cluster").orderBy($"n".desc, $"label")))
+      .groupBy($"cluster")
+      .agg(sum($"n").cast("long").as("n_vecs"),
+        max(when($"lrn" === 1, $"label")).as("top_label"),
+        max(when($"lrn" === 1, $"n")).cast("long").as("n_top"))
+      .withColumn("purity_ppm", expr("(n_top * 1000000) DIV n_vecs"))
+      .orderBy($"cluster")
+  }
+  private val q99Sql =
+    s"""WITH e AS ($withVecSql),
+       |$trainedCentsSqlCtes,
+       |assigned AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT e.vec_id, e.label, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv) / (e.norm * c.cnorm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |by_label AS (
+       |  SELECT cell AS cluster, label, count(*) AS n FROM assigned GROUP BY 1, 2
+       |),
+       |ranked AS (
+       |  SELECT cluster, label, n,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS lrn
+       |  FROM by_label
+       |)
+       |SELECT cluster, n_vecs, top_label, n_top,
+       |  (n_top * 1000000) // n_vecs AS purity_ppm
+       |FROM (
+       |  SELECT cluster,
+       |    CAST(sum(n) AS BIGINT) AS n_vecs,
+       |    max(CASE WHEN lrn = 1 THEN label END) AS top_label,
+       |    CAST(max(CASE WHEN lrn = 1 THEN n END) AS BIGINT) AS n_top
+       |  FROM ranked
+       |  GROUP BY 1
+       |)
+       |ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -721,6 +784,7 @@ object SimilarityQueries extends QueryCatalog {
     "q87_random_projection" -> q87,
     "q88_knn_label" -> q88,
     "q90_semdedup" -> q90,
+    "q99_doc_clusters" -> q99,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -735,5 +799,6 @@ object SimilarityQueries extends QueryCatalog {
     "q87_random_projection" -> q87Sql,
     "q88_knn_label" -> q88Sql,
     "q90_semdedup" -> q90Sql,
+    "q99_doc_clusters" -> q99Sql,
   )
 }

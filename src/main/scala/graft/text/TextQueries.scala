@@ -922,6 +922,105 @@ object TextQueries extends QueryCatalog {
        |ORDER BY n_occurrences DESC, pair
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Hashing-trick linear quality classifier — fastText-style INFERENCE
+    * shape: each token hashes into one of 256 feature buckets (first
+    * md5 byte, the q83 instr() idiom both engines share bit-for-bit)
+    * and the document's score is the sum of the buckets' weights. The
+    * weight table is a deterministic stand-in (w[b] = b − 128 — real
+    * trained weights aren't cross-engine replayable), but the shape is
+    * the production one: a real model's weight row rides along exactly
+    * like this hash-indexed lookup.
+    *
+    * Scale shape: the whole classifier is ONE codegen'd per-row HOF
+    * aggregate — zero shuffles before the output sort (pinned in
+    * QualityClassifierSpec), so at 100 TB it is a pure map-side scan,
+    * embarrassingly parallel across any number of executors. */
+  private def featW(t: String) =
+    s"(instr('0123456789abcdef', substr(md5(concat('feat|', $t)), 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substr(md5(concat('feat|', $t)), 2, 1)) - 1) - 128"
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 1)
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_toks"),
+        expr(s"aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + CAST(${featW("t")} AS BIGINT))")
+          .as("score"))
+      .withColumn("keep", when($"score" > 0, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+  private val q96Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_toks,
+       |  CAST(list_sum(list_transform(toks, t -> ${featW("t")})) AS BIGINT) AS score,
+       |  CAST(CASE WHEN list_sum(list_transform(toks, t -> ${featW("t")})) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |WHERE len(toks) >= 1
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q97
+  /** Unigram-LM surprisal filter — the KenLM-lite quality gate: a
+    * token's surprisal is the bit-length of total_tokens/count(token)
+    * (an exact-integer ⌊log₂ 1/p⌋+1 via length(bin(x)), the q85 trick —
+    * never FP log, which rounds differently across engines). Documents
+    * are scored by their mean token surprisal in ppm; rare-token-heavy
+    * (high-perplexity) docs fail the gate.
+    *
+    * Scale shape: token-frequency aggregation (the shuffle the corpus
+    * LM needs anyway), a VOCABULARY-sized frame joined back BROADCAST
+    * (a 10 M-type vocab is megabytes next to a 100 TB corpus), one
+    * per-doc aggregation. The corpus total rides on the broadcast side
+    * as a 1-row cross join — no driver collect. The tf frame is
+    * persisted (ScratchCache, drained per query by the runners) so the
+    * corpus is tokenized ONCE — the vocab and total branches would
+    * otherwise each re-derive it from parquet (observed: 3 corpus
+    * scans in the unpersisted plan; at 100 TB each is a full pass). */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = graft.core.ScratchCache.persist(Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(toksExpr)).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy($"t").agg(sum($"tf").as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select($"t", length(bin(expr("total DIV cnt"))).cast("long").as("bits"))
+    tf.join(broadcast(scored), "t")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").cast("long").as("n_toks"),
+        sum($"tf" * $"bits").cast("long").as("sum_bits"))
+      .withColumn("mean_bits_ppm", expr("(sum_bits * 1000000) DIV n_toks"))
+      .withColumn("keep", when($"mean_bits_ppm" <= 10000000L, 1L).otherwise(0L))
+      .select($"doc_id", $"n_toks", $"sum_bits", $"mean_bits_ppm", $"keep")
+      .orderBy($"doc_id")
+  }
+  private val q97Sql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |  GROUP BY 1, 2
+       |),
+       |vocab AS (SELECT t, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+       |scored AS (
+       |  SELECT t, CAST(length(bin(total // cnt)) AS BIGINT) AS bits
+       |  FROM vocab CROSS JOIN tot
+       |)
+       |SELECT doc_id, n_toks, sum_bits,
+       |  (sum_bits * 1000000) // n_toks AS mean_bits_ppm,
+       |  CAST(CASE WHEN (sum_bits * 1000000) // n_toks <= 10000000
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (
+       |  SELECT tf.doc_id,
+       |    CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+       |    CAST(sum(tf.tf * s.bits) AS BIGINT) AS sum_bits
+       |  FROM tf JOIN scored s USING (t)
+       |  GROUP BY 1
+       |)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -946,6 +1045,8 @@ object TextQueries extends QueryCatalog {
     "q92_bm25_search" -> q92,
     "q93_rare_bigram_rate" -> q93,
     "q95_bpe_merges" -> q95,
+    "q96_quality_classifier" -> q96,
+    "q97_token_surprisal" -> q97,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -972,5 +1073,7 @@ object TextQueries extends QueryCatalog {
     "q92_bm25_search" -> q92Sql,
     "q93_rare_bigram_rate" -> q93Sql,
     "q95_bpe_merges" -> q95Sql,
+    "q96_quality_classifier" -> q96Sql,
+    "q97_token_surprisal" -> q97Sql,
   )
 }
