@@ -21,9 +21,9 @@ import graft.apps.{InvertedIndex, WordCount}
 object TextQueries extends QueryCatalog {
 
   /** `\s+` tokens with empties dropped, as a SQL expression over `text`. */
-  private val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
+  private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
   /** DuckDB twin of [[toksExpr]]. */
-  private val toksSql = raw"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+  private[graft] val toksSql = raw"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 
   // ---------------------------------------------------------------- q30
   /** Reference app 1 (WordCount) over documents.text. */
@@ -936,7 +936,7 @@ object TextQueries extends QueryCatalog {
     * aggregate — zero shuffles before the output sort (pinned in
     * QualityClassifierSpec), so at 100 TB it is a pure map-side scan,
     * embarrassingly parallel across any number of executors. */
-  private def featW(t: String) =
+  private[graft] def featW(t: String) =
     s"(instr('0123456789abcdef', substr(md5(concat('feat|', $t)), 1, 1)) - 1) * 16 + " +
       s"(instr('0123456789abcdef', substr(md5(concat('feat|', $t)), 2, 1)) - 1) - 128"
   private def q96(s: SparkSession, dir: String): DataFrame = {
@@ -1021,6 +1021,74 @@ object TextQueries extends QueryCatalog {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Token-budget corpus selection — the "best N tokens" curation op:
+    * rank every document by quality (q96's classifier score, ties by
+    * doc_id) and keep documents greedily, best-first, until a global
+    * token budget is exhausted (budget = half the corpus tokens,
+    * derived from the data so the query scales with it). Each doc gets
+    * its running cumulative token count and a keep verdict.
+    *
+    * Scale shape — a global ordered prefix sum WITHOUT a global
+    * single-partition window: the sort key's leading term (the score)
+    * partitions the corpus into integer buckets, so cum(doc) =
+    * offset(score) + within-bucket prefix, where
+    *  - the within-bucket prefix is a window PARTITIONED by score
+    *    (parallel across buckets, bounded by the largest bucket), and
+    *  - offset(score) comes from the per-score totals frame — a
+    *    distinct-scores-sized aggregate (a few hundred rows at any
+    *    corpus size, since scores are bounded sums of [-128,127]
+    *    buckets over bounded doc lengths) whose own prefix window runs
+    *    single-partition over that TINY frame and is broadcast back.
+    * The budget rides the same broadcast (1-row aggregate, q97 idiom).
+    * TokenBudgetSpec pins the two-phase sum against a global-window
+    * reference and the no-global-doc-window plan shape. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir)
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_toks"),
+          expr(s"aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + CAST(${featW("t")} AS BIGINT))")
+            .as("score")))
+    val budget = scored.agg(expr("sum(n_toks) DIV 2").as("budget"))
+    val offsets = scored.groupBy($"score").agg(sum($"n_toks").as("btot"))
+      .withColumn("offset", coalesce(sum($"btot").over(
+        Window.orderBy($"score".desc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"score", $"offset")
+    scored
+      .withColumn("cum_in", sum($"n_toks").over(
+        Window.partitionBy($"score").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), "score")
+      .crossJoin(broadcast(budget))
+      .select($"doc_id", $"score", $"n_toks",
+        ($"offset" + $"cum_in").cast("long").as("cum_tokens"),
+        when($"offset" + $"cum_in" <= $"budget", 1L).otherwise(0L).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val q101Sql =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(list_sum(list_transform(toks, t -> ${featW("t")})) AS BIGINT) AS score
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 1
+       |),
+       |tot AS (SELECT sum(n_toks) // 2 AS budget FROM scored)
+       |SELECT doc_id, score, n_toks, cum_tokens,
+       |  CAST(CASE WHEN cum_tokens <= budget THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM (
+       |  SELECT doc_id, score, n_toks,
+       |    CAST(sum(n_toks) OVER (ORDER BY score DESC, doc_id
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM scored
+       |) CROSS JOIN tot
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -1047,6 +1115,7 @@ object TextQueries extends QueryCatalog {
     "q95_bpe_merges" -> q95,
     "q96_quality_classifier" -> q96,
     "q97_token_surprisal" -> q97,
+    "q101_token_budget" -> q101,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1075,5 +1144,6 @@ object TextQueries extends QueryCatalog {
     "q95_bpe_merges" -> q95Sql,
     "q96_quality_classifier" -> q96Sql,
     "q97_token_surprisal" -> q97Sql,
+    "q101_token_budget" -> q101Sql,
   )
 }
