@@ -1,0 +1,98 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running total over a globally ordered frame — the
+  * building block for "greedy selection under a budget" (q101) and any
+  * other corpus-wide prefix aggregate.
+  *
+  * A naive `sum(v) OVER (ORDER BY key DESC, id)` moves the WHOLE frame
+  * through one partition. Partitioning the window by `key` alone
+  * (cum = per-key prefix + broadcast per-key offsets) fixes the common
+  * case but leaves a skew hazard: every row sharing the modal key —
+  * e.g. millions of empty-ish documents all scoring 0 — still
+  * serializes through a single partition. This helper decomposes the
+  * sum THREE ways, so no frame bigger than a bounded shard crosses an
+  * unpartitioned window:
+  *
+  *   cum(row) = keyOffset(key)            tiny: one row per distinct key
+  *            + shardOffset(key, shard)   ≤ targetShards rows per key
+  *            + within(key, shard, id)    window over one id-range shard
+  *
+  * `shard = (id − minId) DIV ceil(idRange / targetShards)` is monotone
+  * in `id`, so per-key shard order equals id order and the three-level
+  * sum telescopes to the global running total. The shard-offset join
+  * keys on (key, shard) — the same keys the within-shard window just
+  * hash-partitioned the big side by, so Catalyst reuses that exchange
+  * instead of reshuffling it (pinned in PrefixSumSpec). Only the
+  * per-key totals (distinct-key cardinality) cross the one
+  * unpartitioned window, and they ride back on a broadcast.
+  *
+  * The caller should persist `df` — three branches (bounds, shard
+  * totals, the sharded frame itself) read it; unpersisted, each is a
+  * full input re-scan at corpus scale (q101 feeds its ScratchCache'd
+  * scored frame).
+  *
+  * Rows must be unique by (key, id); `id` is the tiebreak. */
+object PrefixSum {
+
+  /** Adds `cumCol` = running sum of `valCol` over rows ordered by
+    * (`keyCol` DESC, `idCol` ASC). `keyCol`, `idCol`, `valCol` must be
+    * integral; `idCol` unique per key. */
+  def runningTotal(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valCol: String,
+      cumCol: String,
+      targetShards: Int = 1024): DataFrame = {
+    require(targetShards >= 1, s"targetShards must be >= 1, got $targetShards")
+    val key: Column = col(keyCol)
+    val id: Column = col(idCol)
+
+    // id-range shard: bounds derived from the data (1-row aggregate on
+    // a broadcast cross join — no driver collect); integer DIV keeps
+    // the arithmetic exact at any id magnitude.
+    val bounds = df
+      .agg(min(id).cast("long").as("ps_min_id"), max(id).cast("long").as("ps_max_id"))
+      .select(col("ps_min_id"),
+        greatest(lit(1L),
+          expr(s"(ps_max_id - ps_min_id + $targetShards) DIV $targetShards")).as("ps_w"))
+    // persisted: three branches (within-shard window, shard totals,
+    // key totals) read the sharded frame — one materialization, not
+    // three crossJoin+DIV recomputes (drained by the query runners)
+    val sharded = ScratchCache.persist(df.crossJoin(broadcast(bounds))
+      .withColumn("ps_shard", expr(s"(`$idCol` - ps_min_id) DIV ps_w"))
+      .drop("ps_min_id", "ps_w"))
+
+    val wIn = Window.partitionBy(key, col("ps_shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = sharded.withColumn("ps_in", sum(col(valCol)).over(wIn))
+
+    // per-(key, shard) totals → offsets of earlier shards within the key
+    val shardTot = sharded.groupBy(key.as("ps_k"), col("ps_shard").as("ps_s"))
+      .agg(sum(col(valCol)).as("ps_st"))
+    val wShard = Window.partitionBy(col("ps_k")).orderBy(col("ps_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOff = shardTot
+      .withColumn("ps_soff", coalesce(sum(col("ps_st")).over(wShard), lit(0L)))
+      .select(col("ps_k"), col("ps_s"), col("ps_soff"))
+
+    // per-key totals → offsets of higher keys; distinct-key-sized
+    // frame, the ONLY unpartitioned window, broadcast back
+    val keyTot = shardTot.groupBy(col("ps_k").as("ps_k2")).agg(sum(col("ps_st")).as("ps_kt"))
+    val wKey = Window.orderBy(col("ps_k2").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keyOff = keyTot
+      .withColumn("ps_koff", coalesce(sum(col("ps_kt")).over(wKey), lit(0L)))
+      .select(col("ps_k2"), col("ps_koff"))
+
+    withIn
+      .join(shardOff, key === col("ps_k") && col("ps_shard") === col("ps_s"))
+      .join(broadcast(keyOff), key === col("ps_k2"))
+      .withColumn(cumCol, (col("ps_koff") + col("ps_soff") + col("ps_in")).cast("long"))
+      .drop("ps_shard", "ps_in", "ps_k", "ps_s", "ps_soff", "ps_k2", "ps_koff")
+  }
+}

@@ -1030,22 +1030,19 @@ object TextQueries extends QueryCatalog {
     * its running cumulative token count and a keep verdict.
     *
     * Scale shape — a global ordered prefix sum WITHOUT a global
-    * single-partition window: the sort key's leading term (the score)
-    * partitions the corpus into integer buckets, so cum(doc) =
-    * offset(score) + within-bucket prefix, where
-    *  - the within-bucket prefix is a window PARTITIONED by score
-    *    (parallel across buckets, bounded by the largest bucket), and
-    *  - offset(score) comes from the per-score totals frame — a
-    *    distinct-scores-sized aggregate (a few hundred rows at any
-    *    corpus size, since scores are bounded sums of [-128,127]
-    *    buckets over bounded doc lengths) whose own prefix window runs
-    *    single-partition over that TINY frame and is broadcast back.
-    * The budget rides the same broadcast (1-row aggregate, q97 idiom).
-    * TokenBudgetSpec pins the two-phase sum against a global-window
-    * reference and the no-global-doc-window plan shape. */
+    * single-partition window: [[graft.core.PrefixSum.runningTotal]]
+    * decomposes cum(doc) into key offset (score) + shard offset
+    * (id-range shard within the score) + a within-shard window, so
+    * even a corpus where ONE score dominates (millions of empty-ish
+    * docs all scoring 0) never serializes a document-sized frame
+    * through a single partition — the modal-key skew hazard a plain
+    * partition-by-score prefix sum keeps. The budget rides a broadcast
+    * 1-row aggregate (q97 idiom). TokenBudgetSpec pins the decomposed
+    * sum against a global-window reference and the
+    * no-global-doc-window plan shape; PrefixSumSpec stresses the
+    * helper on adversarial single-key and sparse-id frames. */
   private def q101(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val scored = graft.core.ScratchCache.persist(
       Tables.documents(s, dir)
         .select($"doc_id", expr(toksExpr).as("toks"))
@@ -1055,19 +1052,10 @@ object TextQueries extends QueryCatalog {
           expr(s"aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + CAST(${featW("t")} AS BIGINT))")
             .as("score")))
     val budget = scored.agg(expr("sum(n_toks) DIV 2").as("budget"))
-    val offsets = scored.groupBy($"score").agg(sum($"n_toks").as("btot"))
-      .withColumn("offset", coalesce(sum($"btot").over(
-        Window.orderBy($"score".desc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"score", $"offset")
-    scored
-      .withColumn("cum_in", sum($"n_toks").over(
-        Window.partitionBy($"score").orderBy($"doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsets), "score")
+    graft.core.PrefixSum.runningTotal(scored, "score", "doc_id", "n_toks", "cum_tokens")
       .crossJoin(broadcast(budget))
-      .select($"doc_id", $"score", $"n_toks",
-        ($"offset" + $"cum_in").cast("long").as("cum_tokens"),
-        when($"offset" + $"cum_in" <= $"budget", 1L).otherwise(0L).as("keep"))
+      .select($"doc_id", $"score", $"n_toks", $"cum_tokens",
+        when($"cum_tokens" <= $"budget", 1L).otherwise(0L).as("keep"))
       .orderBy($"doc_id")
   }
   private val q101Sql =

@@ -51,14 +51,14 @@ class TokenBudgetSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     // Window nodes print [exprs], [partitionSpec], [orderSpec]; an
     // UNPARTITIONED window prints only [exprs], [orderSpec]. The
-    // within-bucket prefix must be partitioned by score; the only
-    // unpartitioned window allowed is over the per-score totals frame,
-    // which sits above the bucket aggregation (HashAggregate).
+    // within-shard prefix must be partitioned by (score, ps_shard);
+    // the only unpartitioned window allowed is over the per-score
+    // totals frame (distinct-key cardinality).
     val windows = plan.linesIterator.filter(_.contains("Window [")).toList
     assert(windows.nonEmpty, plan)
     val unpartitioned = windows.filterNot(_.matches(".*\\], \\[.*\\], \\[.*"))
     assert(unpartitioned.size <= 1, s"more than one unpartitioned window:\n${windows.mkString("\n")}")
-    assert(windows.exists(_.matches(".*\\], \\[score#[0-9]+L?\\], \\[.*")),
-      s"within-bucket window must be partitioned by score:\n${windows.mkString("\n")}")
+    assert(windows.exists(_.matches(".*\\], \\[score#[0-9]+L?, ps_shard#[0-9]+L?\\], \\[.*")),
+      s"within-shard window must be partitioned by (score, ps_shard):\n${windows.mkString("\n")}")
   }
 }
