@@ -115,6 +115,31 @@ class SkewStressSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("q98: containment verification stays confined to the capped candidate set") {
+    assume(ready)
+    val candidates = run("q42_dedup_lsh_pairs").count()
+    val contained = run("q98_containment_dedup").count()
+    // one containment row per banded candidate — the cap that bounds
+    // q42's fan-out bounds q98's verification work identically
+    assert(contained == candidates,
+      s"q98 produced $contained rows for $candidates banded candidates")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q100: one canonical per cluster under over-cap spam/template skew") {
+    assume(ready)
+    val out = run("q100_canonical_docs").cache()
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(col("is_canonical")).as("n_canon"))
+      .filter(col("n_canon") =!= 1L).count()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val rows = out.count()
+    out.unpersist()
+    assert(perCluster == 0L, s"$perCluster clusters without exactly one canonical")
+    assert(rows == docs, s"q100 must emit one row per doc ($rows vs $docs)")
+    graft.core.ScratchCache.drain()
+  }
+
   test("q68: df stays broadcast under stopword saturation (no shuffle join on the hot term)") {
     assume(ready)
     val df = run("q68_tfidf_topterms")
