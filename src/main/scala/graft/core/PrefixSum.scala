@@ -53,19 +53,25 @@ object PrefixSum {
     val id: Column = col(idCol)
 
     // id-range shard: bounds derived from the data (1-row aggregate on
-    // a broadcast cross join — no driver collect); integer DIV keeps
-    // the arithmetic exact at any id magnitude.
+    // a broadcast cross join — no driver collect). Ids are biased into
+    // unsigned order as DECIMAL(21,0) — wide enough for the full 2^64
+    // span — because 64-bit-hash ids legitimately span most of the
+    // Long range, where a raw `max - min` difference wraps negative
+    // and silently breaks shard monotonicity.
+    val bias = "9223372036854775808" // 2^63: Long.MinValue → 0
+    def biased(c: String) = s"(CAST($c AS DECIMAL(21,0)) + $bias)"
     val bounds = df
-      .agg(min(id).cast("long").as("ps_min_id"), max(id).cast("long").as("ps_max_id"))
-      .select(col("ps_min_id"),
+      .agg(expr(s"${biased(s"min(`$idCol`)")}").as("ps_min_b"),
+        expr(s"${biased(s"max(`$idCol`)")}").as("ps_max_b"))
+      .select(col("ps_min_b"),
         greatest(lit(1L),
-          expr(s"(ps_max_id - ps_min_id + $targetShards) DIV $targetShards")).as("ps_w"))
+          expr(s"(ps_max_b - ps_min_b + $targetShards) DIV $targetShards")).as("ps_w"))
     // persisted: three branches (within-shard window, shard totals,
     // key totals) read the sharded frame — one materialization, not
     // three crossJoin+DIV recomputes (drained by the query runners)
     val sharded = ScratchCache.persist(df.crossJoin(broadcast(bounds))
-      .withColumn("ps_shard", expr(s"(`$idCol` - ps_min_id) DIV ps_w"))
-      .drop("ps_min_id", "ps_w"))
+      .withColumn("ps_shard", expr(s"(${biased(s"`$idCol`")} - ps_min_b) DIV ps_w"))
+      .drop("ps_min_b", "ps_w"))
 
     val wIn = Window.partitionBy(key, col("ps_shard")).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -936,9 +936,24 @@ object TextQueries extends QueryCatalog {
     * aggregate — zero shuffles before the output sort (pinned in
     * QualityClassifierSpec), so at 100 TB it is a pure map-side scan,
     * embarrassingly parallel across any number of executors. */
-  private[graft] def featW(t: String) =
-    s"(instr('0123456789abcdef', substr(md5(concat('feat|', $t)), 1, 1)) - 1) * 16 + " +
-      s"(instr('0123456789abcdef', substr(md5(concat('feat|', $t)), 2, 1)) - 1) - 128"
+  private def featWeightFromHex(h: String) =
+    s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substr($h, 2, 1)) - 1) - 128"
+  /** Classifier score over a `toks` array column — ONE md5 per token:
+    * the digests are materialized by an inner transform, then the
+    * weight lambda reads two hex chars of each digest. Inlining the
+    * digest into the weight expression instead would evaluate md5
+    * twice per token (no CSE inside HOF lambdas, and ArrayAggregate is
+    * CodegenFallback) — measured as the dominant per-row cost of
+    * q96/q100/q101. NULL for a NULL toks array; 0 for an empty one. */
+  private[graft] val scoreExpr =
+    "aggregate(transform(toks, t -> md5(concat('feat|', t))), CAST(0 AS BIGINT), " +
+      s"(a, h) -> a + CAST(${featWeightFromHex("h")} AS BIGINT))"
+  /** DuckDB twin of [[scoreExpr]] (NULL on empty or NULL lists —
+    * coalesce at use sites that keep empty docs). */
+  private[graft] val scoreSql =
+    "CAST(list_sum(list_transform(list_transform(toks, t -> md5(concat('feat|', t))), " +
+      s"h -> ${featWeightFromHex("h")})) AS BIGINT)"
   private def q96(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -946,16 +961,15 @@ object TextQueries extends QueryCatalog {
       .filter(size($"toks") >= 1)
       .select($"doc_id",
         size($"toks").cast("long").as("n_toks"),
-        expr(s"aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + CAST(${featW("t")} AS BIGINT))")
-          .as("score"))
+        expr(scoreExpr).as("score"))
       .withColumn("keep", when($"score" > 0, 1L).otherwise(0L))
       .orderBy($"doc_id")
   }
   private val q96Sql =
     s"""SELECT doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_toks,
-       |  CAST(list_sum(list_transform(toks, t -> ${featW("t")})) AS BIGINT) AS score,
-       |  CAST(CASE WHEN list_sum(list_transform(toks, t -> ${featW("t")})) > 0
+       |  $scoreSql AS score,
+       |  CAST(CASE WHEN $scoreSql > 0
        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |WHERE len(toks) >= 1
@@ -1049,8 +1063,7 @@ object TextQueries extends QueryCatalog {
         .filter(size($"toks") >= 1)
         .select($"doc_id",
           size($"toks").cast("long").as("n_toks"),
-          expr(s"aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + CAST(${featW("t")} AS BIGINT))")
-            .as("score")))
+          expr(scoreExpr).as("score")))
     val budget = scored.agg(expr("sum(n_toks) DIV 2").as("budget"))
     graft.core.PrefixSum.runningTotal(scored, "score", "doc_id", "n_toks", "cum_tokens")
       .crossJoin(broadcast(budget))
@@ -1062,7 +1075,7 @@ object TextQueries extends QueryCatalog {
     s"""WITH scored AS (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_toks,
-       |    CAST(list_sum(list_transform(toks, t -> ${featW("t")})) AS BIGINT) AS score
+       |    $scoreSql AS score
        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |  WHERE len(toks) >= 1
        |),

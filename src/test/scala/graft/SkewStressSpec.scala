@@ -115,14 +115,21 @@ class SkewStressSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
-  test("q98: containment verification stays confined to the capped candidate set") {
+  test("q98: hot shingles are capped — over-cap spam docs beyond the cap never pair") {
     assume(ready)
-    val candidates = run("q42_dedup_lsh_pairs").count()
-    val contained = run("q98_containment_dedup").count()
-    // one containment row per banded candidate — the cap that bounds
-    // q42's fan-out bounds q98's verification work identically
-    assert(contained == candidates,
-      s"q98 produced $contained rows for $candidates banded candidates")
+    val cap = 64 // Banding.MaxBandBucket
+    val pairs = run("q98_containment_dedup").cache()
+    // every shingle of the 120 identical spam docs is held by all of
+    // them → the inverted index keeps the cap lowest ids per shingle,
+    // so no spam doc beyond spamLo+cap can appear in any pair
+    val beyondCap = pairs.filter(
+      between(col("doc_a"), spamLo + cap, spamHi) || between(col("doc_b"), spamLo + cap, spamHi)).count()
+    val spamSpam = pairs.filter(between(col("doc_a"), spamLo, spamHi) &&
+      between(col("doc_b"), spamLo, spamHi)).count()
+    pairs.unpersist()
+    assert(beyondCap == 0L, s"$beyondCap pairs involve spam docs the cap should have truncated")
+    assert(spamSpam > 0L && spamSpam <= cap.toLong * (cap - 1) / 2,
+      s"spam-spam pair count $spamSpam outside (0, cap^2/2]")
     graft.core.ScratchCache.drain()
   }
 

@@ -44,6 +44,14 @@ class PrefixSumSpec extends SparkTestBase {
     check(rows, targetShards = 4096) // more shards than rows
   }
 
+  test("ids spanning the full Long range — the 64-bit-hash-id regime where raw max-min wraps") {
+    val rnd = new scala.util.Random(7)
+    val ids = (Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L) ++
+      (0 until 500).map(_ => rnd.nextLong())).distinct
+    val rows = ids.zipWithIndex.map { case (id, i) => ((i % 4).toLong, id, (i % 9 + 1).toLong) }
+    check(rows, targetShards = 32)
+  }
+
   test("single row and empty frame") {
     check(Seq((7L, 1L, 42L)), targetShards = 8)
     import spark.implicits._
