@@ -24,6 +24,30 @@ object EventStreams {
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream–static enrichment: each event joins the STATIC customer
+    * dimension (broadcast — the stream side never shuffles for the
+    * join, and Structured Streaming plans stream-static equi-joins
+    * STATELESS: no join state accumulates across micro-batches, the
+    * dimension is just re-broadcast), then aggregates per (1-hour
+    * window, market segment). The classic streaming-enrichment shape:
+    * at scale the only state is the windowed aggregate, bounded by
+    * the watermark; the dimension can be arbitrarily refreshed
+    * between restarts without touching state. Works on batch and
+    * streaming frames; [[enrichedSegmentCountsStream]] adds the
+    * watermark. */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("c_mktsegment"), col("n"), col("sum_value"))
+
+  /** Watermarked streaming variant of [[enrichedSegmentCounts]]. */
+  def enrichedSegmentCountsStream(events: DataFrame, customers: DataFrame): DataFrame =
+    enrichedSegmentCounts(events.withWatermark("ts", "30 minutes"), customers)
+
   /** Sliding 10-minute window every 5 minutes: event counts. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -145,6 +145,23 @@ object StreamQueries extends QueryCatalog {
       |FROM t WHERE k >= 1
       |ORDER BY user_id, m""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Batch twin of the stream–static enrichment
+    * ([[EventStreams.enrichedSegmentCounts]]): events joined to the
+    * broadcast customer dimension, aggregated per (hour window,
+    * market segment). The streaming run (stateless join, watermarked
+    * agg, batch/stream agreement) is StreamingSpec's job. */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    EventStreams.enrichedSegmentCounts(Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy(col("w_start"), col("c_mktsegment"))
+  private val q102Sql =
+    s"""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+       |  c_mktsegment, count(*) AS n,
+       |  ${Det.sqlSum("value")} AS sum_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY w_start, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
@@ -152,6 +169,7 @@ object StreamQueries extends QueryCatalog {
     "q63_stream_interval_join" -> q63,
     "q64_stream_dedup" -> q64,
     "q77_stream_threshold_alerts" -> q77,
+    "q102_stream_static_enrich" -> q102,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -161,5 +179,6 @@ object StreamQueries extends QueryCatalog {
     "q63_stream_interval_join" -> q63Sql,
     "q64_stream_dedup" -> q64Sql,
     "q77_stream_threshold_alerts" -> q77Sql,
+    "q102_stream_static_enrich" -> q102Sql,
   )
 }

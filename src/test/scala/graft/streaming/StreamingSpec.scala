@@ -175,6 +175,34 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq(1L, 2L, 3L, 4L, 5L), s"got $rows")
   }
 
+  test("stream-static enrichment joins the broadcast dimension statelessly; batch and stream agree") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val data = Seq((tsAt(9, 5), 1L, 10.0), (tsAt(9, 30), 2L, 5.0),
+      (tsAt(10, 5), 1L, 2.5), (tsAt(10, 6), 3L, 99.0)) // user 3: no dim row → dropped
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStreams.enrichedSegmentCountsStream(
+        input.toDF().toDF("ts", "user_id", "value"), dims)
+      .writeStream.format("memory").queryName("enrich_test").outputMode("complete").start()
+    try {
+      // two batches: the dimension must enrich both without join state
+      input.addData(data.take(2): _*)
+      q.processAllAvailable()
+      input.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventStreams.enrichedSegmentCounts(data.toDF("ts", "user_id", "value"), dims)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(!streamed.exists(_._4 == 99.0), "dimension-less user must not survive the inner join")
+      // stateless join: the only stateful operator is the windowed agg
+      assert(q.lastProgress.stateOperators.length == 1,
+        s"expected 1 stateful operator (the window agg), got ${q.lastProgress.stateOperators.length}")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree for on-time data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
