@@ -122,6 +122,31 @@ object EventStreams {
         col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
   }
 
+  /** Stream–stream LEFT OUTER interval join — [[clickPurchaseJoinStream]]
+    * plus a null-padded row for every click with NO purchase inside the
+    * horizon (the funnel's "did-not-convert" signal, which the inner
+    * variant silently drops). In streaming mode the padded row is held
+    * in the state store and emitted only once BOTH watermarks pass the
+    * click's horizon — the point where no matching purchase can still
+    * arrive — so outer results are late by one watermark advance but
+    * never wrong (StreamingSpec pins exactly that). In batch mode the
+    * same transform is a plain left outer join, which is what the
+    * DuckDB oracle checks via q103. State bound: identical to the
+    * inner variant — the time-bound join condition lets expired clicks
+    * leave the store. */
+  def clickPurchaseLeftJoinStream(clicks: DataFrame, purchases: DataFrame,
+                                  horizonMinutes: Int = 60): DataFrame = {
+    val c = clicks.withWatermark("ts", s"$horizonMinutes minutes").alias("c")
+    val p = purchases.withWatermark("ts", s"$horizonMinutes minutes").alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+         |p.ts >= c.ts AND
+         |p.ts <= c.ts + INTERVAL $horizonMinutes MINUTES""".stripMargin), "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        col("c.click_id"), col("p.purchase_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"))
+  }
+
   /** Arbitrary custom state via mapGroupsWithState: cumulative per-user
     * event count across micro-batches (the `GroupState` path for
     * semantics window()/session_window can't express). Update mode:

@@ -162,6 +162,35 @@ object StreamQueries extends QueryCatalog {
        |GROUP BY 1, 2
        |ORDER BY w_start, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Batch twin of the stream–stream LEFT OUTER interval join
+    * ([[EventStreams.clickPurchaseLeftJoinStream]]): q63's clicks ⋈
+    * purchases within 60 minutes, plus a null-padded row per
+    * unconverted click. Batch mode is a plain left outer join (what
+    * the oracle checks); the streaming-only behavior — outer rows
+    * emitted only after both watermarks pass the click's horizon — is
+    * StreamingSpec's job. Scale shape: same as q63 (equi-join on
+    * user_id, interval as join filter); outer rows add no state beyond
+    * what the inner join already holds. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts"), col("user_id"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("user_id"), col("event_id").as("purchase_id"))
+    EventStreams.clickPurchaseLeftJoinStream(clicks, purchases)
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+  private val q103Sql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
@@ -170,6 +199,7 @@ object StreamQueries extends QueryCatalog {
     "q64_stream_dedup" -> q64,
     "q77_stream_threshold_alerts" -> q77,
     "q102_stream_static_enrich" -> q102,
+    "q103_stream_left_join" -> q103,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,5 +210,6 @@ object StreamQueries extends QueryCatalog {
     "q64_stream_dedup" -> q64Sql,
     "q77_stream_threshold_alerts" -> q77Sql,
     "q102_stream_static_enrich" -> q102Sql,
+    "q103_stream_left_join" -> q103Sql,
   )
 }

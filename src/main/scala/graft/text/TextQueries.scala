@@ -1090,6 +1090,119 @@ object TextQueries extends QueryCatalog {
        |) CROSS JOIN tot
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
+    * adapted to this corpus's no-newline docs): a document survives
+    * only if it passes EVERY structural rule —
+    *   r_wordcount:  50 ≤ tokens ≤ 100 000
+    *   r_wordlen:    mean token length in [3, 10]
+    *   r_stop:       ≥ 2 stopword hits (union list across languages)
+    *   r_repetition: ≤ half the tokens are repeats of an earlier token
+    * Where Gopher thresholds are fractional (mean word length), the
+    * comparison is cross-multiplied onto exact integers
+    * (3·n ≤ chars ≤ 10·n) so no engine ever divides — the q93
+    * integer-arithmetic contract. Unlike q35 (a weighted score for
+    * ranking) this is the hard PASS/FAIL gate pipelines run first.
+    *
+    * Scale shape: one codegen'd per-row pass, zero pre-sort shuffles —
+    * embarrassingly parallel at any corpus size (GopherRulesSpec pins
+    * the rule boundaries). Package-private core for the spec. */
+  private[text] def gopherOf(docs: DataFrame): DataFrame = {
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    docs
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0, (a, t) -> a + length(t))").cast("long").as("token_chars"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        expr(hitsExpr(allStop)).cast("long").as("stop_hits"))
+      .withColumn("r_wordcount", col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+      .withColumn("r_wordlen",
+        col("token_chars") >= col("n_tokens") * 3L && col("token_chars") <= col("n_tokens") * 10L)
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("r_repetition", col("n_distinct") * 2L >= col("n_tokens"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_wordlen") && col("r_stop") && col("r_repetition"))
+  }
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gopherOf(Tables.documents(s, dir)).orderBy($"doc_id")
+  }
+  private val q104Sql = {
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    s"""SELECT doc_id, n_tokens, token_chars, n_distinct, stop_hits,
+       |  (n_tokens BETWEEN 50 AND 100000) AS r_wordcount,
+       |  (token_chars >= n_tokens * 3 AND token_chars <= n_tokens * 10) AS r_wordlen,
+       |  (stop_hits >= 2) AS r_stop,
+       |  (n_distinct * 2 >= n_tokens) AS r_repetition,
+       |  ((n_tokens BETWEEN 50 AND 100000)
+       |   AND token_chars >= n_tokens * 3 AND token_chars <= n_tokens * 10
+       |   AND stop_hits >= 2 AND n_distinct * 2 >= n_tokens) AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    ${hitsSql(allStop)} AS stop_hits
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 1
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q105
+  /** Per-language quality-quantile gate — the DYNAMIC counterpart to
+    * q96's fixed `score > 0` cut: keep each language's top quartile by
+    * classifier score, so the threshold adapts per language instead of
+    * letting one language's score distribution starve another (the
+    * multilingual-curation failure mode a global cut has).
+    *
+    * Determinism: scores are exact integers; percentile(·, 0.75)
+    * interpolates lo + (hi−lo)·0.75 between two integers, and every
+    * operand/step of that expression is exactly representable in a
+    * double (0.75 is a dyadic rational; the scores are far below 2^52),
+    * so Spark's percentile and DuckDB's quantile_cont produce the
+    * bit-identical threshold and `score >= thr` cannot straddle an ulp.
+    *
+    * Scale shape: one linear scoring pass (persisted — the threshold
+    * branch and the filter branch must not re-tokenize the corpus),
+    * a per-lang aggregate of INTEGER SCORES ONLY (never text payloads),
+    * broadcast back — the classic "tiny aggregate, broadcast join"
+    * shape. Caveat, documented honestly: Spark's exact `percentile`
+    * buffers each group's values on its reducer, so the catalog query
+    * is the oracle-checkable exact twin; at 100 TB swap in
+    * `approx_percentile` (bounded-memory sketch, same plan shape) —
+    * the one-line swap QuantileGateSpec demonstrates. */
+  private[text] def quantileGateOf(docs: DataFrame, pct: Double = 0.75,
+                                   exact: Boolean = true): DataFrame = {
+    val scored = graft.core.ScratchCache.persist(docs
+      .select(col("doc_id"), col("lang"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("lang"), expr(scoreExpr).as("score")))
+    val pctExpr = if (exact) s"percentile(score, $pct)"
+                  else s"approx_percentile(score, $pct)"
+    val thr = scored.groupBy(col("lang")).agg(expr(pctExpr).cast("double").as("thr"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("score").cast("double") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("score"), round(col("thr"), 4).as("lang_p75"))
+  }
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantileGateOf(Tables.documents(s, dir)).orderBy($"doc_id")
+  }
+  private val q105Sql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, $scoreSql AS score
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 1
+       |),
+       |thr AS (SELECT lang, quantile_cont(score, 0.75) AS thr FROM scored GROUP BY 1)
+       |SELECT s.doc_id, s.lang, s.score, round(t.thr, 4) AS lang_p75
+       |FROM scored s JOIN thr t USING (lang)
+       |WHERE CAST(s.score AS DOUBLE) >= t.thr
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -1117,6 +1230,8 @@ object TextQueries extends QueryCatalog {
     "q96_quality_classifier" -> q96,
     "q97_token_surprisal" -> q97,
     "q101_token_budget" -> q101,
+    "q104_gopher_rules" -> q104,
+    "q105_quality_quantile" -> q105,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1146,5 +1261,7 @@ object TextQueries extends QueryCatalog {
     "q96_quality_classifier" -> q96Sql,
     "q97_token_surprisal" -> q97Sql,
     "q101_token_budget" -> q101Sql,
+    "q104_gopher_rules" -> q104Sql,
+    "q105_quality_quantile" -> q105Sql,
   )
 }

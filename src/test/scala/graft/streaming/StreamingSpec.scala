@@ -101,6 +101,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded rows for unconverted clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStreams.clickPurchaseLeftJoinStream(
+        clicks.toDF().toDF("ts", "user_id", "click_id"),
+        purchases.toDF().toDF("ts", "user_id", "purchase_id"))
+      .writeStream.format("memory").queryName("ssleft_test").outputMode("append").start()
+    try {
+      clicks.addData((tsAt(10, 0), 1L, 100L), (tsAt(10, 0), 2L, 200L))
+      purchases.addData((tsAt(10, 30), 1L, 900L), // converts click 100
+        (tsAt(12, 0), 2L, 901L))                  // outside click 200's horizon
+      q.processAllAvailable()
+      // the null-padded row for click 200 must NOT be emitted while a
+      // matching purchase could still arrive (watermark below horizon)
+      val early = spark.table("ssleft_test")
+        .filter($"click_id" === 200L).count()
+      assert(early == 0, "outer row emitted before the watermark closed the horizon")
+      // advance both watermarks past every horizon so outer results finalize
+      clicks.addData((tsAt(14, 0), 9L, 999L)); purchases.addData((tsAt(14, 0), 9L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("ssleft_test")
+        .collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet // (click_id, purchase_id?)
+      assert(got.contains((100L, Some(900L))), s"matched row missing: $got")
+      assert(got.contains((200L, None)), s"null-padded row for unconverted click missing: $got")
+      assert(!got.contains((200L, Some(901L))), "purchase beyond the horizon must not join")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps cumulative per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
