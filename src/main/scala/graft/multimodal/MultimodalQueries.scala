@@ -124,15 +124,68 @@ object MultimodalQueries extends QueryCatalog {
       |FROM nrm JOIN b USING (media_id, n)
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Frame-fingerprint dedup across media — the duplicate-scene
+    * primitive of video curation: every frame (all frames, stride 1)
+    * is hashed, and a frame digest appearing in ≥ 2 distinct media
+    * flags shared content (re-uploads, intros, watermark cards).
+    * Frames here are offset-ALIGNED byte slices, the honest contrast
+    * to q91's content-defined chunks: an edit shifts every later
+    * frame, so this catches exact re-use, not shifted re-use — which
+    * is the right (and cheap) first pass for media, where containers
+    * re-encode rather than splice bytes.
+    *
+    * Scale shape: one narrow explode (frames never leave their
+    * partition until the digest agg), shuffle on the 32-byte digest —
+    * never frame payloads — then a hash aggregate. Identical to q40's
+    * exact-dedup shape at frame granularity. */
+  /** Core of q108 over a (media_id, media: binary) frame — package-
+    * private for MultimodalSpec's shared-frame fixtures. */
+  private[multimodal] def frameDedupOf(media: DataFrame, frameBytes: Int = 64): DataFrame =
+    Multimodal.sampleFrames(media, frameBytes = frameBytes, stride = 1)
+      .select(col("media_id"), md5(col("frame")).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("media_id")).as("canonical_media_id"))
+      .filter(col("n_media") >= 2)
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameDedupOf(Tables.documents(s, dir)
+        .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media")))
+      .orderBy($"frame_md5")
+  }
+  // ASCII-corpus note as on q71: DuckDB slices the VARCHAR, the engine
+  // slices the encoded bytes — identical on this corpus.
+  private val q108Sql =
+    """WITH m AS (SELECT doc_id AS media_id, text AS media FROM documents),
+      |idx AS (
+      |  SELECT media_id, media,
+      |    unnest(generate_series(0, CAST((length(media) - 1) // 64 AS INT))) AS frame_no
+      |  FROM m WHERE length(media) > 0
+      |),
+      |fr AS (
+      |  SELECT media_id, md5(substring(media, frame_no * 64 + 1, 64)) AS frame_md5
+      |  FROM idx
+      |)
+      |SELECT frame_md5, count(DISTINCT media_id) AS n_media, count(*) AS n_occurrences,
+      |  min(media_id) AS canonical_media_id
+      |FROM fr
+      |GROUP BY 1
+      |HAVING count(DISTINCT media_id) >= 2
+      |ORDER BY frame_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_meta" -> q70,
     "q71_multimodal_frames" -> q71,
     "q72_multimodal_decode" -> q72,
+    "q108_frame_dedup" -> q108,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q70_multimodal_meta" -> q70Sql,
     "q71_multimodal_frames" -> q71Sql,
     "q72_multimodal_decode" -> q72Sql,
+    "q108_frame_dedup" -> q108Sql,
   )
 }

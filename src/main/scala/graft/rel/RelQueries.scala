@@ -874,6 +874,40 @@ object RelQueries extends QueryCatalog {
       | AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
       |ORDER BY a.user_id, event_id_a, event_id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Salted skew join ([[SaltedJoin]]): enrich a fact stream whose
+    * synthetic key is 70%-hot (event_id % 10 < 7 → key 0) with per-key
+    * reference stats, salting the hot key across 8 reducers. The
+    * oracle states the plain join — salting is semantics-preserving
+    * redistribution, which is exactly the property the oracle check
+    * proves. The `merge` hint pins the shuffle-join path the salt
+    * targets (a broadcast of the small test dim would hide the skew;
+    * at 100 TB the right side is a frame, not a broadcast).
+    * SaltedJoinSpec proves plain≡salted for all four supported join
+    * types and that the hot key really fans out across salt buckets. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.events(s, dir).select(
+      when($"event_id" % 10 < 7, 0L).otherwise(pmod($"user_id", lit(100L)) + 1L).as("sk"),
+      $"event_id", $"value")
+    val dim = fact.groupBy($"sk").agg(count(lit(1)).as("sk_n")).hint("merge")
+    SaltedJoin.join(fact, dim, Seq("sk"), entropy = $"event_id", saltBuckets = 8)
+      .groupBy($"sk", $"sk_n")
+      .agg(count(lit(1)).as("n"), Det.moneySum($"value").as("sum_value"))
+      .orderBy($"sk")
+  }
+  private val q107Sql =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN event_id % 10 < 7 THEN 0 ELSE (user_id % 100) + 1 END AS sk,
+       |    event_id, value
+       |  FROM events
+       |),
+       |dim AS (SELECT sk, count(*) AS sk_n FROM fact GROUP BY 1)
+       |SELECT f.sk AS sk, d.sk_n, count(*) AS n, ${Det.sqlSum("f.value")} AS sum_value
+       |FROM fact f JOIN dim d ON f.sk = d.sk
+       |GROUP BY 1, 2
+       |ORDER BY f.sk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -912,6 +946,7 @@ object RelQueries extends QueryCatalog {
     "q58_array_hof" -> q58,
     "q59_scalar_subquery" -> q59,
     "q65_range_join_pairs" -> q65,
+    "q107_salted_join" -> q107,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -952,5 +987,6 @@ object RelQueries extends QueryCatalog {
     "q58_array_hof" -> q58Sql,
     "q59_scalar_subquery" -> q59Sql,
     "q65_range_join_pairs" -> q65Sql,
+    "q107_salted_join" -> q107Sql,
   )
 }

@@ -55,4 +55,23 @@ class MultimodalSpec extends SparkTestBase {
     val lens = small.select(octet_length($"frame")).collect().map(_.getInt(0)).toSet
     assert(lens == Set(2))
   }
+
+  test("frameDedup flags every frame of a re-upload; a byte shift shares nothing (offset-aligned)") {
+    import spark.implicits._
+    // 40 bytes → 4 DISTINCT frames at frameBytes = 10
+    val payload = "frame-one." + "frame-two." + "framethree" + "frame-four"
+    val shifted = "X" + payload // same content one byte later
+    val media = Seq(
+      1L -> payload, 2L -> payload, // exact re-upload
+      3L -> shifted,
+      4L -> "completely different bytes here!!").toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("media"))
+    val dup = MultimodalQueries.frameDedupOf(media, frameBytes = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the re-upload pair shares all 4 frames, canonical = lowest id,
+    // each duplicated frame digest seen exactly twice
+    assert(dup.length == 4, s"expected the 4 shared frames, got ${dup.toSeq}")
+    assert(dup.forall { case (_, nMedia, nOcc, canon) => nMedia == 2 && nOcc == 2 && canon == 1L },
+      dup.toSeq.toString)
+  }
 }
