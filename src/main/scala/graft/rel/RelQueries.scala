@@ -908,6 +908,43 @@ object RelQueries extends QueryCatalog {
        |GROUP BY 1, 2
        |ORDER BY f.sk""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Window DISTRIBUTION functions — the family q09–q11 doesn't cover:
+    * ntile quartiles, percent_rank, cume_dist, and first/last_value
+    * over a full-partition frame. Determinism: the window orders by
+    * (o_totalprice, o_orderkey) — a TOTAL order — so tile boundaries
+    * and rank positions cannot depend on partitioning; percent_rank =
+    * (rank−1)/(n−1) and cume_dist = rank/n are single IEEE divisions
+    * of exact integers, identical in both engines. Scale shape: one
+    * hash shuffle on the 3-value status key, per-partition sort —
+    * the same cost class as every other window query here. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 4).as("price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first($"o_orderkey").over(w).as("cheapest_key"),
+        last($"o_orderkey").over(full).as("priciest_key"))
+      .orderBy($"o_orderkey")
+  }
+  private val q109Sql =
+    """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS price,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  first_value(o_orderkey) OVER w AS cheapest_key,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -947,6 +984,7 @@ object RelQueries extends QueryCatalog {
     "q59_scalar_subquery" -> q59,
     "q65_range_join_pairs" -> q65,
     "q107_salted_join" -> q107,
+    "q109_window_distribution" -> q109,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -988,5 +1026,6 @@ object RelQueries extends QueryCatalog {
     "q59_scalar_subquery" -> q59Sql,
     "q65_range_join_pairs" -> q65Sql,
     "q107_salted_join" -> q107Sql,
+    "q109_window_distribution" -> q109Sql,
   )
 }
