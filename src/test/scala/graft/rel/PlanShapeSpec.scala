@@ -71,6 +71,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q105: the per-lang threshold joins back by broadcast, never shuffling the scored corpus") {
+    assume(ready)
+    val p = plan("q105_quality_quantile")
+    // the 5-row threshold aggregate must be the broadcast side; a
+    // sort-merge join here would shuffle every scored doc on the
+    // 5-value lang key — the dominant-language reducer at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    graft.core.ScratchCache.drain()
+  }
+
   test("q54: IVF training lineage stays truncated (bounded corpus scans in the plan)") {
     assume(ready)
     val p = plan("q54_sim_ivf")
