@@ -1203,6 +1203,90 @@ object TextQueries extends QueryCatalog {
        |WHERE CAST(s.score AS DOUBLE) >= t.thr
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Temperature-scaled language mixture sampling — the multilingual
+    * rebalancing step (mBERT/XLM-R style): sample quotas proportional
+    * to n_lang^α with α = 0.5, which UP-samples low-resource languages
+    * relative to raw frequency (α = 1) without flattening to uniform
+    * (α = 0). The target total is a fifth of the corpus; quotas are
+    * apportioned by LARGEST REMAINDER so they sum to the target
+    * exactly; the per-lang take is the q76 md5-ranked deterministic
+    * selection.
+    *
+    * Cross-engine determinism: α = 0.5 is deliberate — sqrt is
+    * CORRECTLY ROUNDED under IEEE-754 in both engines, whereas
+    * pow(x, α) for general α is a libm call with no cross-platform
+    * bit guarantee (the q93 contract, FP edition). The rounded sqrt
+    * weight is immediately quantized to an integer (floor(·×10⁶)) and
+    * EVERYTHING downstream — totals, bases, remainders, leftover
+    * assignment — is exact integer arithmetic, so the apportionment
+    * cannot drift between engines.
+    *
+    * Scale shape: the weight/quota frame is |langs| rows (one tiny
+    * aggregate, cross-joined to a 1-row total — the q97 idiom, no
+    * driver collect), joined back BROADCAST; the per-lang ranking
+    * window is the q76 shape (a dynamic quota defeats the
+    * WindowGroupLimit pre-limit, so the production swap for exact
+    * quotas at 100 TB is a q83-style hash-threshold preselection at
+    * quota/n_l + ε followed by this exact rank inside the reduced
+    * candidate set). */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir).select($"doc_id", $"lang"))
+    val n = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val w = n.withColumn("w_l",
+      expr("CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val tot = w.agg(expr("CAST(sum(n_l) DIV 5 AS BIGINT)").as("t"),
+      sum($"w_l").cast("long").as("ww"))
+    val q0 = w.crossJoin(broadcast(tot))
+      .select($"lang", $"n_l", $"t",
+        expr("(t * w_l) DIV ww").as("base"),
+        expr("(t * w_l) % ww").as("rem"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy($"rem".desc, $"lang")
+    val alloc = q0
+      .withColumn("total_base", sum($"base").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("quota",
+        $"base" + when(row_number().over(wRem).cast("long") <= $"t" - $"total_base", 1L)
+          .otherwise(0L))
+      .select($"lang", $"quota")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang")
+      .orderBy(md5(concat(lit("tmix|"), $"doc_id".cast("string"))), $"doc_id")
+    docs
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .join(broadcast(alloc), Seq("lang"))
+      .filter($"rk" <= $"quota")
+      .select($"doc_id", $"lang", $"quota", $"rk")
+      .orderBy($"doc_id")
+  }
+  private val q110Sql =
+    """WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n_l,
+      |  CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT) AS w_l FROM n),
+      |tot AS (SELECT CAST(sum(n_l) // 5 AS BIGINT) AS t, CAST(sum(w_l) AS BIGINT) AS ww FROM w),
+      |q0 AS (SELECT w.lang, w.n_l, tot.t,
+      |  (tot.t * w.w_l) // tot.ww AS base, (tot.t * w.w_l) % tot.ww AS rem
+      |  FROM w, tot),
+      |alloc AS (
+      |  SELECT lang,
+      |    base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |                  <= t - (SELECT sum(base) FROM q0) THEN 1 ELSE 0 END) AS quota
+      |  FROM q0
+      |),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(concat('tmix|', CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS rk
+      |  FROM documents
+      |)
+      |SELECT r.doc_id, r.lang, CAST(a.quota AS BIGINT) AS quota, r.rk
+      |FROM ranked r JOIN alloc a USING (lang)
+      |WHERE r.rk <= a.quota
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -1232,6 +1316,7 @@ object TextQueries extends QueryCatalog {
     "q101_token_budget" -> q101,
     "q104_gopher_rules" -> q104,
     "q105_quality_quantile" -> q105,
+    "q110_temperature_mixture" -> q110,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1263,5 +1348,6 @@ object TextQueries extends QueryCatalog {
     "q101_token_budget" -> q101Sql,
     "q104_gopher_rules" -> q104Sql,
     "q105_quality_quantile" -> q105Sql,
+    "q110_temperature_mixture" -> q110Sql,
   )
 }

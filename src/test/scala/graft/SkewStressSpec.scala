@@ -133,6 +133,29 @@ class SkewStressSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("q106: signature-Jaccard calibration stays band-capped under over-cap spam") {
+    assume(ready)
+    val cap = 64 // Banding.MaxBandBucket
+    val est = run("q106_sig_jaccard_est").cache()
+    // the spam cluster's identical docs agree on all 8 signature slots
+    // (est = exact = 1.0) but only the cap lowest ids may ever pair
+    val beyondCap = est.filter(
+      between(col("doc_a"), spamLo + cap, spamHi) || between(col("doc_b"), spamLo + cap, spamHi)).count()
+    val spamRows = est.filter(between(col("doc_a"), spamLo, spamHi) &&
+      between(col("doc_b"), spamLo, spamHi)).cache()
+    val offCalibration = spamRows
+      .filter(col("sig_matches") =!= 8L || col("est_ppm") =!= 1000000L ||
+        col("exact_ppm") =!= 1000000L || col("err_ppm") =!= 0L).count()
+    val spamN = spamRows.count()
+    spamRows.unpersist(); est.unpersist()
+    assert(beyondCap == 0L, s"$beyondCap calibration rows involve docs the band cap should truncate")
+    assert(spamN > 0L && spamN <= cap.toLong * (cap - 1) / 2,
+      s"spam-spam calibration row count $spamN outside (0, cap^2/2]")
+    assert(offCalibration == 0L,
+      s"$offCalibration identical-doc pairs not at est=exact=1.0 — estimator broken on the easiest case")
+    graft.core.ScratchCache.drain()
+  }
+
   test("q100: one canonical per cluster under over-cap spam/template skew") {
     assume(ready)
     val out = run("q100_canonical_docs").cache()

@@ -1,0 +1,71 @@
+package graft.text
+
+import java.security.MessageDigest
+import graft.SparkTestBase
+
+/** q110's temperature mixture: the integer largest-remainder
+  * apportionment equals a driver-side recomputation, quotas sum
+  * exactly to the target, the sampled set is the md5-rank prefix per
+  * language, and the α = 0.5 direction holds (dominant language's
+  * sampled share strictly below its raw share). */
+class TemperatureMixtureSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def ready = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def langsOf() = spark.read.parquet(s"$dir/documents.parquet")
+    .select("doc_id", "lang").collect()
+    .map(r => (r.getLong(0), r.getString(1)))
+
+  /** Mirror of the query's exact integer apportionment. */
+  private def expectedQuotas(counts: Map[String, Long]): Map[String, Long] = {
+    val t = counts.values.sum / 5
+    val w = counts.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val ww = w.values.sum
+    val base = w.map { case (l, wl) => l -> t * wl / ww }
+    val rem = w.map { case (l, wl) => l -> t * wl % ww }
+    val leftover = (t - base.values.sum).toInt
+    val bump = rem.toSeq.sortBy { case (l, r) => (-r, l) }.take(leftover).map(_._1).toSet
+    base.map { case (l, b) => l -> (b + (if (bump(l)) 1L else 0L)) }
+  }
+
+  test("q110 quotas equal the driver-side largest-remainder apportionment and sum to the target") {
+    assume(ready)
+    val docs = langsOf()
+    val counts = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val expected = expectedQuotas(counts)
+    val got = TextQueries.queries("q110_temperature_mixture")(spark, dir)
+      .select("lang", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.values.sum == counts.values.sum / 5)
+  }
+
+  test("the sampled set is exactly each language's md5-rank prefix of quota docs") {
+    assume(ready)
+    val docs = langsOf()
+    val counts = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+      val q = expectedQuotas(counts)(lang).toInt
+      xs.map(_._1).sortBy(id => (md5hex(s"tmix|$id"), id)).take(q).map(id => (id, lang))
+    }.toSet
+    val got = TextQueries.queries("q110_temperature_mixture")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+  }
+
+  test("α = 0.5 up-samples low-resource languages: dominant lang's share shrinks") {
+    assume(ready)
+    val counts = langsOf().groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val quotas = expectedQuotas(counts)
+    val (domLang, domN) = counts.maxBy(_._2)
+    val rawShare = domN.toDouble / counts.values.sum
+    val sampShare = quotas(domLang).toDouble / quotas.values.sum
+    assert(sampShare < rawShare,
+      s"$domLang raw $rawShare sampled $sampShare — temperature not rebalancing")
+  }
+}
