@@ -51,13 +51,13 @@ object SaltedJoin {
            joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(keys.nonEmpty, "salted join needs at least one equi-key")
-    val jt = joinType.toLowerCase.replace("outer", "").trim match {
+    val jt = joinType.toLowerCase.replaceAll("[_\\s]", "") match {
       case "inner" => "inner"
-      case "left" | "leftouter" | "left_outer" => "left"
-      case "left_semi" | "leftsemi" | "semi" => "left_semi"
-      case "left_anti" | "leftanti" | "anti" => "left_anti"
-      case other => throw new IllegalArgumentException(
-        s"salted join preserves semantics only for inner/left/left_semi/left_anti, got '$other'")
+      case "left" | "leftouter" => "left"
+      case "leftsemi" | "semi" => "left_semi"
+      case "leftanti" | "anti" => "left_anti"
+      case _ => throw new IllegalArgumentException(
+        s"salted join preserves semantics only for inner/left/left_semi/left_anti, got '$joinType'")
     }
     val joined = saltLeft(left, entropy, saltBuckets)
       .join(replicateRight(right, saltBuckets), keys :+ SaltCol, jt)

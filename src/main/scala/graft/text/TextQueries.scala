@@ -1209,9 +1209,10 @@ object TextQueries extends QueryCatalog {
     * to n_lang^α with α = 0.5, which UP-samples low-resource languages
     * relative to raw frequency (α = 1) without flattening to uniform
     * (α = 0). The target total is a fifth of the corpus; quotas are
-    * apportioned by LARGEST REMAINDER so they sum to the target
-    * exactly; the per-lang take is the q76 md5-ranked deterministic
-    * selection.
+    * apportioned by LARGEST REMAINDER — clamped at each language's
+    * doc count, with one redistribution round absorbing the
+    * saturation shortfall (see [[temperatureMixtureOf]]) — and the
+    * per-lang take is the q76 md5-ranked deterministic selection.
     *
     * Cross-engine determinism: α = 0.5 is deliberate — sqrt is
     * CORRECTLY ROUNDED under IEEE-754 in both engines, whereas
@@ -1230,51 +1231,104 @@ object TextQueries extends QueryCatalog {
     * quotas at 100 TB is a q83-style hash-threshold preselection at
     * quota/n_l + ε followed by this exact rank inside the reduced
     * candidate set). */
-  private def q110(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Core of q110 over a (doc_id, lang) frame — package-private for
+    * TemperatureMixtureSpec's saturation fixtures.
+    *
+    * Apportionment, exactly (all integer arithmetic; products widened
+    * to DECIMAL(38,0)/HUGEINT because t·w_l overflows BIGINT at
+    * ~10^10 docs — silent wraparound in Spark, a raise in DuckDB):
+    *  1. largest-remainder quotas of t = N DIV 5 by weights
+    *     w_l = ⌊sqrt(n_l)·10⁶⌋;
+    *  2. CLAMP each quota at n_l (α < 1 can assign a tiny language
+    *     more docs than it has) and REDISTRIBUTE the shortfall among
+    *     the unsaturated languages by the same largest-remainder
+    *     rule — one round, then a final clamp. A redistribution that
+    *     itself saturates another language under-fills the target by
+    *     the remainder (a full fixpoint is unbounded rounds; one
+    *     round covers the realistic single-outlier case, and the
+    *     final clamp keeps every quota valid — the cascade case is
+    *     pinned in TemperatureMixtureSpec). */
+  private[text] def temperatureMixtureOf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
     val docs = graft.core.ScratchCache.persist(
-      Tables.documents(s, dir).select($"doc_id", $"lang"))
-    val n = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+      docsIn.select(col("doc_id"), col("lang")))
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
     val w = n.withColumn("w_l",
       expr("CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT)"))
     val tot = w.agg(expr("CAST(sum(n_l) DIV 5 AS BIGINT)").as("t"),
-      sum($"w_l").cast("long").as("ww"))
+      sum(col("w_l")).cast("long").as("ww"))
     val q0 = w.crossJoin(broadcast(tot))
-      .select($"lang", $"n_l", $"t",
-        expr("(t * w_l) DIV ww").as("base"),
-        expr("(t * w_l) % ww").as("rem"))
-    val wRem = org.apache.spark.sql.expressions.Window
-      .orderBy($"rem".desc, $"lang")
-    val alloc = q0
-      .withColumn("total_base", sum($"base").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
-      .withColumn("quota",
-        $"base" + when(row_number().over(wRem).cast("long") <= $"t" - $"total_base", 1L)
-          .otherwise(0L))
-      .select($"lang", $"quota")
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang")
-      .orderBy(md5(concat(lit("tmix|"), $"doc_id".cast("string"))), $"doc_id")
+      .select(col("lang"), col("n_l"), col("t"), col("w_l"),
+        expr("CAST((CAST(t AS DECIMAL(38,0)) * w_l) DIV ww AS BIGINT)").as("base"),
+        expr("CAST((CAST(t AS DECIMAL(38,0)) * w_l) % ww AS BIGINT)").as("rem"))
+    val q1 = q0
+      .withColumn("total_base", sum(col("base")).over(all))
+      .withColumn("quota0",
+        col("base") + when(row_number().over(Window.orderBy(col("rem").desc, col("lang")))
+          .cast("long") <= col("t") - col("total_base"), 1L).otherwise(0L))
+      .withColumn("give", least(col("quota0"), col("n_l")))
+    val q2 = q1
+      .withColumn("shortfall", col("t") - sum(col("give")).over(all))
+      .withColumn("unsat", col("quota0") < col("n_l"))
+      .withColumn("ww2", sum(when(col("unsat"), col("w_l")).otherwise(0L)).over(all))
+      .withColumn("add0", when(col("unsat") && col("ww2") > 0L,
+        expr("CAST((CAST(shortfall AS DECIMAL(38,0)) * w_l) DIV ww2 AS BIGINT)")).otherwise(0L))
+      .withColumn("rem2", when(col("unsat") && col("ww2") > 0L,
+        expr("CAST((CAST(shortfall AS DECIMAL(38,0)) * w_l) % ww2 AS BIGINT)")).otherwise(-1L))
+      .withColumn("leftover2", col("shortfall") - sum(col("add0")).over(all))
+      .withColumn("quota", least(
+        col("give") + col("add0") +
+          when(col("unsat") && row_number().over(Window.orderBy(col("rem2").desc, col("lang")))
+            .cast("long") <= col("leftover2"), 1L).otherwise(0L),
+        col("n_l")))
+    val alloc = q2.select(col("lang"), col("quota"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("tmix|"), col("doc_id").cast("string"))), col("doc_id"))
     docs
       .withColumn("rk", row_number().over(wRank).cast("long"))
       .join(broadcast(alloc), Seq("lang"))
-      .filter($"rk" <= $"quota")
-      .select($"doc_id", $"lang", $"quota", $"rk")
-      .orderBy($"doc_id")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("quota"), col("rk"))
+  }
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    temperatureMixtureOf(Tables.documents(s, dir)).orderBy($"doc_id")
   }
   private val q110Sql =
     """WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
       |w AS (SELECT lang, n_l,
       |  CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT) AS w_l FROM n),
       |tot AS (SELECT CAST(sum(n_l) // 5 AS BIGINT) AS t, CAST(sum(w_l) AS BIGINT) AS ww FROM w),
-      |q0 AS (SELECT w.lang, w.n_l, tot.t,
-      |  (tot.t * w.w_l) // tot.ww AS base, (tot.t * w.w_l) % tot.ww AS rem
+      |q0 AS (SELECT w.lang, w.n_l, tot.t, w.w_l,
+      |  CAST((CAST(tot.t AS HUGEINT) * w.w_l) // tot.ww AS BIGINT) AS base,
+      |  CAST((CAST(tot.t AS HUGEINT) * w.w_l) % tot.ww AS BIGINT) AS rem
       |  FROM w, tot),
+      |q1 AS (
+      |  SELECT *, least(quota0, n_l) AS give FROM (
+      |    SELECT *, base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |                      <= t - sum(base) OVER () THEN 1 ELSE 0 END) AS quota0
+      |    FROM q0
+      |  )
+      |),
+      |q2 AS (
+      |  SELECT *,
+      |    CASE WHEN unsat AND ww2 > 0
+      |         THEN CAST((CAST(shortfall AS HUGEINT) * w_l) // ww2 AS BIGINT) ELSE 0 END AS add0,
+      |    CASE WHEN unsat AND ww2 > 0
+      |         THEN CAST((CAST(shortfall AS HUGEINT) * w_l) % ww2 AS BIGINT) ELSE -1 END AS rem2
+      |  FROM (
+      |    SELECT *, t - sum(give) OVER () AS shortfall,
+      |      (quota0 < n_l) AS unsat,
+      |      sum(CASE WHEN quota0 < n_l THEN w_l ELSE 0 END) OVER () AS ww2
+      |    FROM q1
+      |  )
+      |),
       |alloc AS (
       |  SELECT lang,
-      |    base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
-      |                  <= t - (SELECT sum(base) FROM q0) THEN 1 ELSE 0 END) AS quota
-      |  FROM q0
+      |    least(give + add0 + (CASE WHEN unsat AND row_number() OVER (ORDER BY rem2 DESC, lang)
+      |          <= shortfall - sum(add0) OVER () THEN 1 ELSE 0 END), n_l) AS quota
+      |  FROM q2
       |),
       |ranked AS (
       |  SELECT doc_id, lang,

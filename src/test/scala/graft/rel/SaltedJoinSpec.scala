@@ -9,13 +9,16 @@ import graft.SparkTestBase
   * replication would corrupt. */
 class SaltedJoinSpec extends SparkTestBase {
 
-  // 1000 left rows, 90% on key 0; right covers keys 0..9 plus one
-  // right-only key (99); left keys 5..9 have no right match when we
-  // filter the right side down — exercised per join type below
+  // 1000 left rows, ~91% on hot key 0 (the i%10==9 branch also yields
+  // k=0 when i%100 is in 0..9); the rest land on keys 1..9. rightDf
+  // covers keys 0..4 plus a right-only key (99), so left keys 5..9
+  // have no right match — exercising the no-match paths of left outer
+  // and left_anti — and key 99 is the unmatched replicated right row
+  // the disallowed join types would surface
   private def leftDf = {
     import spark.implicits._
     (0 until 1000).map { i =>
-      val k = if (i % 10 < 9) 0L else (i % 100 / 10).toLong // 90% key 0, rest 1..9
+      val k = if (i % 10 < 9) 0L else (i % 100 / 10).toLong
       (i.toLong, k, i * 1.5)
     }.toDF("id", "k", "v")
   }
@@ -28,7 +31,9 @@ class SaltedJoinSpec extends SparkTestBase {
     df.collect().map(_.mkString("|")).toSet
 
   test("salted join equals the plain join for inner/left/left_semi/left_anti") {
-    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+    // "left_outer" and "leftouter" are Spark-canonical spellings the
+    // normalizer must accept as left
+    for (jt <- Seq("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti")) {
       val plain = leftDf.join(rightDf, Seq("k"), jt)
       val salted = SaltedJoin.join(leftDf, rightDf, Seq("k"), col("id"), 8, jt)
       assert(salted.columns.toSeq == plain.columns.toSeq, s"$jt: columns differ")

@@ -21,16 +21,28 @@ class TemperatureMixtureSpec extends SparkTestBase {
     .select("doc_id", "lang").collect()
     .map(r => (r.getLong(0), r.getString(1)))
 
-  /** Mirror of the query's exact integer apportionment. */
+  /** Mirror of the query's exact integer apportionment: largest
+    * remainder, clamp at n_l, one redistribution round, final clamp. */
+  private def apportion(target: Long, weights: Map[String, Long]): Map[String, Long] = {
+    val ww = weights.values.sum
+    if (ww == 0 || target <= 0) weights.map { case (l, _) => l -> 0L }
+    else {
+      val base = weights.map { case (l, wl) => l -> (BigInt(target) * wl / ww).toLong }
+      val rem = weights.map { case (l, wl) => l -> (BigInt(target) * wl % ww).toLong }
+      val leftover = (target - base.values.sum).toInt
+      val bump = rem.toSeq.sortBy { case (l, r) => (-r, l) }.take(leftover).map(_._1).toSet
+      base.map { case (l, b) => l -> (b + (if (bump(l)) 1L else 0L)) }
+    }
+  }
   private def expectedQuotas(counts: Map[String, Long]): Map[String, Long] = {
     val t = counts.values.sum / 5
     val w = counts.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
-    val ww = w.values.sum
-    val base = w.map { case (l, wl) => l -> t * wl / ww }
-    val rem = w.map { case (l, wl) => l -> t * wl % ww }
-    val leftover = (t - base.values.sum).toInt
-    val bump = rem.toSeq.sortBy { case (l, r) => (-r, l) }.take(leftover).map(_._1).toSet
-    base.map { case (l, b) => l -> (b + (if (bump(l)) 1L else 0L)) }
+    val quota0 = apportion(t, w)
+    val give = quota0.map { case (l, q) => l -> math.min(q, counts(l)) }
+    val shortfall = t - give.values.sum
+    val unsat = quota0.filter { case (l, q) => q < counts(l) }.keySet
+    val add = apportion(shortfall, w.filter(kv => unsat(kv._1)))
+    counts.map { case (l, n) => l -> math.min(give(l) + add.getOrElse(l, 0L), n) }
   }
 
   test("q110 quotas equal the driver-side largest-remainder apportionment and sum to the target") {
@@ -56,6 +68,26 @@ class TemperatureMixtureSpec extends SparkTestBase {
     val got = TextQueries.queries("q110_temperature_mixture")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == expected, s"diff: ${got.diff(expected)} / ${expected.diff(got)}")
+  }
+
+  test("a saturated tiny language is clamped at its doc count and the shortfall is redistributed") {
+    import spark.implicits._
+    // A: 1000 docs, B: 10 docs, t = 202. Raw largest remainder gives
+    // B sqrt-weighted quota 18 > its 10 docs; the clamp takes all 10
+    // and one redistribution round hands the 8-doc shortfall to A —
+    // quotas still sum to the target
+    val docs = ((1L to 1000L).map(i => (i, "aa")) ++ (2001L to 2010L).map(i => (i, "bb")))
+      .toDF("doc_id", "lang")
+    val out = TextQueries.temperatureMixtureOf(docs).cache()
+    val quotas = out.select("lang", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = Map("aa" -> 1000L, "bb" -> 10L)
+    assert(quotas == expectedQuotas(counts), s"got $quotas expected ${expectedQuotas(counts)}")
+    assert(quotas("bb") == 10L, s"saturated lang must take exactly its corpus: $quotas")
+    assert(quotas.values.sum == 202L, s"redistribution must restore the target: $quotas")
+    assert(out.count() == 202L)
+    out.unpersist()
+    graft.core.ScratchCache.drain()
   }
 
   test("α = 0.5 up-samples low-resource languages: dominant lang's share shrinks") {
