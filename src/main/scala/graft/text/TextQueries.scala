@@ -1341,6 +1341,171 @@ object TextQueries extends QueryCatalog {
       |WHERE r.rk <= a.quota
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** Corpus-duplicated-segment removal — the CCNet/RefinedWeb "line
+    * dedup" cleaning step, adapted to this corpus's no-newline docs:
+    * documents are cut into tumbling [[LineSegToks]]-token segments
+    * (the "lines"), a segment whose text recurs in ≥ 2 DISTINCT
+    * documents anywhere in the corpus is boilerplate (navigation bars,
+    * cookie banners, license headers — content that repeats verbatim
+    * across pages), and every occurrence is dropped. Unlike q82 (which
+    * SCORES within-doc repetition) and q86/q91 (which FIND cross-doc
+    * shared spans as pairs), this op REWRITES the corpus: the output
+    * carries the cleaned document's md5 plus exact kept/dropped token
+    * accounting, i.e. the thing a training pipeline actually feeds
+    * downstream.
+    *
+    * Scale shape: one narrow segment explode; the duplicate-detection
+    * aggregate shuffles (seg_md5, doc_id) — digests, never segment
+    * payloads (the q108 discipline); the duplicated-segment set is an
+    * aggregate frame (one row per DUPLICATED segment only) joined back
+    * broadcast — for a corpus whose boilerplate set outgrows the
+    * driver, drop the hint and it's a sort-merge join on the digest
+    * (the q93 note). Reassembly is one per-doc aggregation whose
+    * collect_list holds only the doc's own kept segments — bounded by
+    * document size, never by corpus size. */
+  private[graft] val LineSegToks = 3
+  /** Core of q111 over a (doc_id, text) frame — package-private for
+    * LineDedupSpec's planted-boilerplate fixtures. */
+  private[text] def lineDedupOf(docsIn: DataFrame): DataFrame = {
+    val segs = graft.core.ScratchCache.persist(
+      docsIn.select(col("doc_id"), expr(toksExpr).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          posexplode(expr(
+            s"transform(sequence(0, (size(toks) - 1) DIV $LineSegToks), " +
+              s"i -> concat_ws(' ', slice(toks, i * $LineSegToks + 1, $LineSegToks)))"))
+            .as(Seq("seg_no", "seg")))
+        .withColumn("seg_md5", md5(col("seg"))))
+    val dup = segs.groupBy(col("seg_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("seg_md5"), lit(1L).as("is_dup"))
+    segs.join(broadcast(dup), Seq("seg_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_toks")).as("n_toks"),
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_segs"),
+        sum(when(col("is_dup").isNull, size(split(col("seg"), " ")).cast("long"))
+          .otherwise(0L)).as("kept_toks"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN is_dup IS NULL THEN struct(seg_no, seg) END)), s -> s.seg)"),
+          " ")).as("clean_md5"))
+      .withColumn("drop_ppm", expr("((n_toks - kept_toks) * 1000000) DIV n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("n_segs"), col("n_dup_segs"),
+        col("kept_toks"), col("drop_ppm"), col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    lineDedupOf(Tables.documents(s, dir))
+  private val q111Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, i AS seg_no,
+       |    array_to_string(toks[i * $LineSegToks + 1 : i * $LineSegToks + $LineSegToks], ' ') AS seg
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, (len(toks) - 1) // $LineSegToks)) AS i
+       |        FROM d WHERE len(toks) >= 1)
+       |),
+       |dup AS (
+       |  SELECT md5(seg) AS seg_md5, CAST(1 AS BIGINT) AS is_dup
+       |  FROM segs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |)
+       |SELECT doc_id,
+       |  max(n_toks) AS n_toks,
+       |  count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN is_dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       |  CAST(sum(CASE WHEN is_dup IS NULL THEN len(string_split(seg, ' ')) ELSE 0 END) AS BIGINT) AS kept_toks,
+       |  CAST(((max(n_toks) - sum(CASE WHEN is_dup IS NULL THEN len(string_split(seg, ' ')) ELSE 0 END)) * 1000000)
+       |    // max(n_toks) AS BIGINT) AS drop_ppm,
+       |  md5(coalesce(array_to_string(list(seg ORDER BY seg_no) FILTER (WHERE is_dup IS NULL), ' '), '')) AS clean_md5
+       |FROM segs LEFT JOIN dup ON md5(seg) = dup.seg_md5
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every raw
+    * document by how much it resembles a target domain, using hashed
+    * features and a bag-of-buckets log-likelihood ratio. Features are
+    * the q96 hashing trick: each token drops into one of 256 md5
+    * buckets; the target distribution is estimated from the `lang =
+    * 'en'` slice (the "high-quality domain" stand-in — swap the
+    * predicate for a real curated subset), the raw distribution from
+    * the whole corpus, both add-one smoothed. A bucket's weight is the
+    * exact-integer bit-length difference ⌊log₂ 1/p_raw⌋−⌊log₂ 1/p_tgt⌋
+    * (the q97 length(bin(·)) trick — never FP log), and a document's
+    * importance is the count-weighted sum over its tokens: positive ⇒
+    * the doc looks more like the target than like the average of the
+    * raw pool, the docs DSIR up-samples.
+    *
+    * Scale shape: one token explode feeding a (doc, bucket) aggregate
+    * (persisted — the raw and target distributions both derive from it
+    * without re-tokenizing the corpus); the bucket-stats frame is ≤ 256
+    * rows (broadcast, totals ride a 1-row cross join — the q97 idiom);
+    * one per-doc aggregation. Everything after tokenization is integer
+    * arithmetic on a fixed-width frame, independent of corpus size. */
+  private def bucketFromHex(h: String) =
+    s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+      s"(instr('0123456789abcdef', substr($h, 2, 1)) - 1)"
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val tf = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(expr(toksExpr)).as("t"))
+        .select(col("doc_id"), col("lang"),
+          expr(s"CAST(${bucketFromHex("md5(concat('dsir|', t))")} AS BIGINT)").as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("cnt")))
+    val raw = tf.groupBy(col("b")).agg(sum(col("cnt")).as("r_cnt"))
+    val tgt = tf.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("cnt")).as("t_cnt"))
+    val stats = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("r_cnt"), coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
+    val tot = stats.agg(sum(col("r_cnt")).cast("long").as("r_total"),
+      sum(col("t_cnt")).cast("long").as("t_total"))
+    val w = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (length(bin(expr("(r_total + 256) DIV (r_cnt + 1)"))) -
+          length(bin(expr("(t_total + 256) DIV (t_cnt + 1)")))).cast("long").as("w_bits"))
+    tf.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_toks"),
+        sum(col("cnt") * col("w_bits")).cast("long").as("logratio_bits"))
+      .withColumn("keep", when(col("logratio_bits") >= 0L, 1L).otherwise(0L))
+      .select(col("doc_id"), col("n_toks"), col("logratio_bits"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+  private val q112Sql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, lang, b, count(*) AS cnt
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      CAST(${bucketFromHex("md5(concat('dsir|', t))")} AS BIGINT) AS b
+       |    FROM (SELECT doc_id, lang, unnest($toksSql) AS t FROM documents)
+       |  )
+       |  GROUP BY 1, 2, 3
+       |),
+       |raw AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS r_cnt FROM tf GROUP BY 1),
+       |tgt AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS t_cnt FROM tf WHERE lang = 'en' GROUP BY 1),
+       |stats AS (
+       |  SELECT raw.b, raw.r_cnt, coalesce(tgt.t_cnt, 0) AS t_cnt
+       |  FROM raw LEFT JOIN tgt USING (b)
+       |),
+       |tot AS (SELECT CAST(sum(r_cnt) AS BIGINT) AS r_total, CAST(sum(t_cnt) AS BIGINT) AS t_total FROM stats),
+       |w AS (
+       |  SELECT b,
+       |    CAST(length(bin((r_total + 256) // (r_cnt + 1))) -
+       |         length(bin((t_total + 256) // (t_cnt + 1))) AS BIGINT) AS w_bits
+       |  FROM stats CROSS JOIN tot
+       |)
+       |SELECT doc_id,
+       |  CAST(sum(cnt) AS BIGINT) AS n_toks,
+       |  CAST(sum(cnt * w_bits) AS BIGINT) AS logratio_bits,
+       |  CAST(CASE WHEN sum(cnt * w_bits) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM tf JOIN w USING (b)
+       |GROUP BY 1
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -1371,6 +1536,8 @@ object TextQueries extends QueryCatalog {
     "q104_gopher_rules" -> q104,
     "q105_quality_quantile" -> q105,
     "q110_temperature_mixture" -> q110,
+    "q111_line_dedup" -> q111,
+    "q112_dsir_weights" -> q112,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1403,5 +1570,7 @@ object TextQueries extends QueryCatalog {
     "q104_gopher_rules" -> q104Sql,
     "q105_quality_quantile" -> q105Sql,
     "q110_temperature_mixture" -> q110Sql,
+    "q111_line_dedup" -> q111Sql,
+    "q112_dsir_weights" -> q112Sql,
   )
 }
