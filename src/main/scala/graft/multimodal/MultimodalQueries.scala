@@ -175,11 +175,107 @@ object MultimodalQueries extends QueryCatalog {
       |HAVING count(DISTINCT media_id) >= 2
       |ORDER BY frame_md5""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Energy-gated silence segmentation — the VAD (voice-activity
+    * detection) shape of audio curation: media is cut into fixed-width
+    * frames, each frame's energy is the exact integer sum of its
+    * sample bytes, frames whose mean byte value falls below the gate
+    * are "silence", and each media reports its speech ratio plus its
+    * LONGEST consecutive silent run (the "is this mostly dead air"
+    * signal a speech pipeline drops clips on). Runs are found with the
+    * gaps-and-islands trick: silent frames grouped by
+    * frame_no − row_number(), a pure window computation.
+    *
+    * Scale shape: one narrow frame explode; the per-frame energy is a
+    * codegen'd HOF fold (no UDF); the run window partitions BY MEDIA —
+    * bounded by one clip's frame count, never corpus-wide — and the
+    * frame frame is persisted so the aggregate and run branches share
+    * one explode. On a real PCM corpus the byte sum becomes a sample
+    * sum over the same plumbing (frame width = samples × bytes/sample);
+    * the ASCII corpus makes it oracle-checkable (the q71 note). */
+  private[multimodal] val VadFrameBytes = 32
+  private[multimodal] val VadMeanByteGate = 96L
+  /** Core of q113 over a (media_id, media: binary) frame — package-
+    * private for MultimodalSpec's planted-silence fixtures. */
+  private[multimodal] def silenceOf(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = graft.core.ScratchCache.persist(
+      Multimodal.sampleFrames(media, frameBytes = VadFrameBytes, stride = 1)
+        .select(col("media_id"), col("frame_no"),
+          expr("octet_length(frame)").cast("long").as("flen"),
+          expr("aggregate(sequence(1, octet_length(frame)), CAST(0 AS BIGINT), " +
+            "(a, i) -> a + ascii(substr(CAST(frame AS STRING), i, 1)))").as("energy"))
+        .withColumn("silent", col("energy") < col("flen") * VadMeanByteGate))
+    val agg = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+    val runs = frames.filter(col("silent"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("media_id")).orderBy(col("frame_no"))).cast("long"))
+      .withColumn("grp", col("frame_no") - col("rn"))
+      .groupBy(col("media_id"), col("grp")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col("media_id")).agg(max(col("run_len")).as("longest"))
+    agg.join(runs, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"), col("n_silent"),
+        expr("((n_frames - n_silent) * 1000000) DIV n_frames").as("speech_ppm"),
+        coalesce(col("longest"), lit(0L)).as("longest_silence"))
+      .orderBy(col("media_id"))
+  }
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    silenceOf(Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media")))
+  }
+  // ASCII-corpus note as on q71: DuckDB slices the VARCHAR, the engine
+  // slices the encoded bytes — identical on this corpus.
+  private val q113Sql =
+    s"""WITH m AS (SELECT doc_id AS media_id, text AS media FROM documents),
+       |idx AS (
+       |  SELECT media_id, media,
+       |    unnest(generate_series(0, CAST((length(media) - 1) // $VadFrameBytes AS INT))) AS frame_no
+       |  FROM m WHERE length(media) > 0
+       |),
+       |fr AS (
+       |  SELECT media_id, frame_no,
+       |    substring(media, frame_no * $VadFrameBytes + 1, $VadFrameBytes) AS frame
+       |  FROM idx
+       |),
+       |en AS (
+       |  SELECT media_id, frame_no,
+       |    CAST(length(frame) AS BIGINT) AS flen,
+       |    CAST(list_sum(list_transform(generate_series(1, CAST(length(frame) AS INT)),
+       |      i -> ascii(substring(frame, i, 1)))) AS BIGINT) AS energy
+       |  FROM fr
+       |),
+       |sil AS (SELECT *, (energy < flen * $VadMeanByteGate) AS silent FROM en),
+       |runs AS (
+       |  SELECT media_id, max(run_len) AS longest FROM (
+       |    SELECT media_id, grp, CAST(count(*) AS BIGINT) AS run_len
+       |    FROM (
+       |      SELECT media_id, frame_no,
+       |        frame_no - row_number() OVER (PARTITION BY media_id ORDER BY frame_no) AS grp
+       |      FROM sil WHERE silent
+       |    )
+       |    GROUP BY 1, 2
+       |  )
+       |  GROUP BY 1
+       |)
+       |SELECT s.media_id,
+       |  count(*) AS n_frames,
+       |  CAST(sum(CASE WHEN s.silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+       |  CAST(((count(*) - sum(CASE WHEN s.silent THEN 1 ELSE 0 END)) * 1000000)
+       |    // count(*) AS BIGINT) AS speech_ppm,
+       |  CAST(coalesce(max(r.longest), 0) AS BIGINT) AS longest_silence
+       |FROM sil s LEFT JOIN runs r USING (media_id)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_meta" -> q70,
     "q71_multimodal_frames" -> q71,
     "q72_multimodal_decode" -> q72,
     "q108_frame_dedup" -> q108,
+    "q113_audio_silence" -> q113,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,5 +283,6 @@ object MultimodalQueries extends QueryCatalog {
     "q71_multimodal_frames" -> q71Sql,
     "q72_multimodal_decode" -> q72Sql,
     "q108_frame_dedup" -> q108Sql,
+    "q113_audio_silence" -> q113Sql,
   )
 }

@@ -56,6 +56,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(lens == Set(2))
   }
 
+  test("silenceOf: planted silent stretch is gated, counted, and its run measured") {
+    import spark.implicits._
+    // 32-byte frames. loud = letters (byte 120 > gate 96); silent =
+    // spaces (byte 32 < gate). media 10: loud, silent, silent, loud →
+    // longest run 2, speech 500000 ppm. media 11: all loud. media 12:
+    // all silent (one frame). media 13: mixed WITHIN one frame — mean
+    // decides (16 letters + 16 spaces → mean 76 < 96 → silent).
+    val loud = "x" * 32
+    val quiet = " " * 32
+    val rows = Seq(
+      10L -> (loud + quiet + quiet + loud),
+      11L -> (loud + loud),
+      12L -> quiet,
+      13L -> ("x" * 16 + " " * 16))
+    val media = rows.toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("media"))
+    val got = MultimodalQueries.silenceOf(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(10L) == ((4L, 2L, 500000L, 2L)))
+    assert(got(11L) == ((2L, 0L, 1000000L, 0L)))
+    assert(got(12L) == ((1L, 1L, 0L, 1L)))
+    assert(got(13L) == ((1L, 1L, 0L, 1L)))
+  }
+
+  test("silenceOf: two separated silent runs report the longer one") {
+    import spark.implicits._
+    val loud = "x" * 32
+    val quiet = " " * 32
+    // silent, loud, silent, silent, silent, loud → longest 3, n_silent 4
+    val text = quiet + loud + quiet + quiet + quiet + loud
+    val media = Seq(20L -> text).toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("media"))
+    val r = MultimodalQueries.silenceOf(media).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(4)) == ((6L, 4L, 3L)))
+  }
+
   test("frameDedup flags every frame of a re-upload; a byte shift shares nothing (offset-aligned)") {
     import spark.implicits._
     // 40 bytes → 4 DISTINCT frames at frameBytes = 10
