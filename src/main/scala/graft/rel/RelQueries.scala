@@ -945,6 +945,59 @@ object RelQueries extends QueryCatalog {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Grouped covariance and Pearson correlation from exact decimal
+    * sums — the q27 discipline extended to two variables: the five
+    * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    * DECIMAL (order-independent, map-side combinable), and covariance/
+    * correlation come out of the closed forms in one deterministic
+    * double step each. The built-in covar_samp/corr aggregates stream
+    * doubles in partition order — fine within one engine, but not
+    * reproducible across engines or run-to-run on a cluster, which is
+    * why they never appear in this catalog.
+    *
+    * Scale shape: identical to q01/q27 — partial aggregation, |groups|
+    * rows across the shuffle, nothing else. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = $"l_quantity".cast("decimal(18,6)")
+    val y = $"l_extendedprice".cast("decimal(18,6)")
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sx2"),
+        sum(y * y).cast("double").as("sy2"))
+      .select($"l_returnflag", $"n",
+        round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 4).as("covar_samp"),
+        round(($"sxy" - $"sx" * $"sy" / $"n") /
+          (sqrt($"sx2" - $"sx" * $"sx" / $"n") * sqrt($"sy2" - $"sy" * $"sy" / $"n")), 6)
+          .as("corr"))
+      .orderBy($"l_returnflag")
+  }
+  private val q115Sql =
+    """SELECT l_returnflag, n,
+      |  round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+      |  round((sxy - sx * sy / n) /
+      |    (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n)), 6) AS corr
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    -- operands widened to DECIMAL(19,6): DuckDB's product type is
+      |    -- w1+w2 wide, and 18+18 collapses to an int64-backed multiply
+      |    -- that overflows on price products; 19+19 = 38 forces the wide
+      |    -- path. Values are exact either way (Spark: (18,6)² → (37,12)).
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sy2
+      |  FROM lineitem
+      |  GROUP BY l_returnflag
+      |)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -985,6 +1038,7 @@ object RelQueries extends QueryCatalog {
     "q65_range_join_pairs" -> q65,
     "q107_salted_join" -> q107,
     "q109_window_distribution" -> q109,
+    "q115_corr_stats" -> q115,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1027,5 +1081,6 @@ object RelQueries extends QueryCatalog {
     "q65_range_join_pairs" -> q65Sql,
     "q107_salted_join" -> q107Sql,
     "q109_window_distribution" -> q109Sql,
+    "q115_corr_stats" -> q115Sql,
   )
 }

@@ -998,6 +998,73 @@ object SimilarityQueries extends QueryCatalog {
        |LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q116
+  /** Matryoshka truncation-recall curve — the "how many dims do we
+    * actually need" curation measure (Kusupati et al. 2022, MRL):
+    * for each prefix width w ∈ {8, 16, 32, 64}, rank the corpus by
+    * cosine over the FIRST w dimensions only and report how many of
+    * the full-precision top-10 survive in the truncated top-10. The
+    * w = 64 row is the identity (overlap 10) — a built-in sanity
+    * check; the curve tells a pipeline where prefix truncation stops
+    * costing recall, i.e. how much embedding storage a 100 TB corpus
+    * can shed before ANN quality degrades.
+    *
+    * Scale shape: ONE corpus scan — widths explode per row (|widths|×
+    * narrow, no payload growth beyond the slice cosines), one window
+    * top-k per width, one semi-join against the w = 64 row set, one
+    * |widths|-row aggregate. The query vector rides broadcast. */
+  private val MatryoshkaWidths = Seq(8, 16, 32, 64)
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = withVec(s, dir)
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val widthStructs = MatryoshkaWidths.map(w =>
+      struct(lit(w.toLong).as("w"),
+        expr(s"cosine_similarity(slice(v, 1, $w), slice(qv, 1, $w))").as("cosw")))
+    val top = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", explode(array(widthStructs: _*)).as("wc"))
+      .select($"vec_id", $"wc.w".as("w"), $"wc.cosw".as("cosw"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"w").orderBy($"cosw".desc, $"vec_id")))
+      .filter($"rn" <= 10)
+    val cached = graft.core.ScratchCache.persist(top.select($"w", $"vec_id"))
+    val full = cached.filter($"w" === DIMS.toLong)
+      .select($"vec_id", lit(1L).as("hit"))
+    // left join + conditional sum, NOT a semi-join: a width whose
+    // truncated top-10 shares nothing with the full set must still
+    // report overlap10 = 0 (the curve's most informative row)
+    cached.join(broadcast(full), Seq("vec_id"), "left")
+      .groupBy($"w")
+      .agg(sum(coalesce($"hit", lit(0L))).as("overlap10"))
+      .orderBy($"w")
+  }
+  private val q116Sql = {
+    val widths = MatryoshkaWidths.mkString("[", ", ", "]")
+    s"""WITH e AS ($withVecSql),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |sc AS (
+       |  SELECT e.vec_id, CAST(w.w AS BIGINT) AS w,
+       |    list_dot_product(e.v[1:w.w], q.qv[1:w.w]) /
+       |      (sqrt(list_dot_product(e.v[1:w.w], e.v[1:w.w])) * sqrt(list_dot_product(q.qv[1:w.w], q.qv[1:w.w]))) AS cosw
+       |  FROM e CROSS JOIN (SELECT unnest($widths) AS w) w CROSS JOIN q
+       |  WHERE e.vec_id <> 0
+       |),
+       |top AS (
+       |  SELECT vec_id, w FROM (
+       |    SELECT vec_id, w, row_number() OVER (PARTITION BY w ORDER BY cosw DESC, vec_id) AS rn
+       |    FROM sc
+       |  ) WHERE rn <= 10
+       |),
+       |fullset AS (SELECT vec_id FROM top WHERE w = $DIMS)
+       |SELECT w, CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM fullset) THEN 1 ELSE 0 END) AS BIGINT) AS overlap10
+       |FROM top
+       |GROUP BY w
+       |ORDER BY w""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -1005,6 +1072,7 @@ object SimilarityQueries extends QueryCatalog {
     "q53_sim_batch_topk" -> q53,
     "q54_sim_ivf" -> q54,
     "q114_sim_pq_adc" -> q114,
+    "q116_matryoshka_recall" -> q116,
     "q66_embed_quantize" -> q66,
     "q74_sim_topk_lsh_multitable" -> q74,
     "q78_sim_ivf_nprobe" -> q78,
@@ -1021,6 +1089,7 @@ object SimilarityQueries extends QueryCatalog {
     "q53_sim_batch_topk" -> q53Sql,
     "q54_sim_ivf" -> q54Sql,
     "q114_sim_pq_adc" -> q114Sql,
+    "q116_matryoshka_recall" -> q116Sql,
     "q66_embed_quantize" -> q66Sql,
     "q74_sim_topk_lsh_multitable" -> q74Sql,
     "q78_sim_ivf_nprobe" -> q78Sql,
