@@ -189,6 +189,57 @@ class SkewStressSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("q111: over-cap spam cluster cleans to empty; accounting holds for every doc; dup set joins broadcast") {
+    assume(ready)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    val out = run("q111_line_dedup").cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0).count()
+    val rows = out.count()
+    // 120 identical spam docs: every segment recurs in all of them →
+    // the whole cluster cleans to the empty string. No pairwise join
+    // anywhere in q111, so skew can only show up as a hot aggregate
+    // key — which truncates nothing and drops nothing.
+    val spamWrong = out.filter(between(col("doc_id"), spamLo, spamHi) &&
+      (col("drop_ppm") =!= 1000000L || col("clean_md5") =!= emptyMd5 || col("kept_toks") =!= 0L))
+      .count()
+    val badAccounting = out.filter(col("kept_toks") > col("n_toks") ||
+      col("n_dup_segs") > col("n_segs")).count()
+    out.unpersist()
+    assert(rows == docs, s"one row per non-empty doc ($rows vs $docs)")
+    assert(spamWrong == 0L, s"$spamWrong spam docs not fully cleaned")
+    assert(badAccounting == 0L, s"$badAccounting docs with impossible accounting")
+    val plan = run("q111_line_dedup").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dup-set join must broadcast:\n$plan")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q112: bucket-stats frame stays fixed-width (≤256) under any corpus skew; weights join broadcast") {
+    assume(ready)
+    val out = run("q112_dsir_weights")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(out.count() == docs, "one row per tokenized doc at any skew")
+    // the importance model is ≤ 256 bucket rows no matter how the
+    // corpus is distributed — that frame, not the corpus, is what the
+    // per-doc join consumes, and it must ride broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$plan")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q114: PQ serve stays fixed-width under dominant-label skew (10 rows, codes-only first pass)") {
+    assume(ready)
+    val out = run("q114_sim_pq_adc").cache()
+    val rows = out.count()
+    // the ADC table is ≤ PqSub × PqK rows and the shortlist is a
+    // constant 64 regardless of how the 2000-vector dominant label
+    // floods the space — the serve cannot widen with skew
+    assert(rows == 10L, s"top-k must stay exactly 10, got $rows")
+    out.unpersist()
+    graft.core.ScratchCache.drain()
+  }
+
   test("q80: per-shard packing width stays bounded under the bulk chunk volume") {
     assume(ready)
     val target = 8192L // TextQueries.TargetShardTokens
