@@ -136,10 +136,16 @@ object Bench {
     // The driver captures only the LAST 2000 CHARS of this process's
     // output and json.loads's the result line, so the line printed here
     // must fit that window WHOLE: keys are shortened to their unique
-    // "qNN" prefix and seconds rounded to 1 ms (95 queries ≈ 1.3 kB).
+    // "qNN" prefix and seconds rounded to 10 ms (116 queries ≈ 1.7 kB
+    // at 1 ms — 2-digit precision buys headroom to ~140 queries; the
+    // full-precision numbers live in BENCH_DETAIL.json either way).
     def short(n: String): String = n.takeWhile(_ != '_')
+    def fmt2(v: Double): String =
+      if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def obj2(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
     val shortable = names.map(short).distinct.size == names.size
-    val qsLine = obj(qsFull.map { case (k, v) => (if (shortable) short(k) else k) -> v })
+    val qsLine = obj2(qsFull.map { case (k, v) => (if (shortable) short(k) else k) -> v })
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qsLine,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
