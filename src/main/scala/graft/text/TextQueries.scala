@@ -1506,6 +1506,67 @@ object TextQueries extends QueryCatalog {
        |GROUP BY 1
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Cross-source contamination matrix — which sources duplicate each
+    * other: for every pair of sources, the number of DISTINCT
+    * [[LineSegToks]]-token segments (q111's "lines") that appear in
+    * both. This is the report a curation pipeline reads before mixing
+    * crawls: two sources sharing most of their segments are the same
+    * upstream content re-scraped, and one of them should be dropped or
+    * down-weighted BEFORE any doc-level dedup spends compute on their
+    * cross product.
+    *
+    * Scale shape: segments shuffle as (digest, source) — never text
+    * past the per-digest aggregate; the per-segment source set is
+    * bounded by the source COUNT (config-scale, thousands at most,
+    * nothing like corpus scale) and additionally capped to the
+    * [[OverlapSourceCap]] lexicographically-lowest sources (a segment
+    * in EVERY crawl is boilerplate — its pair contribution is capped,
+    * the q42 truncation contract); the output is |sources|² at most.
+    * One aggregate, one bounded map-side pair explode, one count. */
+  private[graft] val OverlapSourceCap = 16
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("source"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $LineSegToks), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i * $LineSegToks + 1, $LineSegToks))))"))
+        .as("seg_md5"))
+    segs
+      .groupBy(col("seg_md5"))
+      .agg(slice(sort_array(collect_set(col("source"))), 1, OverlapSourceCap).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS source_a, y AS source_b))))"))
+        .as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_segments"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+  private val q117Sql =
+    s"""WITH segs AS (
+       |  SELECT source,
+       |    md5(array_to_string(toks[i * $LineSegToks + 1 : i * $LineSegToks + $LineSegToks], ' ')) AS seg_md5
+       |  FROM (SELECT source, toks, unnest(generate_series(0, (len(toks) - 1) // $LineSegToks)) AS i
+       |        FROM (SELECT source, $toksSql AS toks FROM documents) WHERE len(toks) >= 1)
+       |),
+       |per AS (
+       |  SELECT seg_md5, (list_sort(list(DISTINCT source)))[1:$OverlapSourceCap] AS srcs
+       |  FROM segs GROUP BY 1
+       |),
+       |pairs AS (
+       |  SELECT unnest(flatten(list_transform(srcs, (x, i) ->
+       |    list_transform(srcs[i + 1:], y -> struct_pack(source_a := x, source_b := y))))) AS p
+       |  FROM per WHERE len(srcs) >= 2
+       |)
+       |SELECT p.source_a AS source_a, p.source_b AS source_b, count(*) AS n_shared_segments
+       |FROM pairs
+       |WHERE p.source_a < p.source_b
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -1538,6 +1599,7 @@ object TextQueries extends QueryCatalog {
     "q110_temperature_mixture" -> q110,
     "q111_line_dedup" -> q111,
     "q112_dsir_weights" -> q112,
+    "q117_source_overlap" -> q117,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1572,5 +1634,6 @@ object TextQueries extends QueryCatalog {
     "q110_temperature_mixture" -> q110Sql,
     "q111_line_dedup" -> q111Sql,
     "q112_dsir_weights" -> q112Sql,
+    "q117_source_overlap" -> q117Sql,
   )
 }
