@@ -998,6 +998,100 @@ object RelQueries extends QueryCatalog {
       |)
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Ordered funnel analysis — the classic product-analytics query the
+    * events table exists for: how many users did view → click →
+    * purchase IN THAT ORDER (each step's first occurrence strictly
+    * after the previous step's). Stages report user counts and the
+    * step-to-step conversion in exact ppm.
+    *
+    * Cross-engine determinism: timestamps compare as INTEGER
+    * microseconds (unix_micros / epoch_ns//1000) — the same numbers in
+    * both engines by construction, immune to each engine's
+    * sub-microsecond representation (`Tables.events` truncates Spark's
+    * read to µs; the oracle truncates in SQL).
+    *
+    * Scale shape: one per-user aggregate (conditional mins — partial,
+    * map-side combinable), one 1-row global aggregate, a 3-row explode.
+    * Nothing joins, nothing pairwise. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firsts = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("tu"))
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"tu")).as("tv"),
+        min(when($"event_type" === "click", $"tu")).as("tc"),
+        min(when($"event_type" === "purchase", $"tu")).as("tp"))
+    firsts.agg(
+        sum(when($"tv".isNotNull, 1L).otherwise(0L)).as("n1"),
+        sum(when($"tv" < $"tc", 1L).otherwise(0L)).as("n2"),
+        sum(when($"tv" < $"tc" && $"tc" < $"tp", 1L).otherwise(0L)).as("n3"))
+      .select(explode(array(
+        struct(lit("1_view").as("stage"), $"n1".as("n_users"), lit(1000000L).as("conv_ppm")),
+        struct(lit("2_view_click").as("stage"), $"n2".as("n_users"),
+          when($"n1" > 0, expr("(n2 * 1000000) DIV n1")).otherwise(0L).as("conv_ppm")),
+        struct(lit("3_view_click_purchase").as("stage"), $"n3".as("n_users"),
+          when($"n2" > 0, expr("(n3 * 1000000) DIV n2")).otherwise(0L).as("conv_ppm"))))
+        .as("r"))
+      .select($"r.stage", $"r.n_users", $"r.conv_ppm")
+      .orderBy($"stage")
+  }
+  private val q118Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS tv,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS tc,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS tp
+      |  FROM events GROUP BY 1
+      |),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN tv < tc THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN tv < tc AND tc < tp THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      |  FROM f
+      |)
+      |SELECT stage, n_users, conv_ppm FROM (
+      |  SELECT '1_view' AS stage, n1 AS n_users, CAST(1000000 AS BIGINT) AS conv_ppm FROM c
+      |  UNION ALL
+      |  SELECT '2_view_click', n2, CAST(CASE WHEN n1 > 0 THEN (n2 * 1000000) // n1 ELSE 0 END AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT '3_view_click_purchase', n3, CAST(CASE WHEN n2 > 0 THEN (n3 * 1000000) // n2 ELSE 0 END AS BIGINT) FROM c
+      |)
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- q119
+  /** Cohort retention matrix — the second classic event-analytics
+    * query: users grouped by FIRST-SEEN day (their cohort), and for
+    * each (cohort, day offset ≤ 14) the count of cohort users active
+    * that day. Day arithmetic happens on DATEs derived under the same
+    * UTC session both engines run with.
+    *
+    * Scale shape: one (user, day) distinct (shuffle on the pair), one
+    * per-user min (partial agg), one 1:1 id join to attach cohorts
+    * (user-cardinality — a shuffle join by design, co-partitioned with
+    * the distinct's output), one |cohorts × offsets| aggregate. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir).select($"user_id", to_date($"ts").as("d")).distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .withColumn("offset_days", datediff($"d", $"cohort_day").cast("long"))
+      .filter($"offset_days" <= 14)
+      .groupBy($"cohort_day", $"offset_days")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"offset_days")
+  }
+  private val q119Sql =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohorts AS (SELECT user_id, min(d) AS cohort_day FROM days GROUP BY 1)
+      |SELECT c.cohort_day, CAST(d.d - c.cohort_day AS BIGINT) AS offset_days,
+      |  count(DISTINCT d.user_id) AS n_users
+      |FROM days d JOIN cohorts c USING (user_id)
+      |WHERE d.d - c.cohort_day <= 14
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1039,6 +1133,8 @@ object RelQueries extends QueryCatalog {
     "q107_salted_join" -> q107,
     "q109_window_distribution" -> q109,
     "q115_corr_stats" -> q115,
+    "q118_funnel" -> q118,
+    "q119_retention" -> q119,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1082,5 +1178,7 @@ object RelQueries extends QueryCatalog {
     "q107_salted_join" -> q107Sql,
     "q109_window_distribution" -> q109Sql,
     "q115_corr_stats" -> q115Sql,
+    "q118_funnel" -> q118Sql,
+    "q119_retention" -> q119Sql,
   )
 }

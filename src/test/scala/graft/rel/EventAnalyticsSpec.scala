@@ -1,0 +1,61 @@
+package graft.rel
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+
+/** q118/q119 semantics on planted fixtures: the funnel counts ORDER,
+  * not mere presence (click-before-view does not convert), and the
+  * retention matrix's offset-0 row equals each cohort's size. */
+class EventAnalyticsSpec extends SparkTestBase {
+
+  private def writeEvents(rows: Seq[(Long, String, Long, String)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("ev").toString
+    // nanosecond int64 ts column, as the driver fixtures store it
+    rows.toDF("event_id", "tss", "user_id", "event_type")
+      .select($"event_id",
+        (unix_micros(to_timestamp($"tss")) * 1000).as("ts"),
+        $"user_id", $"event_type",
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q118: conversion requires strict view < click < purchase order") {
+    val t = (m: Int) => f"2024-01-01 00:$m%02d:00"
+    val rows = Seq[(Long, String, Long, String)](
+      // user 1: full ordered funnel
+      (1L, t(1), 1L, "view"), (2L, t(2), 1L, "click"), (3L, t(3), 1L, "purchase"),
+      // user 2: click BEFORE view — no step-2 conversion
+      (4L, t(1), 2L, "click"), (5L, t(2), 2L, "view"), (6L, t(3), 2L, "purchase"),
+      // user 3: view + click, purchase before click — stops at step 2
+      (7L, t(1), 3L, "view"), (8L, t(2), 3L, "purchase"), (9L, t(3), 3L, "click"),
+      // user 4: view only
+      (10L, t(1), 4L, "view"))
+    val dir = writeEvents(rows)
+    val got = RelQueries.queries("q118_funnel")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("1_view", 4L, 1000000L),
+      ("2_view_click", 2L, 500000L),      // users 1, 3
+      ("3_view_click_purchase", 1L, 500000L))) // user 1 only
+  }
+
+  test("q119: offset-0 equals cohort size; a returning user lands in the right cell") {
+    val rows = Seq[(Long, String, Long, String)](
+      // cohort 2024-01-01: users 1, 2; user 1 returns on day 2
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 2L, "view"),
+      (3L, "2024-01-03 09:00:00", 1L, "click"),
+      // cohort 2024-01-02: user 3
+      (4L, "2024-01-02 08:00:00", 3L, "view"))
+    val dir = writeEvents(rows)
+    val got = RelQueries.queries("q119_retention")(spark, dir)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L),
+      ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+}
