@@ -213,6 +213,52 @@ object EventStreams {
       }
   }
 
+  /** Per-user funnel STATE MACHINE via mapGroupsWithState — the
+    * multi-step stateful shape (q77 tracks one accumulator; this
+    * tracks a vector of first-occurrence times and derives a stage
+    * from their ORDER). State = the first view/click/purchase
+    * timestamps seen so far (integer µs); each batch emits the user's
+    * current stage 0–3, where stage n requires the first n funnel
+    * events to have happened in strict order (q118's contract).
+    *
+    * Arrival-order robustness, the property the spec pins: mins are
+    * order-independent accumulators, so however events split or
+    * reorder across micro-batches, the stage CONVERGES to the batch
+    * answer once all events are in — a late-arriving earlier `view`
+    * can lower tv and upgrade (or downgrade) the stage, and the next
+    * emission reflects it. State is 3 longs per user, bounded. */
+  def funnelStageStream(events: DataFrame): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          // Long.MaxValue = "not seen" (min-neutral)
+          val (v0, c0, p0) = state.getOption
+            .getOrElse((Long.MaxValue, Long.MaxValue, Long.MaxValue))
+          val (v, c, p) = batch.foldLeft((v0, c0, p0)) {
+            case ((av, ac, ap), (_, et, tu)) => et match {
+              case "view" => (math.min(av, tu), ac, ap)
+              case "click" => (av, math.min(ac, tu), ap)
+              case "purchase" => (av, ac, math.min(ap, tu))
+              case _ => (av, ac, ap)
+            }
+          }
+          state.update((v, c, p))
+          val stage =
+            if (v < c && c < p) 3L
+            else if (v < c) 2L
+            else if (v != Long.MaxValue) 1L
+            else 0L
+          (user, stage)
+      }
+  }
+
   /** Streaming sessionization via session_window (native state store
     * path) — used by the streaming tests; semantics match
     * [[sessionize]] for on-time data. */

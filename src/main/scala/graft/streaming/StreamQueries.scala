@@ -191,6 +191,33 @@ object StreamQueries extends QueryCatalog {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Batch run of the funnel state machine
+    * ([[EventStreams.funnelStageStream]]): one batch, empty initial
+    * state → each user's funnel stage from the strict first-time
+    * ordering (q118's contract, per user instead of aggregated). The
+    * multi-batch convergence — shuffled/late arrivals across batches
+    * settling on the same stages — is StreamingSpec's job. */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    EventStreams.funnelStageStream(Tables.events(s, dir))
+      .toDF("user_id", "stage")
+      .orderBy(col("user_id"))
+  private val q120Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS tv,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS tc,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS tp
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT user_id,
+      |  CAST(CASE WHEN tv < tc AND tc < tp THEN 3
+      |            WHEN tv < tc THEN 2
+      |            WHEN tv IS NOT NULL THEN 1
+      |            ELSE 0 END AS BIGINT) AS stage
+      |FROM f
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
@@ -200,6 +227,7 @@ object StreamQueries extends QueryCatalog {
     "q77_stream_threshold_alerts" -> q77,
     "q102_stream_static_enrich" -> q102,
     "q103_stream_left_join" -> q103,
+    "q120_funnel_stages" -> q120,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -211,5 +239,6 @@ object StreamQueries extends QueryCatalog {
     "q77_stream_threshold_alerts" -> q77Sql,
     "q102_stream_static_enrich" -> q102Sql,
     "q103_stream_left_join" -> q103Sql,
+    "q120_funnel_stages" -> q120Sql,
   )
 }

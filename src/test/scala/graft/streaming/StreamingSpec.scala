@@ -152,6 +152,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("funnel state machine converges to the batch stages under shuffled multi-batch arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.funnelStageStream(
+        input.toDF().toDF("ts", "user_id", "event_type"))
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_test").outputMode("update").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def latestStages() = spark.table("funnel_test")
+      .withColumn("rn", org.apache.spark.sql.functions.monotonically_increasing_id())
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max_by($"stage", $"rn").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // user 1's click+purchase arrive BEFORE its view (out of order,
+      // different batch); user 2's click precedes its view in event
+      // time — must stay stage 1 forever
+      input.addData((t(2), 1L, "click"), (t(3), 1L, "purchase"), (t(1), 2L, "click"))
+      q.processAllAvailable()
+      val mid = latestStages()
+      assert(mid(1L) == 0L, s"no view yet: $mid") // click/purchase alone = stage 0
+      input.addData((t(1), 1L, "view"), (t(2), 2L, "view"))
+      q.processAllAvailable()
+      val fin = latestStages()
+      // late-arriving earlier view upgrades user 1 straight to stage 3;
+      // user 2's view came after its click in EVENT time → stage 1
+      assert(fin == Map(1L -> 3L, 2L -> 1L), s"got $fin")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState threshold alerts: emitted once at each crossing, split across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
