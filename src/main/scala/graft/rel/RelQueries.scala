@@ -1092,6 +1092,69 @@ object RelQueries extends QueryCatalog {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Hourly volume anomaly detection — the ops-monitoring shape: per
+    * event type, each hour's event count is z-scored against that
+    * type's own hourly distribution, and hours beyond 2σ are flagged.
+    * The variance comes from exact integer sufficient statistics
+    * (Σn, Σn² over hour counts — the q27/q115 discipline; hour counts
+    * are integers, so not even DECIMAL is needed), and the z-score is
+    * quantized to integer milli-σ so the flag and the ordering are
+    * exact cross-engine.
+    *
+    * Scale shape: one windowed aggregate (|types × hours| rows), one
+    * |types|-row stats aggregate joined back broadcast. At 100 TB the
+    * hour frame is still tiny — time-bucketed aggregates shrink data
+    * before any statistics happen. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = graft.core.ScratchCache.persist(
+      Tables.events(s, dir)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n")))
+    val stats = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("h"),
+        sum($"n").as("s1"),
+        sum($"n" * $"n").as("s2"))
+      .filter($"h" >= 2)
+      .select($"event_type",
+        $"h", $"s1", $"s2",
+        (($"s2" - $"s1" * $"s1" / $"h") / ($"h" - 1)).as("variance"))
+    hourly.join(broadcast(stats), "event_type")
+      .select($"event_type", $"hour", $"n",
+        // z in milli-sigma: (n - mean) / sqrt(var), mean = s1/h
+        when($"variance" > 0,
+          expr("CAST(floor((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / h) / sqrt(variance) * 1000 + 0.5) AS BIGINT)"))
+          .otherwise(0L).as("z_milli"))
+      .withColumn("is_anomaly", when(abs($"z_milli") >= 2000L, 1L).otherwise(0L))
+      .orderBy($"event_type", $"hour")
+  }
+  private val q121Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |stats AS (
+      |  SELECT event_type, h, s1, s2,
+      |    (s2 - s1 * s1 / h) / (h - 1) AS variance
+      |  FROM (
+      |    SELECT event_type, CAST(count(*) AS BIGINT) AS h,
+      |      CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+      |    FROM hourly GROUP BY 1
+      |  )
+      |  WHERE h >= 2
+      |)
+      |SELECT hourly.event_type, hour, n,
+      |  CAST(CASE WHEN variance > 0
+      |       THEN floor((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / h) / sqrt(variance) * 1000 + 0.5)
+      |       ELSE 0 END AS BIGINT) AS z_milli,
+      |  CAST(CASE WHEN variance > 0 AND
+      |            abs(floor((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / h) / sqrt(variance) * 1000 + 0.5)) >= 2000
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM hourly JOIN stats USING (event_type)
+      |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1135,6 +1198,7 @@ object RelQueries extends QueryCatalog {
     "q115_corr_stats" -> q115,
     "q118_funnel" -> q118,
     "q119_retention" -> q119,
+    "q121_anomaly_hours" -> q121,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1180,5 +1244,6 @@ object RelQueries extends QueryCatalog {
     "q115_corr_stats" -> q115Sql,
     "q118_funnel" -> q118Sql,
     "q119_retention" -> q119Sql,
+    "q121_anomaly_hours" -> q121Sql,
   )
 }

@@ -42,6 +42,25 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("3_view_click_purchase", 1L, 500000L))) // user 1 only
   }
 
+  test("q121: a planted volume spike is flagged; steady hours are not") {
+    // 10 steady hours with 2 views each, one hour with 30 — a >2-sigma
+    // spike against the type's own distribution
+    val steady = (0 until 10).flatMap { h =>
+      Seq((h * 10L, f"2024-01-01 $h%02d:05:00", 1L, "view"),
+        (h * 10L + 1, f"2024-01-01 $h%02d:35:00", 2L, "view"))
+    }
+    val spike = (0 until 30).map { i =>
+      (1000L + i, f"2024-01-01 11:${i % 60}%02d:00", 3L, "view")
+    }
+    val dir = writeEvents(steady ++ spike)
+    val got = RelQueries.queries("q121_anomaly_hours")(spark, dir)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getLong(4))).toSeq
+    val flagged = got.filter(_._3 == 1L)
+    assert(flagged.map(_._1) == Seq("2024-01-01 11:00:00.0"), s"got $got")
+    assert(flagged.head._2 == 30L)
+    assert(got.size == 11)
+  }
+
   test("q119: offset-0 equals cohort size; a returning user lands in the right cell") {
     val rows = Seq[(Long, String, Long, String)](
       // cohort 2024-01-01: users 1, 2; user 1 returns on day 2
