@@ -26,10 +26,21 @@ object GraftFunctions {
     CosineSimilarity(toDoubles(args.head), toDoubles(args(1)))
   }
 
+  private val dotBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"dot_product expects 2 arguments, got ${args.length}")
+    def toDoubles(e: Expression) =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    DotProduct(toDoubles(args.head), toDoubles(args(1)))
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      cosineBuilder))
+      cosineBuilder),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      dotBuilder))
 
   /** Register all engine functions into an existing session. */
   def register(spark: SparkSession): Unit =

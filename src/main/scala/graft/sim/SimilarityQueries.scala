@@ -820,12 +820,15 @@ object SimilarityQueries extends QueryCatalog {
             .as(Seq("m", "q")))
         .withColumn("sv", expr("transform(q, x -> CAST(x AS DOUBLE))")))
 
-  /** Left-to-right double dot-product fold over two array columns —
-    * the same sequential fold DuckDB's list_dot_product performs (the
-    * q50 bit-identity note), so assignments and ADC entries match
-    * cross-engine. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+  /** Left-to-right double dot product of two array columns — the
+    * native codegen [[graft.functions.DotProduct]] Expression, whose
+    * fold is bit-identical to both the `aggregate(zip_with(...))` HOF
+    * formulation and DuckDB's list_dot_product (the q50 bit-identity
+    * note), so assignments and ADC entries match cross-engine. The
+    * HOF form is semantically equal but ArrayAggregate is
+    * CodegenFallback — per-row interpreted lambdas in the training
+    * loop's hottest join. */
+  private def dotExpr(a: String, b: String): String = s"dot_product($a, $b)"
 
   /** TRAINED per-subspace codebooks: (m, cent_id, cv) after
     * [[PqIters]] k-means round(s). TRUE PQ centroids — per-dimension
