@@ -150,6 +150,66 @@ object TextQueries extends QueryCatalog {
        |)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Language-ID confusion matrix — the EVALUATION view of q34: for
+    * every (labeled, predicted) language pair, the document count and
+    * its share of the labeled language's row in exact ppm. This is how
+    * a pipeline decides whether the cheap heuristic is good enough per
+    * language before trusting q83/q105/q110's per-lang gates — the
+    * diagonal is per-language recall; off-diagonal mass says which
+    * languages leak into which.
+    *
+    * Scale shape: q34's map-side scoring (codegen'd stopword filters,
+    * no shuffle) followed by one |langs|² aggregate and a broadcast
+    * row-total join — output is config-scale however big the corpus. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pred = Tables.documents(s, dir)
+      .select($"lang".as("labeled_lang"), expr(toksExpr).as("toks"))
+      .select($"labeled_lang",
+        expr(hitsExpr(stop("en"))).cast("long").as("s_en"),
+        expr(hitsExpr(stop("de"))).cast("long").as("s_de"),
+        expr(hitsExpr(stop("es"))).cast("long").as("s_es"),
+        expr(hitsExpr(stop("fr"))).cast("long").as("s_fr"))
+      .withColumn("predicted_lang",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_fr", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_fr", "de")
+          .when($"s_es" >= $"s_fr", "es")
+          .otherwise("fr"))
+    val cells = pred.groupBy($"labeled_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val rows = cells.groupBy($"labeled_lang").agg(sum($"n_docs").as("row_total"))
+    cells.join(broadcast(rows), "labeled_lang")
+      .withColumn("share_ppm", expr("(n_docs * 1000000) DIV row_total"))
+      .select($"labeled_lang", $"predicted_lang", $"n_docs", $"share_ppm")
+      .orderBy($"labeled_lang", $"predicted_lang")
+  }
+  private val q122Sql =
+    s"""WITH pred AS (
+       |  SELECT labeled_lang,
+       |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS predicted_lang
+       |  FROM (
+       |    SELECT lang AS labeled_lang,
+       |      ${hitsSql(stop("en"))} AS s_en,
+       |      ${hitsSql(stop("de"))} AS s_de,
+       |      ${hitsSql(stop("es"))} AS s_es,
+       |      ${hitsSql(stop("fr"))} AS s_fr
+       |    FROM (SELECT lang, $toksSql AS toks FROM documents)
+       |  )
+       |),
+       |cells AS (
+       |  SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+       |  FROM pred GROUP BY 1, 2
+       |),
+       |rows_ AS (SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS row_total FROM cells GROUP BY 1)
+       |SELECT labeled_lang, predicted_lang, n_docs,
+       |  CAST((n_docs * 1000000) // row_total AS BIGINT) AS share_ppm
+       |FROM cells JOIN rows_ USING (labeled_lang)
+       |ORDER BY labeled_lang, predicted_lang""".stripMargin
+
   // ---------------------------------------------------------------- q35
   /** Quality scoring: length / punctuation / stopword signals combined
     * into one bounded score (all inputs exact ints; one double op per
@@ -1600,6 +1660,7 @@ object TextQueries extends QueryCatalog {
     "q111_line_dedup" -> q111,
     "q112_dsir_weights" -> q112,
     "q117_source_overlap" -> q117,
+    "q122_langid_confusion" -> q122,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1635,5 +1696,6 @@ object TextQueries extends QueryCatalog {
     "q111_line_dedup" -> q111Sql,
     "q112_dsir_weights" -> q112Sql,
     "q117_source_overlap" -> q117Sql,
+    "q122_langid_confusion" -> q122Sql,
   )
 }
