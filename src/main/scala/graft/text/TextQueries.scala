@@ -602,6 +602,53 @@ object TextQueries extends QueryCatalog {
        |WHERE hv < thr
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Token-WEIGHTED Bernoulli sampling — the "sample proportional to
+    * length" subsampling step (token-budget-aware corpus thinning):
+    * each document keeps with probability 0.5 · n_toks / max_toks, so
+    * the expected KEPT-TOKEN mass is proportional to each doc's
+    * contribution, unlike q69's uniform doc sampling which over-weights
+    * short docs in token space. Deterministic: a 16-bit uniform from
+    * md5("wsamp|"||doc_id) (the q83 instr() idiom, 4 hex chars) is
+    * compared by exact integer CROSS-MULTIPLICATION —
+    * u16 · max_toks · 2 < n_toks · 65536 — never an FP rate, so the
+    * same subset reproduces at any scale, partitioning, or engine.
+    *
+    * Scale shape: one linear scan + a broadcast 1-row max (the q97
+    * idiom). The max is the only corpus-dependent input; everything
+    * else is per-row arithmetic. */
+  private val wsampHashExpr = {
+    val h = "md5(concat('wsamp|', CAST(doc_id AS STRING)))"
+    (1 to 4).map(i => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+  }
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", size(expr(toksExpr)).cast("long").as("n_toks"))
+      .filter($"n_toks" >= 1)
+    val maxw = docs.agg(max($"n_toks").as("max_toks"))
+    docs.crossJoin(broadcast(maxw))
+      .withColumn("u16", expr(wsampHashExpr).cast("long"))
+      .withColumn("keep",
+        when($"u16" * $"max_toks" * 2L < $"n_toks" * 65536L, 1L).otherwise(0L))
+      .select($"doc_id", $"n_toks", $"u16", $"keep")
+      .orderBy($"doc_id")
+  }
+  private val q123Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents
+       |),
+       |m AS (SELECT CAST(max(n_toks) AS BIGINT) AS max_toks FROM d WHERE n_toks >= 1)
+       |SELECT doc_id, n_toks,
+       |  CAST($wsampHashExpr AS BIGINT) AS u16,
+       |  CAST(CASE WHEN CAST($wsampHashExpr AS BIGINT) * max_toks * 2 < n_toks * 65536
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM d CROSS JOIN m
+       |WHERE n_toks >= 1
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q84
   /** Deterministic epoch shuffle — the per-epoch reordering every
     * training data loader applies, in its distributed shape: a
@@ -1661,6 +1708,7 @@ object TextQueries extends QueryCatalog {
     "q112_dsir_weights" -> q112,
     "q117_source_overlap" -> q117,
     "q122_langid_confusion" -> q122,
+    "q123_weighted_sample" -> q123,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1697,5 +1745,6 @@ object TextQueries extends QueryCatalog {
     "q112_dsir_weights" -> q112Sql,
     "q117_source_overlap" -> q117Sql,
     "q122_langid_confusion" -> q122Sql,
+    "q123_weighted_sample" -> q123Sql,
   )
 }
