@@ -101,4 +101,69 @@ object PrefixSum {
       .withColumn(cumCol, (col("ps_koff") + col("ps_soff") + col("ps_in")).cast("long"))
       .drop("ps_shard", "ps_in", "ps_k", "ps_s", "ps_soff", "ps_k2", "ps_koff")
   }
+
+  /** Adds `rnCol` = `row_number() OVER (PARTITION BY keyCol ORDER BY
+    * orderCols)` (1-based, long) without ever sorting a full key
+    * partition in one task — the fix for MODAL partition keys (a
+    * 3-value status column, a boolean flag), where the plain window
+    * funnels |frame| / |distinct keys| rows through a single sort at
+    * scale no matter how many executors exist.
+    *
+    * Same decomposition discipline as [[runningTotal]], one level
+    * shorter (ranks are per-key, so no cross-key offsets):
+    *
+    *   rn(row) = shardOffset(key, shard)   rows in earlier shards of this key
+    *           + row_number within (key, shard)
+    *
+    * `ordProxy` must be an integral column MONOTONE in the `orderCols`
+    * prefix order (equal orderCols ⇒ equal proxy; a < b in order ⇒
+    * proxy(a) ≤ proxy(b)) — e.g. `(price * 100).cast("long")` for a
+    * double price. Rows sharing a proxy value land in one shard, where
+    * the real `orderCols` sort settles them, so proxy collisions cost
+    * skew only, never correctness. The shard-offset window partitions
+    * by key over the SHARD-TOTALS frame — at most `targetShards` rows
+    * per key partition regardless of data size — and the offset join
+    * keys on (key, shard), the exact partitioning the within-shard
+    * window just produced, so Catalyst reuses that exchange. No window
+    * in the resulting plan partitions the full input by `keyCol`
+    * alone (pinned in PrefixSumSpec). */
+  def keyedRank(
+      df: DataFrame,
+      keyCol: String,
+      ordProxy: Column,
+      orderCols: Seq[Column],
+      rnCol: String,
+      targetShards: Int = 1024): DataFrame = {
+    require(targetShards >= 1, s"targetShards must be >= 1, got $targetShards")
+    val key: Column = col(keyCol)
+
+    val bias = "9223372036854775808" // 2^63: Long.MinValue → 0
+    val proxied = df.withColumn("ps_ord", ordProxy.cast("long"))
+    def biased(c: String) = s"(CAST($c AS DECIMAL(21,0)) + $bias)"
+    val bounds = proxied
+      .agg(expr(biased("min(ps_ord)")).as("ps_min_b"),
+        expr(biased("max(ps_ord)")).as("ps_max_b"))
+      .select(col("ps_min_b"),
+        greatest(lit(1L),
+          expr(s"(ps_max_b - ps_min_b + $targetShards) DIV $targetShards")).as("ps_w"))
+    val sharded = ScratchCache.persist(proxied.crossJoin(broadcast(bounds))
+      .withColumn("ps_shard", expr(s"(${biased("ps_ord")} - ps_min_b) DIV ps_w"))
+      .drop("ps_min_b", "ps_w"))
+
+    val wIn = Window.partitionBy(key, col("ps_shard")).orderBy(orderCols: _*)
+    val withIn = sharded.withColumn("ps_rn", row_number().over(wIn).cast("long"))
+
+    val shardTot = sharded.groupBy(key.as("ps_k"), col("ps_shard").as("ps_s"))
+      .agg(count(lit(1)).as("ps_ct"))
+    val wShard = Window.partitionBy(col("ps_k")).orderBy(col("ps_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardOff = shardTot
+      .withColumn("ps_soff", coalesce(sum(col("ps_ct")).over(wShard), lit(0L)))
+      .select(col("ps_k"), col("ps_s"), col("ps_soff"))
+
+    withIn
+      .join(shardOff, key === col("ps_k") && col("ps_shard") === col("ps_s"))
+      .withColumn(rnCol, col("ps_soff") + col("ps_rn"))
+      .drop("ps_ord", "ps_shard", "ps_rn", "ps_k", "ps_s", "ps_soff")
+  }
 }

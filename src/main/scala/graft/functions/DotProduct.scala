@@ -15,8 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics are the same strict left-to-right double fold as the
   * `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, ...)` HOF
   * formulation and DuckDB's `list_dot_product` (the q50 bit-identity
-  * contract), with null elements contributing 0 — but ArrayAggregate
-  * is CodegenFallback (per-row interpreted lambdas); this runs inside
+  * contract) — bit-identical FOR EQUAL-LENGTH ARRAYS WITH NON-NULL
+  * ELEMENTS, which is what every call site feeds it. At the edges the
+  * conventions diverge by design: this expression treats null
+  * elements as 0 and iterates to min(len(a), len(b)), whereas the
+  * HOF's fold is poisoned to NULL by any null element and zip_with
+  * null-pads the longer array. Unlike ArrayAggregate
+  * (CodegenFallback, per-row interpreted lambdas), this runs inside
   * the generated loop. Swapping it into the PQ training/encode path
   * (two folds per (vector, subspace, centroid) row) measured q114
   * end-to-end at sf0.1 3.26 s → 2.20 s, median-of-3 (~1.5x). */

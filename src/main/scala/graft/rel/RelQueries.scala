@@ -911,25 +911,57 @@ object RelQueries extends QueryCatalog {
   // ---------------------------------------------------------------- q109
   /** Window DISTRIBUTION functions — the family q09–q11 doesn't cover:
     * ntile quartiles, percent_rank, cume_dist, and first/last_value
-    * over a full-partition frame. Determinism: the window orders by
-    * (o_totalprice, o_orderkey) — a TOTAL order — so tile boundaries
-    * and rank positions cannot depend on partitioning; percent_rank =
-    * (rank−1)/(n−1) and cume_dist = rank/n are single IEEE divisions
-    * of exact integers, identical in both engines. Scale shape: one
-    * hash shuffle on the 3-value status key, per-partition sort —
-    * the same cost class as every other window query here. */
+    * over a full-partition frame — WITHOUT the plain window's scale
+    * hazard: `PARTITION BY o_orderstatus` is a 3-value key, so
+    * `ntile(4).over(w)` would sort ⅓ of `orders` inside ONE task no
+    * matter the cluster size. Instead the rank is rebuilt on
+    * [[graft.core.PrefixSum.keyedRank]] (per-(status, price-bucket)
+    * row_number + bounded bucket-offset rollup — no window over a
+    * status-only partition), and every distribution function is exact
+    * arithmetic on that rank:
+    *
+    *   ntile(4)     = positional formula over (rn, n): first n%4 tiles
+    *                  hold n÷4+1 rows, the rest n÷4 — integer DIV only
+    *   percent_rank = (rn−1)/(n−1), cume_dist = rn/n — the window
+    *                  orders by (o_totalprice, o_orderkey), a TOTAL
+    *                  order, so rank = row_number and ties don't exist
+    *   first/last   = min/max of struct(price, key) per status — a
+    *                  3-row broadcast aggregate
+    *
+    * All divisions are single IEEE ops on exact integers, identical in
+    * both engines; the DuckDB oracle keeps the plain-window SQL, which
+    * is exactly the equivalence this decomposition must preserve.
+    * Scale shape: one linear scan + one 3-row aggregate + row_number
+    * over (status, bucket) — ~3×1024 bounded sort partitions instead
+    * of 3 unbounded ones. PlanShapeSpec pins that no Window in the
+    * plan partitions the orders frame by the status key alone. */
   private def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
-    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.orders(s, dir)
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    // cents as a monotone integral proxy of the price order: double ×100
+    // keeps order (positive constant) and equal prices collide safely
+    val ranked = graft.core.PrefixSum.keyedRank(
+      orders, "o_orderstatus", ($"o_totalprice" * 100).cast("long"),
+      Seq($"o_totalprice", $"o_orderkey"), "rn")
+    val stats = orders.groupBy($"o_orderstatus".as("st"))
+      .agg(count(lit(1)).as("n"),
+        min(struct($"o_totalprice", $"o_orderkey")).as("lo"),
+        max(struct($"o_totalprice", $"o_orderkey")).as("hi"))
+      .select($"st", $"n",
+        $"lo.o_orderkey".as("cheapest_key"), $"hi.o_orderkey".as("priciest_key"))
+    ranked.join(broadcast(stats), $"o_orderstatus" === $"st")
       .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 4).as("price"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
-        first($"o_orderkey").over(w).as("cheapest_key"),
-        last($"o_orderkey").over(full).as("priciest_key"))
+        // ntile positional formula; ELSE branch unreachable when n < 4
+        // (then n%4 = n ≥ rn), so its DIV-by-zero never evaluates
+        expr("""CAST(CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
+               |  THEN (rn + (n DIV 4)) DIV (n DIV 4 + 1)
+               |  ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) + (n DIV 4) - 1) DIV (n DIV 4)
+               |END AS INT)""".stripMargin).as("quartile"),
+        round(when($"n" === 1, lit(0.0))
+          .otherwise(($"rn" - 1).cast("double") / ($"n" - 1)), 6).as("pct_rank"),
+        round($"rn".cast("double") / $"n", 6).as("cume"),
+        $"cheapest_key", $"priciest_key")
       .orderBy($"o_orderkey")
   }
   private val q109Sql =

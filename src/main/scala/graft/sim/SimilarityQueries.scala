@@ -1049,9 +1049,14 @@ object SimilarityQueries extends QueryCatalog {
     s"""WITH e AS ($withVecSql),
        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
        |sc AS (
+       |  -- zero-denominator convention mirrors the Spark-side
+       |  -- cosine_similarity Expression (0.0, not 0/0 = NaN/NULL): a
+       |  -- degenerate all-zero prefix must sort identically in both engines
        |  SELECT e.vec_id, CAST(w.w AS BIGINT) AS w,
-       |    list_dot_product(e.v[1:w.w], q.qv[1:w.w]) /
-       |      (sqrt(list_dot_product(e.v[1:w.w], e.v[1:w.w])) * sqrt(list_dot_product(q.qv[1:w.w], q.qv[1:w.w]))) AS cosw
+       |    CASE WHEN sqrt(list_dot_product(e.v[1:w.w], e.v[1:w.w])) * sqrt(list_dot_product(q.qv[1:w.w], q.qv[1:w.w])) = 0
+       |         THEN 0.0
+       |         ELSE list_dot_product(e.v[1:w.w], q.qv[1:w.w]) /
+       |      (sqrt(list_dot_product(e.v[1:w.w], e.v[1:w.w])) * sqrt(list_dot_product(q.qv[1:w.w], q.qv[1:w.w]))) END AS cosw
        |  FROM e CROSS JOIN (SELECT unnest($widths) AS w) w CROSS JOIN q
        |  WHERE e.vec_id <> 0
        |),

@@ -250,9 +250,14 @@ object EventStreams {
             }
           }
           state.update((v, c, p))
+          // Guard the MaxValue sentinel explicitly: `c < p` is vacuously
+          // true when p is "not seen", which would award stage 3 to a
+          // view<click user with no purchase (and stage 2 to a view-only
+          // user via `v < c`). The batch oracle's `tv < tc` is NULL-falsy
+          // when tc is NULL; these guards reproduce that.
           val stage =
-            if (v < c && c < p) 3L
-            else if (v < c) 2L
+            if (v < c && c < p && p != Long.MaxValue) 3L
+            else if (v < c && c != Long.MaxValue) 2L
             else if (v != Long.MaxValue) 1L
             else 0L
           (user, stage)

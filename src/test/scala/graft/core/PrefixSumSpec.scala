@@ -59,6 +59,73 @@ class PrefixSumSpec extends SparkTestBase {
     assert(PrefixSum.runningTotal(empty, "k", "id", "v", "cum").count() == 0L)
   }
 
+  // ------------------------------------------------------------ keyedRank
+
+  private def rankReference(rows: Seq[(Long, Long, Long)]): Map[(Long, Long), Long] =
+    rows.groupBy(_._1).flatMap { case (k, rs) =>
+      rs.sortBy(r => (r._2, r._3)).zipWithIndex
+        .map { case ((_, _, id), i) => (k, id) -> (i + 1L) }
+    }
+
+  private def checkRank(rows: Seq[(Long, Long, Long)], targetShards: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = rows.toDF("k", "ord", "id")
+    // deliberately COARSE proxy (ord DIV 7) so proxy collisions across
+    // distinct ord values exercise the ties-settle-in-shard contract
+    val got = PrefixSum.keyedRank(df, "k", expr("ord DIV 7"),
+        Seq(col("ord"), col("id")), "rn", targetShards)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("id")) -> r.getAs[Long]("rn")).toMap
+    val exp = rankReference(rows)
+    assert(got.size == rows.size, s"row count ${got.size} != ${rows.size}")
+    got.foreach { case (kid, rn) =>
+      assert(rn == exp(kid), s"$kid: got $rn, expected ${exp(kid)} (shards=$targetShards)")
+    }
+  }
+
+  test("keyedRank: modal key with heavy order-value ties equals the plain per-key sort") {
+    val rows = (0 until 4000).map(i => (0L, (i % 97).toLong, i.toLong))
+    check3Keys(rows)
+  }
+
+  private def check3Keys(rows: Seq[(Long, Long, Long)]): Unit = {
+    checkRank(rows, targetShards = 64)
+    checkRank(rows, targetShards = 1)    // one shard: pure partition-by-key
+    checkRank(rows, targetShards = 4096) // more shards than rows
+  }
+
+  test("keyedRank: mixed keys, negative order values spanning a wide range") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 3000).map(i =>
+      ((rnd.nextInt(3)).toLong, rnd.nextLong() % 1000000007L, i.toLong))
+    check3Keys(rows)
+  }
+
+  test("keyedRank: order proxies spanning the full Long range") {
+    val rnd = new scala.util.Random(29)
+    val ords = Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L) ++
+      (0 until 500).map(_ => rnd.nextLong())
+    val rows = ords.zipWithIndex.map { case (o, i) => ((i % 2).toLong, o, i.toLong) }
+    checkRank(rows, targetShards = 32)
+  }
+
+  test("keyedRank plan: no window partitions the full frame by the key alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 1000).map(i => (0L, (i % 5).toLong, i.toLong)).toDF("k", "ord", "id")
+    val plan = PrefixSum.keyedRank(df, "k", col("ord"), Seq(col("ord"), col("id")), "rn", 32)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(windows.size >= 2, s"expected within-shard + shard-offset windows:\n$plan")
+    // the full frame's window must carry the shard in its partition spec;
+    // a [k#N] partition alone is the modal-key serialization this exists to kill
+    assert(!windows.exists(_.matches(".*\\], \\[k#[0-9]+L?\\], \\[.*")),
+      s"window partitioned by key alone:\n${windows.mkString("\n")}")
+    assert(windows.exists(_.matches(".*\\], \\[k#[0-9]+L?, ps_shard#[0-9]+L?\\], \\[.*")),
+      s"within-shard window must be partitioned by (k, ps_shard):\n${windows.mkString("\n")}")
+  }
+
   test("plan: within-shard window is partitioned, only the key-totals window is not") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (0L, i.toLong, 1L)).toDF("k", "id", "v")

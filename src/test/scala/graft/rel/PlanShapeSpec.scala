@@ -82,6 +82,20 @@ class PlanShapeSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("q109: no window partitions the orders frame by the 3-value status key alone") {
+    assume(ready)
+    val p = plan("q109_window_distribution")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toList
+    assert(windows.nonEmpty, p)
+    // the modal-key shape this decomposition kills: ntile/percent_rank
+    // over PARTITION BY o_orderstatus sorts ⅓ of orders in one task
+    assert(!windows.exists(_.matches(".*\\], \\[o_orderstatus#[0-9]+\\], \\[.*")),
+      s"window partitioned by o_orderstatus alone:\n${windows.mkString("\n")}")
+    assert(windows.exists(w => w.contains("o_orderstatus") && w.contains("ps_shard")),
+      s"within-bucket window must partition by (status, price bucket):\n${windows.mkString("\n")}")
+    graft.core.ScratchCache.drain()
+  }
+
   test("q54: IVF training lineage stays truncated (bounded corpus scans in the plan)") {
     assume(ready)
     val p = plan("q54_sim_ivf")

@@ -174,12 +174,16 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val mid = latestStages()
       assert(mid(1L) == 0L, s"no view yet: $mid") // click/purchase alone = stage 0
-      input.addData((t(1), 1L, "view"), (t(2), 2L, "view"))
+      // user 3 = view only; user 4 = view<click, never purchases. The
+      // MaxValue "not seen" sentinel must not satisfy `v < c` / `c < p`.
+      input.addData((t(1), 1L, "view"), (t(2), 2L, "view"),
+        (t(1), 3L, "view"), (t(1), 4L, "view"), (t(2), 4L, "click"))
       q.processAllAvailable()
       val fin = latestStages()
       // late-arriving earlier view upgrades user 1 straight to stage 3;
-      // user 2's view came after its click in EVENT time → stage 1
-      assert(fin == Map(1L -> 3L, 2L -> 1L), s"got $fin")
+      // user 2's view came after its click in EVENT time → stage 1;
+      // view-only user 3 stays at 1; no-purchase user 4 stops at 2
+      assert(fin == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $fin")
     } finally q.stop()
   }
 
