@@ -32,18 +32,25 @@ import graft.core.ScratchCache
   *     instead of poisoning all R samples of one query, so the
   *     per-query LOWER MEDIAN across sweeps discards it.
   *  2. AUTOMATIC ISOLATED RE-TIME: after the sweeps, a query is
-  *     re-timed once, alone, with caches drained, when EITHER (a) its
-  *     median exceeds 3× its own best sweep (the query demonstrably
+  *     re-timed alone, with caches drained, when EITHER (a) its
+  *     median exceeds 2× its own best sweep (the query demonstrably
   *     CAN run that fast — classic transient spike), or (b) its median
-  *     exceeds SPARK_GRAFT_RETIME_FLOOR seconds (default 5) — the case
+  *     exceeds SPARK_GRAFT_RETIME_FLOOR seconds (default 3) — the case
   *     (a) misses when contention poisons ALL R sweeps of a heavy
   *     query (r4: three queries sat at 10–15 s in every sweep vs ~3 s
   *     isolated, and no re-time fired because best ≈ median). The
   *     floor bounds the extra work to the handful of heavy queries and
   *     applies even for single-sweep runs (runs = 1), where it is the
-  *     only contention defense available.
+  *     only contention defense available. A re-time that ITSELF lands
+  *     above 2× the best sweep (r6: q41's isolated sample hit the same
+  *     contention window as its sweeps — 5.12 s reported vs 2.80 s
+  *     reproducible) gets exactly one more attempt; the sample is the
+  *     min of the attempts.
   *     The reported per-query value is min(median, re-time); the raw
-  *     re-times are emitted under "queries_retimed", the worst sweep
+  *     re-times are emitted under "queries_retimed" ON THE STDOUT LINE
+  *     (capped at the 8 largest median−retime deltas plus a
+  *     "retimed_n" total, so the driver-visible artifact carries the
+  *     adjudication, not just BENCH_DETAIL.json), the worst sweep
   *     under "queries_max", and the UN-adjusted sweep median under
   *     "queries_median" — so consumers can always tell whether the
   *     sweeps or the re-time determined the headline number, and a
@@ -102,13 +109,19 @@ object Bench {
     // isolated re-time of contention suspects (see scaladoc point 2).
     // A FAILED re-run must not contribute its (meaningless) wall time:
     // keep the sweep median and drop the sample.
-    val retimeFloor = sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "5.0").toDouble
+    val retimeFloor = sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR", "3.0").toDouble
     val retimed: Map[String, Double] = prelim.collect {
       case (name, med, best, _, true)
-        if (runs > 1 && med > 3 * best) || med > retimeFloor =>
+        if (runs > 1 && med > 2 * best) || med > retimeFloor =>
         System.gc()
-        name -> timeOne(name)
-    }.collect { case (name, (t, true)) => name -> t }.toMap
+        val (t1, ok1) = timeOne(name)
+        // a re-time that itself stayed suspicious (the query's best
+        // sweep proves it can run 2× faster) gets one more attempt
+        val second = if (ok1 && t1 > 2 * best && runs > 1) {
+          System.gc(); Some(timeOne(name))
+        } else None
+        name -> (Seq((t1, ok1)) ++ second).collect { case (t, true) => t }
+    }.collect { case (name, ts) if ts.nonEmpty => name -> ts.min }.toMap
 
     // A failing query must not silently lower the total: it is reported
     // as -1 in the per-query map and listed in "failed".
@@ -145,8 +158,16 @@ object Bench {
     def obj2(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
     val shortable = names.map(short).distinct.size == names.size
-    val qsLine = obj2(qsFull.map { case (k, v) => (if (shortable) short(k) else k) -> v })
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qsLine,"failed":$failed,"sf":"$sfDir"}""")
+    def key(n: String): String = if (shortable) short(n) else n
+    val qsLine = obj2(qsFull.map { case (k, v) => key(k) -> v })
+    // the driver-visible adjudication: which queries the isolated
+    // re-time corrected, capped at the 8 largest median−retime deltas
+    // (plus the trigger count) to stay inside the 2 kB tail window
+    val medByName = qsMed.toMap
+    val retimedLine = obj2(retimed.toSeq
+      .sortBy { case (k, t) => -(medByName.getOrElse(k, t) - t) }
+      .take(8).map { case (k, t) => key(k) -> t })
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qsLine,"queries_retimed":$retimedLine,"retimed_n":${retimed.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
