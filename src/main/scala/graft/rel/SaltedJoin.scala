@@ -37,6 +37,17 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
   private[rel] val SaltCol = "__graft_salt"
+  private[rel] val SaltNCol = "__graft_salt_n"
+
+  private def normalize(joinType: String): String =
+    joinType.toLowerCase.replaceAll("[_\\s]", "") match {
+      case "inner" => "inner"
+      case "left" | "leftouter" => "left"
+      case "leftsemi" | "semi" => "left_semi"
+      case "leftanti" | "anti" => "left_anti"
+      case _ => throw new IllegalArgumentException(
+        s"salted join preserves semantics only for inner/left/left_semi/left_anti, got '$joinType'")
+    }
 
   /** Left frame + salt column in [0, saltBuckets). */
   private[rel] def saltLeft(left: DataFrame, entropy: Column, saltBuckets: Int): DataFrame =
@@ -51,16 +62,82 @@ object SaltedJoin {
            joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     require(keys.nonEmpty, "salted join needs at least one equi-key")
-    val jt = joinType.toLowerCase.replaceAll("[_\\s]", "") match {
-      case "inner" => "inner"
-      case "left" | "leftouter" => "left"
-      case "leftsemi" | "semi" => "left_semi"
-      case "leftanti" | "anti" => "left_anti"
-      case _ => throw new IllegalArgumentException(
-        s"salted join preserves semantics only for inner/left/left_semi/left_anti, got '$joinType'")
-    }
+    val jt = normalize(joinType)
     val joined = saltLeft(left, entropy, saltBuckets)
       .join(replicateRight(right, saltBuckets), keys :+ SaltCol, jt)
     joined.drop(SaltCol)
+  }
+
+  /** Observed-skew statistics: the hot keys of `left` and a per-key
+    * salt count derived from how many average-partition units each
+    * occupies — so [[joinAuto]] needs no prior knowledge of the skew.
+    *
+    * One map-combinable count aggregate over the left frame (output =
+    * |distinct keys| rows, the same cardinality any grouped query
+    * shuffles), a 1-row total, and a top-`topN` pick by frequency —
+    * the bounded, AQE-style planning cost. A key is HOT when its count
+    * exceeds one average partition's share (total / parallelism); its
+    * salt count is ⌈count / (total / parallelism)⌉ — the number of
+    * partition-units it must fan out to — capped at `maxSalt` so the
+    * right-side replication factor stays bounded.
+    *
+    * Returns (keys…, [[SaltNCol]]) for the hot keys only — at most
+    * `topN` rows, always broadcastable. Empty frame = no skew. */
+  def detectHotKeys(left: DataFrame, keys: Seq[String],
+                    parallelism: Int, maxSalt: Int = 64,
+                    topN: Int = 100): DataFrame = {
+    require(parallelism >= 1 && maxSalt >= 1 && topN >= 1, "positive stats parameters required")
+    val spark = left.sparkSession
+    val cnt = graft.core.ScratchCache.persist(
+      left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt")))
+    val total = math.max(1L,
+      cnt.agg(sum(col("__cnt"))).collect()(0).getLong(0))
+    cnt.orderBy(col("__cnt").desc).limit(topN)
+      .withColumn(SaltNCol,
+        least(lit(maxSalt.toLong),
+          ceil(col("__cnt") * parallelism / lit(total.toDouble))).cast("int"))
+      .filter(col(SaltNCol) >= 2) // salt_n = 1 means "an average key" — not hot
+      .drop("__cnt")
+  }
+
+  /** Stats-driven salted join: detect the left side's hot keys from
+    * its OBSERVED key distribution and salt ONLY those, each by its
+    * own measured factor — cold keys join unsalted (salt 0, right row
+    * replicated once), so the right-side growth is confined to the
+    * handful of keys that need it instead of a uniform S× blowup.
+    * Same join-type contract and semantics-preservation guarantee as
+    * [[join]] (SaltedJoinSpec proves both paths against the plain
+    * join on the skewed fixture).
+    *
+    * `parallelism` defaults to the cluster's scheduler parallelism —
+    * the number of reducers a hot key should be able to occupy. */
+  def joinAuto(left: DataFrame, right: DataFrame, keys: Seq[String],
+               entropy: Column, joinType: String = "inner",
+               parallelism: Int = 0, maxSalt: Int = 64,
+               topN: Int = 100): DataFrame = {
+    val par = if (parallelism >= 1) parallelism
+      else left.sparkSession.sparkContext.defaultParallelism
+    joinWithHotKeys(left, right, keys, entropy,
+      detectHotKeys(left, keys, par, maxSalt, topN), joinType)
+  }
+
+  /** [[joinAuto]]'s execution half, callable with a caller-supplied
+    * (or artifact-loaded) hot-key frame of (keys…, [[SaltNCol]]). */
+  def joinWithHotKeys(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      entropy: Column, hotKeys: DataFrame,
+                      joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "salted join needs at least one equi-key")
+    val jt = normalize(joinType)
+    val hk = broadcast(hotKeys)
+    val l = left.join(hk, keys, "left")
+      .withColumn(SaltCol,
+        when(col(SaltNCol).isNotNull,
+          pmod(xxhash64(entropy), col(SaltNCol).cast("long"))).otherwise(0L))
+      .drop(SaltNCol)
+    val r = right.join(hk, keys, "left")
+      .withColumn(SaltCol,
+        explode(expr(s"sequence(0L, CAST(coalesce($SaltNCol, 1) AS BIGINT) - 1)")))
+      .drop(SaltNCol)
+    l.join(r, keys :+ SaltCol, jt).drop(SaltCol)
   }
 }

@@ -59,6 +59,62 @@ class SaltedJoinSpec extends SparkTestBase {
       intercept[IllegalArgumentException] {
         SaltedJoin.join(leftDf, rightDf, Seq("k"), col("id"), 8, jt)
       }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.joinAuto(leftDf, rightDf, Seq("k"), col("id"), "full", parallelism = 8)
+    }
+  }
+
+  test("detectHotKeys finds exactly the ~91% key, with a salt factor matching its share") {
+    val hot = SaltedJoin.detectHotKeys(leftDf, Seq("k"), parallelism = 8)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Int](SaltedJoin.SaltNCol)).toMap
+    // key 0 holds 910/1000 rows -> ceil(0.91 * 8) = 8 partition-units;
+    // every other key holds ~1% (far under the 12.5% average share)
+    assert(hot.keySet == Set(0L), s"hot-key set: $hot")
+    assert(hot(0L) == 8, s"salt factor for the 91% key should be 8: $hot")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("detectHotKeys caps the salt factor and returns empty on a uniform frame") {
+    import spark.implicits._
+    val capped = SaltedJoin.detectHotKeys(leftDf, Seq("k"), parallelism = 1000, maxSalt = 16)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Int](SaltedJoin.SaltNCol)).toMap
+    assert(capped(0L) == 16, s"maxSalt must bound the factor: $capped")
+    val uniform = (0 until 1000).map(i => (i.toLong, (i % 10).toLong, 0.0)).toDF("id", "k", "v")
+    assert(SaltedJoin.detectHotKeys(uniform, Seq("k"), parallelism = 8).count() == 0L,
+      "uniform distribution must yield no hot keys")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("joinAuto equals the plain join for all supported join types (auto-detected keys)") {
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = leftDf.join(rightDf, Seq("k"), jt)
+      val salted = SaltedJoin.joinAuto(leftDf, rightDf, Seq("k"), col("id"), jt, parallelism = 8)
+      assert(salted.columns.toSeq == plain.columns.toSeq, s"$jt: columns differ")
+      assert(canon(salted) == canon(plain), s"$jt: rows differ")
+      graft.core.ScratchCache.drain()
+    }
+  }
+
+  test("joinAuto fans out only the hot key; right replication is confined to it") {
+    val hk = SaltedJoin.detectHotKeys(leftDf, Seq("k"), parallelism = 8)
+    // left: hot key spreads across its salt_n buckets, cold keys stay at salt 0
+    val l = leftDf.join(broadcast(hk), Seq("k"), "left")
+      .withColumn(SaltedJoin.SaltCol,
+        when(col(SaltedJoin.SaltNCol).isNotNull,
+          pmod(xxhash64(col("id")), col(SaltedJoin.SaltNCol).cast("long"))).otherwise(0L))
+    assert(l.filter(col("k") === 0L).select(SaltedJoin.SaltCol).distinct().count() == 8,
+      "hot key must occupy all 8 salt buckets")
+    assert(l.filter(col("k") =!= 0L).select(SaltedJoin.SaltCol).distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L), "cold keys must not be salted")
+    // right: only the hot key's dim row replicates
+    val r = rightDf.join(broadcast(hk), Seq("k"), "left")
+      .withColumn(SaltedJoin.SaltCol,
+        explode(expr(s"sequence(0L, CAST(coalesce(${SaltedJoin.SaltNCol}, 1) AS BIGINT) - 1)")))
+    val perKey = r.groupBy(col("k")).count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(perKey(0L) == 8L && perKey(1L) == 1L,
+      s"replication must be confined to the hot key: $perKey")
+    graft.core.ScratchCache.drain()
   }
 
   test("q107's salted plan takes the shuffle-join path, not a broadcast") {
