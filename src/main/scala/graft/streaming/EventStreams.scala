@@ -135,9 +135,17 @@ object EventStreams {
     * inner variant — the time-bound join condition lets expired clicks
     * leave the store. */
   def clickPurchaseLeftJoinStream(clicks: DataFrame, purchases: DataFrame,
-                                  horizonMinutes: Int = 60): DataFrame = {
-    val c = clicks.withWatermark("ts", s"$horizonMinutes minutes").alias("c")
-    val p = purchases.withWatermark("ts", s"$horizonMinutes minutes").alias("p")
+                                  horizonMinutes: Int = 60,
+                                  watermarkMinutes: Option[Int] = None): DataFrame = {
+    // the watermark DELAY (late-arrival tolerance) and the join
+    // HORIZON (business time bound) are distinct dials: a replay of
+    // historical files needs a delay covering the whole span so
+    // shuffled file order drops nothing, while the horizon stays the
+    // funnel's 60 minutes. Default keeps them equal (the live-stream
+    // setting, minimal state).
+    val wm = watermarkMinutes.getOrElse(horizonMinutes)
+    val c = clicks.withWatermark("ts", s"$wm minutes").alias("c")
+    val p = purchases.withWatermark("ts", s"$wm minutes").alias("p")
     c.join(p, expr(
       s"""c.user_id = p.user_id AND
          |p.ts >= c.ts AND

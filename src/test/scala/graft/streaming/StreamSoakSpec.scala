@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkTestBase
 import graft.core.Tables
+import org.apache.spark.sql.functions._
 
 /** Streaming soak on REAL data volume: the sf0.1 events table (not a
   * hand-sized fixture) is replayed through a file-source stream in
@@ -15,6 +16,26 @@ class StreamSoakSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.1"
   private def ready = java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+  /** Stage the µs-truncated events as `n` parquet files and open a
+    * 1-file-per-trigger stream over them. Returns (stagePath, stream,
+    * batch frame, row count). Caller deletes the stage dir. */
+  private def stagedStream(n: Int): (String, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, Long) = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val batchEvents = Tables.events(spark, dir)
+    val nRows = batchEvents.count()
+    batchEvents.repartition(n).write.parquet(s"$stage/events")
+    val schema = spark.read.parquet(s"$stage/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stage/events")
+    (stage, stream, batchEvents, nRows)
+  }
+
+  private def multiBatch(q: org.apache.spark.sql.streaming.StreamingQuery, atLeast: Int): Unit = {
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= atLeast, s"expected a multi-batch replay, got $batches batches")
+  }
 
   test("q60 tumbling counts over a micro-batched file stream of sf0.1 events equal the batch run") {
     assume(ready)
@@ -45,6 +66,107 @@ class StreamSoakSpec extends SparkTestBase {
       assert(batch.nonEmpty && nRows > 10000L, s"soak fixture too small: $nRows rows")
       assert(streamed == batch,
         s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  test("q102 stream-static enrichment over micro-batched sf0.1 events equals the batch run") {
+    assume(ready)
+    val (stage, stream, batchEvents, nRows) = stagedStream(8)
+    val customers = Tables.customer(spark, dir)
+    val q = EventStreams.enrichedSegmentCounts(stream, customers)
+      .writeStream.format("memory").queryName("soak_q102")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, 8)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val streamed = canon(spark.table("soak_q102"))
+      val batch = canon(EventStreams.enrichedSegmentCounts(batchEvents, customers))
+      assert(batch.nonEmpty && nRows > 10000L, s"soak fixture too small: $nRows rows")
+      assert(streamed == batch,
+        s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  test("q103 left-outer interval join over micro-batched sf0.1 events equals the batch run") {
+    assume(ready)
+    import spark.implicits._
+    val (stage, stream, batchEvents, _) = stagedStream(8)
+    // files replay in arbitrary order, so the DELAY watermark must
+    // cover the whole 30-day span (43200 min) or mid-replay "late"
+    // rows get dropped; the join HORIZON stays the production 60 min
+    val wmMin = 45000
+    def carve(df: org.apache.spark.sql.DataFrame, et: String, idAs: String) =
+      df.filter(col("event_type") === et)
+        .select(col("ts"), col("user_id"), col("event_id").as(idAs))
+    val joined = EventStreams.clickPurchaseLeftJoinStream(
+      carve(stream, "click", "click_id"), carve(stream, "purchase", "purchase_id"),
+      horizonMinutes = 60, watermarkMinutes = Some(wmMin))
+    val q = joined.writeStream.format("memory").queryName("soak_q103")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, 8)
+      // outer rows flush only once BOTH watermarks pass every click's
+      // horizon: append a far-future sentinel click+purchase (disjoint
+      // negative user ids so they match nothing, including each other)
+      val maxTs = batchEvents.agg(max($"ts")).collect()(0).getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + (wmMin + 120L * 60) * 60000L)
+      Seq((-1L, sentinelTs, -1L, "click", 0.0, "{}"),
+          (-2L, sentinelTs, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(s"$stage/events")
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("user_id") >= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val streamed = canon(spark.table("soak_q103")
+        .select($"user_id", $"click_id", $"purchase_id"))
+      val batch = canon(EventStreams.clickPurchaseLeftJoinStream(
+          carve(batchEvents, "click", "click_id"), carve(batchEvents, "purchase", "purchase_id"))
+        .select($"user_id", $"click_id", $"purchase_id"))
+      assert(batch.exists(_._3 == -1L), "batch twin must contain unconverted clicks")
+      assert(streamed == batch,
+        s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  test("q120 funnel state machine over micro-batched sf0.1 events converges to the batch stages") {
+    assume(ready)
+    import spark.implicits._
+    val (stage, stream, batchEvents, _) = stagedStream(8)
+    // update-mode state machine: first-seen mins are order-independent
+    // accumulators, so ANY file replay order must converge to the
+    // batch answer — the strongest form of the StreamingSpec property,
+    // at data volume
+    val q = EventStreams.funnelStageStream(stream)
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("soak_q120")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, 8)
+      val latest = spark.table("soak_q120")
+        .withColumn("rn", monotonically_increasing_id())
+        .groupBy($"user_id").agg(max_by($"stage", $"rn").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = EventStreams.funnelStageStream(batchEvents)
+        .collect().map(t => t._1 -> t._2).toMap
+      assert(batch.size > 100, s"soak fixture too small: ${batch.size} users")
+      assert(batch.values.toSet.size > 1, "fixture must exercise multiple stages")
+      assert(latest == batch,
+        s"stream/batch divergence on ${latest.toSet.diff(batch.toSet).take(5)}")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
