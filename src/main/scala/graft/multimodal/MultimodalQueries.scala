@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryCatalog, Tables}
+import graft.dedup.Banding
 
 /** Oracle-checkable slice of the multimodal surface: documents.text
   * encoded to a binary column stands in for media bytes (no codecs in
@@ -175,6 +176,136 @@ object MultimodalQueries extends QueryCatalog {
       |HAVING count(DISTINCT media_id) >= 2
       |ORDER BY frame_md5""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Perceptual frame NEAR-dup — the aHash complement to q108's exact
+    * digests: a re-encoded, lightly-retouched scene changes every
+    * byte-level md5 but barely moves the frame's LUMINANCE PATTERN.
+    * Each full frame gets a 64-bit average-hash (bit i = is byte i
+    * above the frame mean — here `byte_i × frameBytes > total`, exact
+    * integer arithmetic, no division), stored as four 16-bit band
+    * integers; frames agreeing on ANY band become candidates (by
+    * pigeonhole, ≤ 3 flipped bits of 64 ALWAYS leave one of the 4
+    * bands intact — banded recall is complete for the Hamming ≤ 3
+    * verify gate, the q43 SimHash argument at frame granularity);
+    * candidates are verified with bit_count(xor) ≤ 3 and aggregated
+    * per media pair. Partial tail frames are excluded — byte-exact
+    * tails are q108's job.
+    *
+    * Scale shape: linear fingerprint scan (codegen'd integer folds,
+    * 8 bytes of fingerprint riding each band row — the sizes-in-
+    * posting discipline, so NOTHING joins back onto the pair frame);
+    * band buckets capped by [[Banding.capBuckets]]; the only shuffles
+    * are the band equi-join and the final per-pair aggregate. The
+    * 16-bit band space is small (65 k values), so text-corpus char-
+    * class patterns DO collide — the cap and the Hamming verify are
+    * what keep that bounded, exactly the SimHash envelope contract. */
+  private[multimodal] val NearDupFrameBytes = 64
+  private[multimodal] val NearDupMaxHamming = 3
+  /** Core of q124 over a (media_id, media: binary) frame — package-
+    * private for MultimodalSpec's planted near-dup fixture. */
+  private[multimodal] def frameNearDupOf(media: DataFrame): DataFrame = {
+    val fb = NearDupFrameBytes
+    val fingerprints = Multimodal.sampleFrames(media, frameBytes = fb, stride = 1)
+      .filter(expr(s"octet_length(frame) = $fb"))
+      .withColumn("total", expr(s"aggregate(sequence(1, $fb), CAST(0 AS BIGINT), " +
+        "(a, i) -> a + ascii(substr(CAST(frame AS STRING), i, 1)))"))
+      .select(Seq(col("media_id"), col("frame_no")) ++ (0 until 4).map(b =>
+        expr(s"aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) -> a + " +
+          s"CASE WHEN ascii(substr(CAST(frame AS STRING), ${16 * b} + j + 1, 1)) * $fb > total " +
+          s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)").as(s"b$b")): _*)
+    // band rows carry the full fingerprint (8 bytes) so pairs emerge
+    // scored map-side; ord = unique frame id for the deterministic cap
+    val bands = graft.core.ScratchCache.persist(Banding.capBuckets(
+      fingerprints.select(col("media_id"), col("frame_no"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        (col("media_id") * lit(1048576L) + col("frame_no")).as("ord"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_no", "band_key"))),
+      "band_key", "ord"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_no") === col("b.band_no") && col("a.band_key") === col("b.band_key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("a.frame_no").as("fa"),
+        col("b.media_id").as("media_b"), col("b.frame_no").as("fb"),
+        col("a.b0").as("a0"), col("a.b1").as("a1"), col("a.b2").as("a2"), col("a.b3").as("a3"),
+        col("b.b0").as("c0"), col("b.b1").as("c1"), col("b.b2").as("c2"), col("b.b3").as("c3"))
+      .distinct() // a frame pair agreeing on several bands scores once
+    pairs
+      .withColumn("hamming",
+        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
+      .filter(col("hamming") <= NearDupMaxHamming)
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        sum(when(col("hamming") > 0, 1L).otherwise(0L)).as("n_near"),
+        min(col("hamming")).as("min_hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameNearDupOf(Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media")))
+  }
+  // ASCII-corpus note as on q71; DuckDB's ^ is POWER, so xor() is
+  // spelled out, and two parallel unnests zip positionally.
+  private val q124Sql = {
+    val fb = NearDupFrameBytes
+    def bandSql(b: Int) =
+      s"""CAST(list_sum(list_transform(generate_series(0, 15), j ->
+         |    CASE WHEN ascii(substring(frame, ${16 * b} + j + 1, 1)) * $fb > total
+         |    THEN 1 << j ELSE 0 END)) AS BIGINT) AS b$b""".stripMargin
+    s"""WITH m AS (SELECT doc_id AS media_id, text AS media FROM documents),
+       |idx AS (
+       |  SELECT media_id, media,
+       |    unnest(generate_series(0, CAST((length(media) - 1) // $fb AS INT))) AS frame_no
+       |  FROM m WHERE length(media) > 0
+       |),
+       |fr AS (
+       |  SELECT media_id, frame_no, substring(media, frame_no * $fb + 1, $fb) AS frame
+       |  FROM idx
+       |),
+       |tot AS (
+       |  SELECT media_id, frame_no, frame,
+       |    CAST(list_sum(list_transform(generate_series(1, $fb),
+       |      i -> ascii(substring(frame, i, 1)))) AS BIGINT) AS total
+       |  FROM fr WHERE length(frame) = $fb
+       |),
+       |fp AS (
+       |  SELECT media_id, frame_no,
+       |    ${(0 until 4).map(bandSql).mkString(",\n    ")}
+       |  FROM tot
+       |),
+       |bands AS (
+       |  SELECT * FROM (
+       |    SELECT media_id, frame_no, b0, b1, b2, b3,
+       |      media_id * 1048576 + frame_no AS ord,
+       |      unnest([0, 1, 2, 3]) AS band_no,
+       |      unnest([b0, b1, b2, b3]) AS band_key
+       |    FROM fp)
+       |  QUALIFY row_number() OVER (PARTITION BY band_no, band_key ORDER BY ord) <= ${Banding.MaxBandBucket}
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS media_a, a.frame_no AS fa,
+       |    b.media_id AS media_b, b.frame_no AS fb,
+       |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+       |    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+       |  FROM bands a JOIN bands b
+       |    ON a.band_no = b.band_no AND a.band_key = b.band_key
+       |   AND a.media_id < b.media_id
+       |),
+       |sc AS (
+       |  SELECT media_a, media_b,
+       |    CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) +
+       |         bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+       |  FROM pairs
+       |)
+       |SELECT media_a, media_b, count(*) AS n_frame_pairs,
+       |  CAST(sum(CASE WHEN hamming > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |  min(hamming) AS min_hamming
+       |FROM sc WHERE hamming <= $NearDupMaxHamming
+       |GROUP BY 1, 2
+       |ORDER BY media_a, media_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q113
   /** Energy-gated silence segmentation — the VAD (voice-activity
     * detection) shape of audio curation: media is cut into fixed-width
@@ -276,6 +407,7 @@ object MultimodalQueries extends QueryCatalog {
     "q72_multimodal_decode" -> q72,
     "q108_frame_dedup" -> q108,
     "q113_audio_silence" -> q113,
+    "q124_frame_neardup" -> q124,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -284,5 +416,6 @@ object MultimodalQueries extends QueryCatalog {
     "q72_multimodal_decode" -> q72Sql,
     "q108_frame_dedup" -> q108Sql,
     "q113_audio_silence" -> q113Sql,
+    "q124_frame_neardup" -> q124Sql,
   )
 }

@@ -110,4 +110,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(dup.forall { case (_, nMedia, nOcc, canon) => nMedia == 2 && nOcc == 2 && canon == 1L },
       dup.toSeq.toString)
   }
+
+  test("frameNearDup catches a retouched re-encode (1 aHash bit) that exact digests miss") {
+    import spark.implicits._
+    // one 64-byte frame of '!' (33, far below mean) and 'z' (122, far
+    // above): flipping a single '!' to 'z' moves the frame total by 89
+    // but leaves every OTHER byte on its side of the mean, so exactly
+    // ONE aHash bit flips — a planted Hamming-1 near-dup whose md5
+    // differs (q108 finds nothing). Media 5 is all-'a' (every byte ==
+    // the mean, all bits 0): its b0 = 0 COLLIDES with the base frame's
+    // all-'!' band, making it a banded candidate that the Hamming
+    // verify must then reject (32 bits apart).
+    val base = ("!" * 16) + ("z" * 16) + ("!" * 16) + ("z" * 16)
+    val touched = "z" + base.substring(1)
+    val media = Seq(
+      1L -> base, 2L -> touched,
+      3L -> base, // exact re-upload of 1
+      5L -> ("a" * 64)).toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("media"))
+    val got = MultimodalQueries.frameNearDupOf(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // (1,2): the near pair, 1 frame pair, hamming 1 (counted as near);
+    // (1,3): exact pair, hamming 0; (2,3): also hamming 1
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"pairs: $got — media 5 must be rejected by the verify, near pair must survive")
+    assert(got((1L, 2L)) == (1L, 1L, 1L), s"near pair mis-scored: $got")
+    assert(got((1L, 3L)) == (1L, 0L, 0L), s"exact pair mis-scored: $got")
+    // and the exact-digest path indeed misses the retouched pair
+    val exact = MultimodalQueries.frameDedupOf(media, frameBytes = 64)
+      .collect().map(_.getLong(3)).toSet
+    assert(!exact.contains(2L) || exact == Set(1L),
+      s"q108-style exact dedup should pair only 1 and 3: $exact")
+    graft.core.ScratchCache.drain()
+  }
 }
