@@ -58,4 +58,16 @@ class SigJaccardSpec extends SparkTestBase {
     val many = run(fixture.repartition(7))
     assert(one == many)
   }
+
+  test("plan: nothing shuffles onto the pair frame — sigs ride the bands, sets broadcast") {
+    val plan = DedupQueries.sigJaccardFrom(DedupQueries.withShinglesOf(fixture))
+      .queryExecution.executedPlan.toString
+    // the ONLY sort-merge join allowed is the band self-join that
+    // GENERATES pairs; the signature vectors arrive attached to band
+    // rows and the calibration-only set joins are pinned broadcast
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1, s"$smj sort-merge joins — something joined onto the pair frame:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"set joins must be broadcast:\n$plan")
+  }
 }
