@@ -1390,10 +1390,17 @@ object TextQueries extends QueryCatalog {
             .cast("long") <= col("leftover2"), 1L).otherwise(0L),
         col("n_l")))
     val alloc = q2.select(col("lang"), col("quota"))
-    val wRank = Window.partitionBy(col("lang"))
-      .orderBy(md5(concat(lit("tmix|"), col("doc_id").cast("string"))), col("doc_id"))
-    docs
-      .withColumn("rk", row_number().over(wRank).cast("long"))
+    // per-lang rank over the CORPUS: `lang` is a ~5-value key and the
+    // quota is data-dependent (no WindowGroupLimit pushdown, unlike
+    // q76's literal N), so a plain PARTITION BY lang window would sort
+    // ⅕ of the corpus in one task — the q109 hazard. keyedRank shards
+    // by the leading 60 bits of the order hash (fixed-width lowercase
+    // hex: lexicographic == numeric, so the proxy is order-monotone).
+    val ordMd5 = md5(concat(lit("tmix|"), col("doc_id").cast("string")))
+    graft.core.PrefixSum.keyedRank(
+        docs, "lang",
+        expr("CAST(conv(substr(md5(concat('tmix|', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"),
+        Seq(ordMd5, col("doc_id")), "rk")
       .join(broadcast(alloc), Seq("lang"))
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("lang"), col("quota"), col("rk"))

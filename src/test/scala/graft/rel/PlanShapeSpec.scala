@@ -96,6 +96,20 @@ class PlanShapeSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("q110: the per-lang rank never partitions the corpus by lang alone (quota defeats WindowGroupLimit)") {
+    assume(ready)
+    val p = plan("q110_temperature_mixture")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toList
+    // corpus-frame windows must carry ps_shard next to lang; windows
+    // over the per-language quota frame (|langs| rows) are exempt —
+    // they partition by nothing or by ps_k, never by a bare lang#N
+    assert(!windows.exists(_.matches(".*\\], \\[lang#[0-9]+\\], \\[.*")),
+      s"window partitioned by the ~5-value lang key alone:\n${windows.mkString("\n")}")
+    assert(windows.exists(w => w.contains("lang") && w.contains("ps_shard")),
+      s"keyedRank's (lang, ps_shard) window missing:\n${windows.mkString("\n")}")
+    graft.core.ScratchCache.drain()
+  }
+
   test("q54: IVF training lineage stays truncated (bounded corpus scans in the plan)") {
     assume(ready)
     val p = plan("q54_sim_ivf")
