@@ -250,4 +250,32 @@ class SkewStressSpec extends SparkTestBase {
       s"shard width ${widths.max} exceeds 2x target $target across ${widths.length} shards")
     graft.core.ScratchCache.drain()
   }
+
+  test("q124: the structurally-identical spam+template cluster stays band-capped, hamming 0") {
+    assume(ready)
+    // aHash is a STRUCTURE hash: "tpl1 tpl2 …" and "tmb1 tmb2 …" have
+    // identical char-class layouts (letter vs digit/space at every
+    // byte position), hence identical 64-bit fingerprints — the spam
+    // and template clusters merge into ONE 220-doc structural cluster
+    // sharing every band bucket, and the cap keeps the 64 lowest ords
+    // (spam's lower ids shadow the template rows — the shingle-based
+    // queries keep the clusters apart, which is exactly the exact-vs-
+    // perceptual contrast q108/q124 exist to span). The guard claim:
+    // participants ≤ cap, fan-out ≤ C(cap,2), all matches exact.
+    val cap = graft.dedup.Banding.MaxBandBucket.toLong
+    val rows = run("q124_frame_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def inCluster(id: Long) =
+      (id >= spamLo && id < spamHi) || (id >= tplLo && id < tplHi)
+    val cl = rows.filter { case (a, b, _, _, _) => inCluster(a) && inCluster(b) }
+    val participants = cl.flatMap { case (a, b, _, _, _) => Seq(a, b) }.distinct.length
+    assert(participants >= 2, "structural cluster produced no pairs")
+    assert(participants <= cap,
+      s"$participants media in pairs — the $cap-row band cap did not bind")
+    assert(cl.length <= cap * (cap - 1) / 2,
+      s"${cl.length} pairs exceed C($cap,2) — fan-out unbounded")
+    assert(cl.forall { case (_, _, _, nNear, minH) => minH == 0L && nNear == 0L },
+      s"structure-identical frames must score hamming 0: ${cl.take(3).toSeq}")
+    graft.core.ScratchCache.drain()
+  }
 }
