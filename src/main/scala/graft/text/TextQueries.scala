@@ -649,6 +649,52 @@ object TextQueries extends QueryCatalog {
        |WHERE n_toks >= 1
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** Deterministic train/val/test SPLIT ASSIGNMENT — the eval-split
+    * hygiene op every training corpus needs before anything else
+    * touches it: each doc lands in exactly one split via a 16-bit
+    * uniform from md5("split|"||doc_id) against EXACT integer
+    * thresholds (⌊65536·0.98⌋ = 64225 → train, +655 values → val,
+    * remainder → test; ≈ 98/1/1). Two properties a rank- or
+    * rand()-based splitter cannot give:
+    *
+    *  - STABILITY under corpus growth: the hash depends only on the
+    *    doc id, so ingesting (or deduplicating away) other documents
+    *    never reassigns an existing doc across splits — eval sets
+    *    stay frozen as the corpus evolves.
+    *  - REPRODUCIBILITY anywhere: no rand(), no window rank — the
+    *    same doc gets the same split at any scale, partitioning, or
+    *    engine (the q69/q83/q123 hash-carve discipline).
+    *
+    * Content leakage across splits (a near-dup of a train doc landing
+    * in test) is deliberately NOT this op's job — that is
+    * canonicalize-then-split, q100's output feeding this assignment.
+    * Scale shape: pure per-row arithmetic, one linear scan, zero
+    * shuffles before the ordered sink. */
+  private val splitHashExpr = {
+    val h = "md5(concat('split|', CAST(doc_id AS STRING)))"
+    (1 to 4).map(i => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+  }
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", size(expr(toksExpr)).cast("long").as("n_toks"))
+      .withColumn("u16", expr(splitHashExpr).cast("long"))
+      .withColumn("split",
+        when($"u16" < 64225L, "train").when($"u16" < 64880L, "val").otherwise("test"))
+      .select($"doc_id", $"lang", $"split", $"n_toks")
+      .orderBy($"doc_id")
+  }
+  private val q125Sql =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN CAST($splitHashExpr AS BIGINT) < 64225 THEN 'train'
+       |       WHEN CAST($splitHashExpr AS BIGINT) < 64880 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(len($toksSql) AS BIGINT) AS n_toks
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q84
   /** Deterministic epoch shuffle — the per-epoch reordering every
     * training data loader applies, in its distributed shape: a
@@ -1716,6 +1762,7 @@ object TextQueries extends QueryCatalog {
     "q117_source_overlap" -> q117,
     "q122_langid_confusion" -> q122,
     "q123_weighted_sample" -> q123,
+    "q125_split_assign" -> q125,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1753,5 +1800,6 @@ object TextQueries extends QueryCatalog {
     "q117_source_overlap" -> q117Sql,
     "q122_langid_confusion" -> q122Sql,
     "q123_weighted_sample" -> q123Sql,
+    "q125_split_assign" -> q125Sql,
   )
 }
