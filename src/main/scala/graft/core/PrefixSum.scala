@@ -60,12 +60,17 @@ object PrefixSum {
     // and silently breaks shard monotonicity.
     val bias = "9223372036854775808" // 2^63: Long.MinValue → 0
     def biased(c: String) = s"(CAST($c AS DECIMAL(21,0)) + $bias)"
+    // width via DECIMAL floor-division, NOT `DIV`: IntegralDivide
+    // forces a LONG result, and a full-Long id span (range ≈ 2^64)
+    // with targetShards ≤ 2 overflows it to NULL — greatest() then
+    // skips the NULL, ps_w collapses to 1, and the shard expression
+    // itself overflows, silently dropping rows at the offset join
     val bounds = df
       .agg(expr(s"${biased(s"min(`$idCol`)")}").as("ps_min_b"),
         expr(s"${biased(s"max(`$idCol`)")}").as("ps_max_b"))
       .select(col("ps_min_b"),
-        greatest(lit(1L),
-          expr(s"(ps_max_b - ps_min_b + $targetShards) DIV $targetShards")).as("ps_w"))
+        greatest(lit(1L).cast("decimal(21,0)"),
+          expr(s"CAST(floor((ps_max_b - ps_min_b + $targetShards) / $targetShards) AS DECIMAL(21,0))")).as("ps_w"))
     // persisted: three branches (within-shard window, shard totals,
     // key totals) read the sharded frame — one materialization, not
     // three crossJoin+DIV recomputes (drained by the query runners)
@@ -126,7 +131,13 @@ object PrefixSum {
     * keys on (key, shard), the exact partitioning the within-shard
     * window just produced, so Catalyst reuses that exchange. No window
     * in the resulting plan partitions the full input by `keyCol`
-    * alone (pinned in PrefixSumSpec). */
+    * alone (pinned in PrefixSumSpec).
+    *
+    * PRECONDITION: `keyCol` and `ordProxy` must be NON-NULL — the
+    * shard-offset join uses plain equality, so a NULL key or proxy
+    * would silently drop the row (a bare window would instead keep
+    * NULL keys as their own partition). Callers with nullable keys
+    * must coalesce to a sentinel first. */
   def keyedRank(
       df: DataFrame,
       keyCol: String,
@@ -140,12 +151,14 @@ object PrefixSum {
     val bias = "9223372036854775808" // 2^63: Long.MinValue → 0
     val proxied = df.withColumn("ps_ord", ordProxy.cast("long"))
     def biased(c: String) = s"(CAST($c AS DECIMAL(21,0)) + $bias)"
+    // DECIMAL floor-division for the width — see [[runningTotal]]'s
+    // bounds comment (DIV's Long result overflows on a full-Long span)
     val bounds = proxied
       .agg(expr(biased("min(ps_ord)")).as("ps_min_b"),
         expr(biased("max(ps_ord)")).as("ps_max_b"))
       .select(col("ps_min_b"),
-        greatest(lit(1L),
-          expr(s"(ps_max_b - ps_min_b + $targetShards) DIV $targetShards")).as("ps_w"))
+        greatest(lit(1L).cast("decimal(21,0)"),
+          expr(s"CAST(floor((ps_max_b - ps_min_b + $targetShards) / $targetShards) AS DECIMAL(21,0))")).as("ps_w"))
     val sharded = ScratchCache.persist(proxied.crossJoin(broadcast(bounds))
       .withColumn("ps_shard", expr(s"(${biased("ps_ord")} - ps_min_b) DIV ps_w"))
       .drop("ps_min_b", "ps_w"))

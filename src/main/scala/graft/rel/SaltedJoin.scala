@@ -90,8 +90,10 @@ object SaltedJoin {
     val spark = left.sparkSession
     val cnt = graft.core.ScratchCache.persist(
       left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt")))
+    // sum over an EMPTY frame is NULL — coalesce before the Long read
+    // so an empty batch degrades to "no hot keys", not an NPE
     val total = math.max(1L,
-      cnt.agg(sum(col("__cnt"))).collect()(0).getLong(0))
+      cnt.agg(coalesce(sum(col("__cnt")), lit(0L))).collect()(0).getLong(0))
     cnt.orderBy(col("__cnt").desc).limit(topN)
       .withColumn(SaltNCol,
         least(lit(maxSalt.toLong),
@@ -128,7 +130,11 @@ object SaltedJoin {
                       joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "salted join needs at least one equi-key")
     val jt = normalize(joinType)
-    val hk = broadcast(hotKeys)
+    // guard caller/artifact-supplied frames: salt_n <= 0 would give the
+    // left side pmod(x, 0) = NULL while the right side's
+    // sequence(0, -1) DESCENDS — silently dropping every row of that
+    // key from an inner join. Treat such rows as "not hot" instead.
+    val hk = broadcast(hotKeys.filter(col(SaltNCol) >= 1))
     val l = left.join(hk, keys, "left")
       .withColumn(SaltCol,
         when(col(SaltNCol).isNotNull,

@@ -52,6 +52,31 @@ class PrefixSumSpec extends SparkTestBase {
     check(rows, targetShards = 32)
   }
 
+  test("full-Long id span with degenerate shard counts (the DIV-overflow regression)") {
+    // range ≈ 2^64 with targetShards ≤ 2 overflowed the old
+    // IntegralDivide width to NULL, collapsing ps_w to 1 and silently
+    // dropping rows at the shard-offset join
+    val ids = Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 1L, 42L)
+    val rows = ids.zipWithIndex.map { case (id, i) => ((i % 2).toLong, id, (i + 1).toLong) }
+    check(rows, targetShards = 1)
+    check(rows, targetShards = 2)
+    // keyedRank with an IDENTITY proxy (full-Long span reaches the
+    // width computation undivided, unlike checkRank's DIV-7 proxy)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = rows.toDF("k", "ord", "id")
+    for (ts <- Seq(1, 2)) {
+      val got = PrefixSum.keyedRank(df, "k", col("ord"), Seq(col("ord"), col("id")), "rn", ts)
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("id")) -> r.getAs[Long]("rn")).toMap
+      val exp = rankReference(rows)
+      assert(got.size == rows.size, s"rows dropped at shards=$ts: ${got.size}/${rows.size}")
+      got.foreach { case (kid, rn) =>
+        assert(rn == exp(kid), s"$kid: got $rn, expected ${exp(kid)} (shards=$ts)")
+      }
+    }
+  }
+
   test("single row and empty frame") {
     check(Seq((7L, 1L, 42L)), targetShards = 8)
     import spark.implicits._

@@ -51,6 +51,37 @@ class IncrementalDedupSpec extends SparkTestBase {
         docScanLines.mkString("\n")}")
   }
 
+  test("a planted cross-carve exact duplicate is matched at jaccard 1.0 through the artifact") {
+    import spark.implicits._
+    // doc 11 lands on the BATCH side of the md5 carve, doc 1 on the
+    // corpus side (first hex of md5("batch|11") ∈ {0,1}; of "batch|1"
+    // not) — identical text, so the incremental path must band them
+    // together, verify jaccard 1.0, and report is_new = 0. Catches a
+    // shared-logic regression (carve, threshold, band width) that
+    // round-trip equality alone cannot, since both paths would break
+    // identically.
+    val dup = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val stage = java.nio.file.Files.createTempDirectory("graft-planted").toString
+    Seq(
+      (11L, dup, "en", "t", dup.length.toLong),
+      (1L, dup, "en", "t", dup.length.toLong),
+      (2L, "entirely different words nothing shared here at all today folks", "en", "t", 62L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$stage/documents.parquet")
+    try {
+      val art = s"$stage/sigs"
+      DedupQueries.writeCorpusSignatures(spark, stage, art)
+      graft.core.ScratchCache.drain()
+      val got = DedupQueries.q94Incremental(spark, stage, art)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+      assert(got.keySet == Set(11L), s"batch side must be exactly doc 11: ${got.keySet}")
+      val (nCand, matchDoc, isNew) = got(11L)
+      assert(nCand >= 1 && matchDoc.contains(1L) && isNew == 0L,
+        s"planted duplicate not recalled through the artifact: ${got(11L)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+  }
+
   test("artifact stores uncapped bands with the expected schema") {
     assume(ready)
     val path = java.nio.file.Files.createTempDirectory("graft-sigstore3").toString
