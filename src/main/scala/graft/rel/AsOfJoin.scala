@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * All carried values travel in a single struct, so the matched columns
   * always come from ONE right row (per-column `last` could mix rows
   * when a value column is legitimately null).
+  *
+  * Key-cardinality caveat: the window partitions by `keyCols`, so the
+  * caller's keys must be high-cardinality (an entity id, as in q39's
+  * per-user join). For a MODAL key (a handful of values over a huge
+  * frame) this shape serializes a key's whole timeline through one
+  * task — decompose on [[graft.core.PrefixSum.keyedRank]]'s bucket
+  * pattern instead (the q109/q110 treatment).
   */
 object AsOfJoin {
 
