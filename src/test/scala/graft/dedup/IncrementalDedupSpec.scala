@@ -15,17 +15,32 @@ class IncrementalDedupSpec extends SparkTestBase {
 
   test("artifact round-trip: incremental result is bit-identical to the recompute path") {
     assume(ready)
-    val path = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
-    DedupQueries.writeCorpusSignatures(spark, dir, path)
-    val direct = DedupQueries.queries("q94_incremental_dedup")(spark, dir)
+    val direct = DedupQueries.q94Recompute(spark, dir)
       .collect().map(_.toSeq).toSeq
     graft.core.ScratchCache.drain()
-    val incr = DedupQueries.q94Incremental(spark, dir, path)
+    // the CATALOG entry is the incremental path (ensureSigStore +
+    // q94Incremental) — what verify/bench measure; pin it against the
+    // recompute-both-sides twin, which is also the oracle SQL's shape
+    val incr = DedupQueries.queries("q94_incremental_dedup")(spark, dir)
       .collect().map(_.toSeq).toSeq
     assert(incr.nonEmpty, "incremental run returned no batch docs")
     assert(incr == direct,
       s"incremental vs direct diverged; first diff: ${
         incr.zip(direct).find { case (a, b) => a != b }}")
+  }
+
+  test("the catalog entry's plan reads the signature artifact, not a corpus recompute") {
+    assume(ready)
+    val plan = DedupQueries.queries("q94_incremental_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft-sigstore-"),
+      s"catalog q94 does not read the memoized signature artifact:\n$plan")
+    val docScanLines = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")).toList
+    assert(docScanLines.nonEmpty, "no documents scan found (batch side must read it)")
+    assert(docScanLines.forall(_.contains("DataFilters: [substring(md5(")),
+      s"a documents scan without the batch-carve filter — corpus side re-read documents:\n${
+        docScanLines.mkString("\n")}")
   }
 
   test("the corpus branch reads the parquet artifact, not documents") {
