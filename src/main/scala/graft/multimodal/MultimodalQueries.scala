@@ -205,13 +205,19 @@ object MultimodalQueries extends QueryCatalog {
     * private for MultimodalSpec's planted near-dup fixture. */
   private[multimodal] def frameNearDupOf(media: DataFrame): DataFrame = {
     val fb = NearDupFrameBytes
+    // byte i (1-based) of the BINARY frame = hex pair (2i−1, 2i) of
+    // hex(frame), decoded with conv — never CAST(frame AS STRING),
+    // whose UTF-8 decode mangles any byte ≥ 0x80 (i.e. real media
+    // bytes; the ASCII corpus hid the defect). One hex() per frame,
+    // then pure string slicing — still whole-stage codegen.
     val fingerprints = Multimodal.sampleFrames(media, frameBytes = fb, stride = 1)
       .filter(expr(s"octet_length(frame) = $fb"))
+      .withColumn("hx", hex(col("frame")))
       .withColumn("total", expr(s"aggregate(sequence(1, $fb), CAST(0 AS BIGINT), " +
-        "(a, i) -> a + ascii(substr(CAST(frame AS STRING), i, 1)))"))
+        "(a, i) -> a + CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT))"))
       .select(Seq(col("media_id"), col("frame_no")) ++ (0 until 4).map(b =>
         expr(s"aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) -> a + " +
-          s"CASE WHEN ascii(substr(CAST(frame AS STRING), ${16 * b} + j + 1, 1)) * $fb > total " +
+          s"CASE WHEN CAST(conv(substr(hx, 2 * (${16 * b} + j + 1) - 1, 2), 16, 10) AS BIGINT) * $fb > total " +
           s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)").as(s"b$b")): _*)
     // band rows carry the full fingerprint (8 bytes) so pairs emerge
     // scored map-side; ord = unique frame id for the deterministic cap.
@@ -249,8 +255,11 @@ object MultimodalQueries extends QueryCatalog {
     frameNearDupOf(Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media")))
   }
-  // ASCII-corpus note as on q71; DuckDB's ^ is POWER, so xor() is
-  // spelled out, and two parallel unnests zip positionally.
+  // Oracle note: DuckDB reads ascii() of the VARCHAR — equal to the
+  // engine's byte-level hex reads ONLY because this corpus is pure
+  // ASCII (the engine side is byte-exact for arbitrary media bytes).
+  // DuckDB's ^ is POWER, so xor() is spelled out, and two parallel
+  // unnests zip positionally.
   private val q124Sql = {
     val fb = NearDupFrameBytes
     def bandSql(b: Int) =
@@ -334,12 +343,16 @@ object MultimodalQueries extends QueryCatalog {
     * private for MultimodalSpec's planted-silence fixtures. */
   private[multimodal] def silenceOf(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // byte-level energy via hex pairs (the q124 accessor) — a PCM
+    // sample byte ≥ 0x80 is the NORM, not the exception; CAST(frame AS
+    // STRING) would mis-decode every one of them
     val frames = graft.core.ScratchCache.persist(
       Multimodal.sampleFrames(media, frameBytes = VadFrameBytes, stride = 1)
+        .withColumn("hx", hex(col("frame")))
         .select(col("media_id"), col("frame_no"),
           expr("octet_length(frame)").cast("long").as("flen"),
           expr("aggregate(sequence(1, octet_length(frame)), CAST(0 AS BIGINT), " +
-            "(a, i) -> a + ascii(substr(CAST(frame AS STRING), i, 1)))").as("energy"))
+            "(a, i) -> a + CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT))").as("energy"))
         .withColumn("silent", col("energy") < col("flen") * VadMeanByteGate))
     val agg = frames.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
@@ -361,8 +374,9 @@ object MultimodalQueries extends QueryCatalog {
     silenceOf(Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media")))
   }
-  // ASCII-corpus note as on q71: DuckDB slices the VARCHAR, the engine
-  // slices the encoded bytes — identical on this corpus.
+  // Oracle note: DuckDB reads ascii() of the VARCHAR — equal to the
+  // engine's byte-level hex reads only on this pure-ASCII corpus (the
+  // engine side is byte-exact for arbitrary media bytes).
   private val q113Sql =
     s"""WITH m AS (SELECT doc_id AS media_id, text AS media FROM documents),
        |idx AS (

@@ -94,7 +94,10 @@ object SaltedJoin {
     // so an empty batch degrades to "no hot keys", not an NPE
     val total = math.max(1L,
       cnt.agg(coalesce(sum(col("__cnt")), lit(0L))).collect()(0).getLong(0))
-    cnt.orderBy(col("__cnt").desc).limit(topN)
+    // secondary sort on the keys: the topN cut is otherwise tie-broken
+    // by partition order, so two runs over the same data could emit
+    // DIFFERENT hot-key artifacts at the count boundary
+    cnt.orderBy(col("__cnt").desc +: keys.map(col): _*).limit(topN)
       .withColumn(SaltNCol,
         least(lit(maxSalt.toLong),
           ceil(col("__cnt") * parallelism / lit(total.toDouble))).cast("int"))
@@ -130,11 +133,16 @@ object SaltedJoin {
                       joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "salted join needs at least one equi-key")
     val jt = normalize(joinType)
-    // guard caller/artifact-supplied frames: salt_n <= 0 would give the
-    // left side pmod(x, 0) = NULL while the right side's
-    // sequence(0, -1) DESCENDS — silently dropping every row of that
-    // key from an inner join. Treat such rows as "not hot" instead.
-    val hk = broadcast(hotKeys.filter(col(SaltNCol) >= 1))
+    // guard caller/artifact-supplied frames, same threat model twice:
+    //  - salt_n <= 0 would give the left side pmod(x, 0) = NULL while
+    //    the right side's sequence(0, -1) DESCENDS — silently dropping
+    //    every row of that key from an inner join. Treat as "not hot".
+    //  - a DUPLICATE key row would duplicate every matching left row
+    //    through the left join below. Collapse to one row per key,
+    //    deterministically keeping the LARGEST salt_n (the safe side:
+    //    over-salting costs replication, under-salting restores skew).
+    val hk = broadcast(hotKeys.filter(col(SaltNCol) >= 1)
+      .groupBy(keys.map(col): _*).agg(max(col(SaltNCol)).as(SaltNCol)))
     val l = left.join(hk, keys, "left")
       .withColumn(SaltCol,
         when(col(SaltNCol).isNotNull,

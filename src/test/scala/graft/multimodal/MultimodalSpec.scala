@@ -144,4 +144,27 @@ class MultimodalSpec extends SparkTestBase {
       s"q108-style exact dedup should pair only 1 and 3: $exact")
     graft.core.ScratchCache.drain()
   }
+
+  test("byte accessors are exact for non-ASCII media bytes (bytes >= 0x80, i.e. real media)") {
+    import spark.implicits._
+    // A UTF-8 decode (CAST(frame AS STRING)) mangles every byte >= 0x80
+    // into replacement-char garbage; the hex-pair accessor must read
+    // the raw values. VAD: 200-valued bytes are loud (> gate 96),
+    // 16-valued bytes silent → loud, silent, silent = longest run 2.
+    val loud = Array.fill[Byte](32)(0xC8.toByte)  // 200
+    val quiet = Array.fill[Byte](32)(0x10.toByte) // 16
+    val vad = Seq((1L, loud ++ quiet ++ quiet)).toDF("media_id", "media")
+    val r = MultimodalQueries.silenceOf(vad).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(4)) == ((3L, 2L, 2L)),
+      s"non-ASCII VAD mis-read: ${r.toSeq}")
+    graft.core.ScratchCache.drain()
+    // aHash: identical frames of 144/240-valued bytes (mean 192) must
+    // fingerprint identically and pair at hamming 0
+    val frame = Array.fill[Byte](32)(0x90.toByte) ++ Array.fill[Byte](32)(0xF0.toByte)
+    val nd = Seq((1L, frame), (2L, frame)).toDF("media_id", "media")
+    val pairs = MultimodalQueries.frameNearDupOf(nd).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(4) == 0L,
+      s"identical high-byte frames must pair at hamming 0: ${pairs.map(_.toSeq).toSeq}")
+    graft.core.ScratchCache.drain()
+  }
 }

@@ -117,6 +117,37 @@ class SaltedJoinSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("joinWithHotKeys collapses duplicate hot-key rows instead of duplicating matches") {
+    import spark.implicits._
+    // an artifact with the SAME key listed twice (conflicting salt_n) —
+    // e.g. two detectHotKeys outputs naively unioned. Without the
+    // guard every k=0 left row would surface once per duplicate.
+    val dupHot = Seq((0L, 4), (0L, 8)).toDF("k", SaltedJoin.SaltNCol)
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = leftDf.join(rightDf, Seq("k"), jt)
+      val salted = SaltedJoin.joinWithHotKeys(leftDf, rightDf, Seq("k"), col("id"), dupHot, jt)
+      assert(salted.count() == plain.count(), s"$jt: duplicate hot-key row changed cardinality")
+      assert(canon(salted) == canon(plain), s"$jt: rows differ")
+    }
+  }
+
+  test("detectHotKeys breaks count ties deterministically on the key columns") {
+    import spark.implicits._
+    // 12 keys with IDENTICAL counts, all hot (parallelism >> keys);
+    // topN = 5 cuts mid-tie — the kept set must be the 5 smallest keys
+    // on both of two differently-partitioned runs
+    val tied = (0 until 1200).map(i => (i.toLong, (i % 12).toLong, 0.0)).toDF("id", "k", "v")
+    def kept(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val r = SaltedJoin.detectHotKeys(df, Seq("k"), parallelism = 120, topN = 5)
+        .collect().map(_.getAs[Long]("k")).toSeq.sorted
+      graft.core.ScratchCache.drain()
+      r
+    }
+    assert(kept(tied) == Seq(0L, 1L, 2L, 3L, 4L), "tie cut must keep the smallest keys")
+    assert(kept(tied.repartition(7)) == Seq(0L, 1L, 2L, 3L, 4L),
+      "tie cut must be partitioning-invariant")
+  }
+
   test("q107's salted plan takes the shuffle-join path, not a broadcast") {
     val dir = "/root/testdata/sf0.001"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/events.parquet")))
