@@ -20,14 +20,42 @@ import org.apache.spark.sql.functions._
   * always come from ONE right row (per-column `last` could mix rows
   * when a value column is legitimately null).
   *
-  * Key-cardinality caveat: the window partitions by `keyCols`, so the
-  * caller's keys must be high-cardinality (an entity id, as in q39's
-  * per-user join). For a MODAL key (a handful of values over a huge
-  * frame) this shape serializes a key's whole timeline through one
-  * task — decompose on [[graft.core.PrefixSum.keyedRank]]'s bucket
-  * pattern instead (the q109/q110 treatment).
+  * Key-cardinality contract: [[backward]]'s window partitions by
+  * `keyCols`, so its keys must be high-cardinality (an entity id, as
+  * in q39's per-user join). For a MODAL key (a handful of values over
+  * a huge frame) that shape serializes a key's whole timeline through
+  * one task — [[backwardSharded]] decomposes it on the
+  * [[graft.core.PrefixSum.keyedRank]] bucket pattern (time-range
+  * shards + a carry-in from earlier shards), and [[backwardAuto]]
+  * picks between the two from a one-row cardinality probe.
   */
 object AsOfJoin {
+
+  /** Tagged probe∪build union shared by both execution shapes: left
+    * rows at __side 1, right rows at __side 0 with their carried
+    * values packed into one `__r` struct. */
+  private def tagged(left: DataFrame, right: DataFrame,
+                     keyCols: Seq[String], tsCol: String,
+                     valueCols: Seq[String], tieBreak: Seq[String]): (DataFrame, Seq[String]) = {
+    val leftVals = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val packCols = (valueCols ++ tieBreak).distinct
+    val packExpr = struct(packCols.map(col) :+ col(tsCol).as("__asof_ts"): _*)
+    val packType = right.select(packExpr.as("__r")).schema.head.dataType
+    val keyTs = (keyCols :+ tsCol).map(col)
+    val lTagged = left.select(keyTs ++ Seq(lit(1).as("__side")) ++
+      leftVals.map(col) :+ lit(null).cast(packType).as("__r"): _*)
+    val rTagged = right.select(keyTs ++ Seq(lit(0).as("__side")) ++
+      leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      packExpr.as("__r"): _*)
+    (lTagged.unionByName(rTagged), leftVals)
+  }
+
+  private def project(matched: DataFrame, keyCols: Seq[String], tsCol: String,
+                      valueCols: Seq[String], leftVals: Seq[String]): DataFrame =
+    matched.filter(col("__side") === 1)
+      .select((keyCols :+ tsCol).map(col) ++ leftVals.map(col) ++
+        valueCols.map(c => col(s"__m.$c").as(s"asof_$c")) :+
+        col("__m.__asof_ts").as(s"asof_$tsCol"): _*)
 
   /** @param valueCols right columns carried to matched output rows
     *                  (each becomes `asof_<name>`, null when no right
@@ -39,24 +67,103 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame,
                keyCols: Seq[String], tsCol: String,
                valueCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
-    val leftVals = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
-    val packCols = (valueCols ++ tieBreak).distinct
-    val packExpr = struct(packCols.map(col) :+ col(tsCol).as("__asof_ts"): _*)
-    val packType = right.select(packExpr.as("__r")).schema.head.dataType
-    val keyTs = (keyCols :+ tsCol).map(col)
-    val lTagged = left.select(keyTs ++ Seq(lit(1).as("__side")) ++
-      leftVals.map(col) :+ lit(null).cast(packType).as("__r"): _*)
-    val rTagged = right.select(keyTs ++ Seq(lit(0).as("__side")) ++
-      leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-      packExpr.as("__r"): _*)
+    val (union, leftVals) = tagged(left, right, keyCols, tsCol, valueCols, tieBreak)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol) +: col("__side") +: tieBreak.map(c => col(s"__r.$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(keyTs ++ leftVals.map(col) ++
-        valueCols.map(c => col(s"__m.$c").as(s"asof_$c")) :+
-        col("__m.__asof_ts").as(s"asof_$tsCol"): _*)
+    project(union.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w)),
+      keyCols, tsCol, valueCols, leftVals)
+  }
+
+  /** [[backward]] for MODAL keys — same semantics, no full-key-
+    * partition window. The union is cut into `targetShards` time-range
+    * shards (the [[graft.core.PrefixSum.keyedRank]] decomposition:
+    * shard = monotone function of `tsCol`, so equal timestamps never
+    * straddle a boundary and per-key shard order equals time order):
+    *
+    *   match(row) = lastRight(key, shard, ≤ row)          within-shard window
+    *              ∨ carry(key, shard)                     last right row of
+    *                                                      earlier shards
+    *
+    * The within-shard window partitions by (key, shard) — bounded
+    * work per task no matter how modal the key. The carry is computed
+    * on the (key, shard) frame (≤ targetShards rows per key), and the
+    * carry join keys on (key, shard) — the exact partitioning the
+    * within-shard window just produced, so Catalyst reuses the
+    * exchange. AsOfJoinSpec pins result equality with [[backward]]
+    * and that no window partitions the full union by the key alone.
+    *
+    * `tsCol` must cast losslessly-enough to long for MONOTONE shard
+    * assignment (numeric or timestamp; sub-second truncation only
+    * coarsens shards, never reorders them). */
+  def backwardSharded(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String], tsCol: String,
+                      valueCols: Seq[String], tieBreak: Seq[String] = Nil,
+                      targetShards: Int = 1024): DataFrame = {
+    require(targetShards >= 1, s"targetShards must be >= 1, got $targetShards")
+    val (union, leftVals) = tagged(left, right, keyCols, tsCol, valueCols, tieBreak)
+    // DECIMAL(21,0) bias/width — see PrefixSum.runningTotal's bounds
+    // comment (a full-Long span overflows IntegralDivide)
+    val bias = "9223372036854775808"
+    def biased(c: String) = s"(CAST($c AS DECIMAL(21,0)) + $bias)"
+    val proxied = union.withColumn("__ats", col(tsCol).cast("long"))
+    val bounds = proxied
+      .agg(expr(biased("min(__ats)")).as("b_min"), expr(biased("max(__ats)")).as("b_max"))
+      .select(col("b_min"),
+        greatest(lit(1L).cast("decimal(21,0)"),
+          expr(s"CAST(floor((b_max - b_min + $targetShards) / $targetShards) AS DECIMAL(21,0))")).as("b_w"))
+    val sharded = graft.core.ScratchCache.persist(
+      proxied.crossJoin(broadcast(bounds))
+        .withColumn("__shard", expr(s"(${biased("__ats")} - b_min) DIV b_w"))
+        .drop("__ats", "b_min", "b_w"))
+
+    val wIn = Window.partitionBy(keyCols.map(col) :+ col("__shard"): _*)
+      .orderBy(col(tsCol) +: col("__side") +: tieBreak.map(c => col(s"__r.$c")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = sharded.withColumn("__m_in", last(col("__r"), ignoreNulls = true).over(wIn))
+
+    // per-(key, shard) last right row; keys renamed so the only window
+    // partitioned by key alone runs over this bounded shard frame
+    val ak = keyCols.map(k => s"__ak_$k")
+    val rOrd = struct(col(tsCol) +: tieBreak.map(c => col(s"__r.$c")): _*)
+    val shardLast = sharded.filter(col("__side") === 0)
+      .groupBy(keyCols.map(col) :+ col("__shard"): _*)
+      .agg(max_by(col("__r"), rOrd).as("__sl"))
+      .select(keyCols.map(k => col(k).as(s"__ak_$k")) :+ col("__shard").as("__as") :+ col("__sl"): _*)
+    val allShards = sharded.select(keyCols.map(col) :+ col("__shard"): _*).distinct()
+      .select(keyCols.map(k => col(k).as(s"__ak_$k")) :+ col("__shard").as("__as"): _*)
+    val wCarry = Window.partitionBy(ak.map(col): _*).orderBy(col("__as"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = allShards.join(shardLast, ak :+ "__as", "left")
+      .withColumn("__carry", last(col("__sl"), ignoreNulls = true).over(wCarry))
+      .drop("__sl")
+
+    val joinCond = keyCols.zip(ak).map { case (k, a) => col(k) === col(a) }
+      .reduce(_ && _) && col("__shard") === col("__as")
+    val matched = withIn.join(carry, joinCond, "left")
+      .withColumn("__m", coalesce(col("__m_in"), col("__carry")))
+    project(matched, keyCols, tsCol, valueCols, leftVals)
+  }
+
+  /** Probe-dispatched as-of: one map-combinable (count, approx distinct
+    * keys) aggregate over the two key frames — a 1-row planning
+    * statistic, the [[SaltedJoin.detectHotKeys]] discipline — then
+    * [[backward]] when keys are plentiful, [[backwardSharded]] when
+    * the average key would funnel more than `maxAvgRowsPerKey` union
+    * rows through one window task. */
+  def backwardAuto(left: DataFrame, right: DataFrame,
+                   keyCols: Seq[String], tsCol: String,
+                   valueCols: Seq[String], tieBreak: Seq[String] = Nil,
+                   maxAvgRowsPerKey: Long = 65536, targetShards: Int = 1024): DataFrame = {
+    require(maxAvgRowsPerKey >= 1, s"maxAvgRowsPerKey must be >= 1, got $maxAvgRowsPerKey")
+    val keys = left.select(keyCols.map(col): _*)
+      .unionAll(right.select(keyCols.map(col): _*))
+    val stats = keys
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(struct(keyCols.map(col): _*)).as("d"))
+      .head()
+    val modal = stats.getLong(0) > maxAvgRowsPerKey * math.max(1L, stats.getLong(1))
+    if (modal) backwardSharded(left, right, keyCols, tsCol, valueCols, tieBreak, targetShards)
+    else backward(left, right, keyCols, tsCol, valueCols, tieBreak)
   }
 }

@@ -1187,6 +1187,43 @@ object RelQueries extends QueryCatalog {
       |FROM hourly JOIN stats USING (event_type)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Modal-key as-of — the latest platform-wide ERROR at or before
+    * each purchase ("was the system degraded when this order landed").
+    * The join key is a CONSTANT (one global stream): the maximally
+    * modal case, where q39's window formulation would sort every event
+    * through ONE task no matter the cluster size. Runs on
+    * [[AsOfJoin.backwardSharded]] — time-range shards bound each
+    * window task, a carry joins in the last error of earlier shards —
+    * so the operator's modal-safe path is correctness-gated by the
+    * DuckDB ASOF oracle, not only by AsOfJoinSpec. Errors are deduped
+    * per ts (max event_id) so ts ties match deterministically. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter($"event_type" === "error")
+      .groupBy($"ts").agg(max($"event_id").as("error_id"))
+      .select(lit(0L).as("stream"), $"ts", $"error_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select(lit(0L).as("stream"), $"event_id".as("purchase_id"), $"ts")
+    AsOfJoin.backwardSharded(purchases, errors,
+        keyCols = Seq("stream"), tsCol = "ts",
+        valueCols = Seq("error_id"), targetShards = 64)
+      .select($"purchase_id", $"ts",
+        $"asof_error_id".as("error_id"), $"asof_ts".as("error_ts"))
+      .orderBy($"purchase_id")
+  }
+  private val q127Sql =
+    """WITH errors AS (
+      |  SELECT ts AS error_ts, max(event_id) AS error_id
+      |  FROM events WHERE event_type = 'error' GROUP BY 1
+      |), purchases AS (
+      |  SELECT event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.purchase_id, p.ts, e.error_id, e.error_ts
+      |FROM purchases p ASOF LEFT JOIN errors e ON p.ts >= e.error_ts
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1219,6 +1256,7 @@ object RelQueries extends QueryCatalog {
     "q29_pivot" -> q29,
     "q38_join_right_orders" -> q38,
     "q39_asof_join" -> q39,
+    "q127_asof_modal" -> q127,
     "q48_map_functions" -> q48,
     "q49_scalar_string_ext" -> q49,
     "q57_grouping_sets" -> q57,
@@ -1265,6 +1303,7 @@ object RelQueries extends QueryCatalog {
     "q29_pivot" -> q29Sql,
     "q38_join_right_orders" -> q38Sql,
     "q39_asof_join" -> q39Sql,
+    "q127_asof_modal" -> q127Sql,
     "q48_map_functions" -> q48Sql,
     "q49_scalar_string_ext" -> q49Sql,
     "q57_grouping_sets" -> q57Sql,

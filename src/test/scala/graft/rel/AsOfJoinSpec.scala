@@ -61,4 +61,64 @@ class AsOfJoinSpec extends SparkTestBase {
     val row = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("rid")).head()
     assert(row.getAs[Timestamp]("asof_ts") == t(10))
   }
+
+  // MODAL-key fixture: 2 keys over 600 probes / 300 builds, sparse
+  // build stretches so carries must cross several empty time shards;
+  // equal-ts and tie-break cases planted; targetShards = 8 forces
+  // multi-shard layout even at fixture size
+  private def modalFixture = {
+    import spark.implicits._
+    val rights = for (k <- 0 to 1; i <- 0 until 150 if i % 5 == 0 || i < 3)
+      yield (k.toLong, t(i * 7 + k), k * 1000L + i)
+    val dupTs = Seq((0L, t(14), 9000L), (0L, t(14), 9001L)) // tie at one ts
+    val lefts = for (k <- 0 to 1; i <- 0 until 300)
+      yield (k.toLong, t(i * 4 + k), s"p$k-$i")
+    ((rights ++ dupTs).toDF("k", "ts", "rid"), lefts.toDF("k", "ts", "tag"))
+  }
+
+  test("backwardSharded equals backward on the modal-key fixture (carries cross shards)") {
+    val (right, left) = modalFixture
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val plain = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("rid"), tieBreak = Seq("rid"))
+    val shard = AsOfJoin.backwardSharded(left, right, Seq("k"), "ts", Seq("rid"),
+      tieBreak = Seq("rid"), targetShards = 8)
+    assert(shard.columns.toSeq == plain.columns.toSeq)
+    assert(canon(shard) == canon(plain))
+    graft.core.ScratchCache.drain()
+  }
+
+  test("backwardSharded plan: no window partitions the full union by the modal key alone") {
+    val (right, left) = modalFixture
+    val plan = AsOfJoin.backwardSharded(left, right, Seq("k"), "ts", Seq("rid"),
+        tieBreak = Seq("rid"), targetShards = 8)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(windows.size >= 2, s"expected within-shard + carry windows:\n$plan")
+    // a [k#N] partition spec alone is the modal-key serialization this
+    // shape exists to kill; the carry window partitions by __ak_k over
+    // the bounded (key, shard) frame
+    assert(!windows.exists(_.matches(".*\\], \\[k#[0-9]+L?\\], \\[.*")),
+      s"window partitioned by the key alone:\n${windows.mkString("\n")}")
+    assert(windows.exists(w => w.contains("k#") && w.contains("__shard#")),
+      s"within-shard window must partition by (k, __shard):\n${windows.mkString("\n")}")
+    graft.core.ScratchCache.drain()
+  }
+
+  test("backwardAuto dispatches: sharded for the modal fixture, plain for per-entity keys") {
+    import spark.implicits._
+    val (right, left) = modalFixture
+    val modalPlan = AsOfJoin.backwardAuto(left, right, Seq("k"), "ts", Seq("rid"),
+        tieBreak = Seq("rid"), maxAvgRowsPerKey = 100)
+      .queryExecution.executedPlan.toString
+    assert(modalPlan.contains("__shard"), "modal keys must take the sharded shape")
+    graft.core.ScratchCache.drain()
+    // high-cardinality: one row per key on each side
+    val r2 = (0 until 200).map(i => (i.toLong, t(i), i.toLong)).toDF("k", "ts", "rid")
+    val l2 = (0 until 200).map(i => (i.toLong, t(i + 1), s"p$i")).toDF("k", "ts", "tag")
+    val entityPlan = AsOfJoin.backwardAuto(l2, r2, Seq("k"), "ts", Seq("rid"),
+        maxAvgRowsPerKey = 100)
+      .queryExecution.executedPlan.toString
+    assert(!entityPlan.contains("__shard"), "per-entity keys must take the plain window")
+  }
 }
