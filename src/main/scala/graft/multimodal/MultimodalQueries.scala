@@ -201,16 +201,17 @@ object MultimodalQueries extends QueryCatalog {
     * what keep that bounded, exactly the SimHash envelope contract. */
   private[multimodal] val NearDupFrameBytes = 64
   private[multimodal] val NearDupMaxHamming = 3
-  /** Core of q124 over a (media_id, media: binary) frame — package-
-    * private for MultimodalSpec's planted near-dup fixture. */
-  private[multimodal] def frameNearDupOf(media: DataFrame): DataFrame = {
+  /** Per-frame 64-bit aHash as four 16-bit band ints — shared by
+    * q124's pair aggregate and q126's media-level roll-up.
+    *
+    * Byte i (1-based) of the BINARY frame = hex pair (2i−1, 2i) of
+    * hex(frame), decoded with conv — never CAST(frame AS STRING),
+    * whose UTF-8 decode mangles any byte ≥ 0x80 (i.e. real media
+    * bytes; the ASCII corpus hid the defect). One hex() per frame,
+    * then pure string slicing — still whole-stage codegen. */
+  private[multimodal] def fingerprintsOf(media: DataFrame): DataFrame = {
     val fb = NearDupFrameBytes
-    // byte i (1-based) of the BINARY frame = hex pair (2i−1, 2i) of
-    // hex(frame), decoded with conv — never CAST(frame AS STRING),
-    // whose UTF-8 decode mangles any byte ≥ 0x80 (i.e. real media
-    // bytes; the ASCII corpus hid the defect). One hex() per frame,
-    // then pure string slicing — still whole-stage codegen.
-    val fingerprints = Multimodal.sampleFrames(media, frameBytes = fb, stride = 1)
+    Multimodal.sampleFrames(media, frameBytes = fb, stride = 1)
       .filter(expr(s"octet_length(frame) = $fb"))
       .withColumn("hx", hex(col("frame")))
       .withColumn("total", expr(s"aggregate(sequence(1, $fb), CAST(0 AS BIGINT), " +
@@ -219,6 +220,11 @@ object MultimodalQueries extends QueryCatalog {
         expr(s"aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) -> a + " +
           s"CASE WHEN CAST(conv(substr(hx, 2 * (${16 * b} + j + 1) - 1, 2), 16, 10) AS BIGINT) * $fb > total " +
           s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)").as(s"b$b")): _*)
+  }
+  /** Banded, Hamming-verified frame pairs (media_a < media_b) with the
+    * matched frame numbers — q124 aggregates them per media pair,
+    * q126 rolls them up to media-pair verdicts. */
+  private[multimodal] def nearDupFramePairs(fingerprints: DataFrame): DataFrame = {
     // band rows carry the full fingerprint (8 bytes) so pairs emerge
     // scored map-side; ord = unique frame id for the deterministic cap.
     // Envelope: media_id < 2^31 and frame_no < 2^32 (256 GiB / clip at
@@ -244,12 +250,16 @@ object MultimodalQueries extends QueryCatalog {
         expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
           "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"))
       .filter(col("hamming") <= NearDupMaxHamming)
+  }
+  /** Core of q124 over a (media_id, media: binary) frame — package-
+    * private for MultimodalSpec's planted near-dup fixture. */
+  private[multimodal] def frameNearDupOf(media: DataFrame): DataFrame =
+    nearDupFramePairs(fingerprintsOf(media))
       .groupBy(col("media_a"), col("media_b"))
       .agg(count(lit(1)).as("n_frame_pairs"),
         sum(when(col("hamming") > 0, 1L).otherwise(0L)).as("n_near"),
         min(col("hamming")).as("min_hamming"))
       .orderBy(col("media_a"), col("media_b"))
-  }
   private def q124(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     frameNearDupOf(Tables.documents(s, dir)
@@ -259,8 +269,9 @@ object MultimodalQueries extends QueryCatalog {
   // engine's byte-level hex reads ONLY because this corpus is pure
   // ASCII (the engine side is byte-exact for arbitrary media bytes).
   // DuckDB's ^ is POWER, so xor() is spelled out, and two parallel
-  // unnests zip positionally.
-  private val q124Sql = {
+  // unnests zip positionally. The CTE chain down to the verified frame
+  // pairs (`sc`) is shared by the q124 and q126 oracles.
+  private def nearDupCtesSql: String = {
     val fb = NearDupFrameBytes
     def bandSql(b: Int) =
       s"""CAST(list_sum(list_transform(generate_series(0, 15), j ->
@@ -306,18 +317,83 @@ object MultimodalQueries extends QueryCatalog {
        |   AND a.media_id < b.media_id
        |),
        |sc AS (
-       |  SELECT media_a, media_b,
+       |  SELECT media_a, fa, media_b, fb,
        |    CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) +
        |         bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
        |  FROM pairs
-       |)
+       |)""".stripMargin
+  }
+  private val q124Sql =
+    s"""$nearDupCtesSql
        |SELECT media_a, media_b, count(*) AS n_frame_pairs,
        |  CAST(sum(CASE WHEN hamming > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
        |  min(hamming) AS min_hamming
        |FROM sc WHERE hamming <= $NearDupMaxHamming
        |GROUP BY 1, 2
        |ORDER BY media_a, media_b""".stripMargin
+
+  // ---------------------------------------------------------------- q126
+  /** Media-level perceptual roll-up — q124's frame verdicts promoted to
+    * MEDIA-pair decisions, the q46-pipeline shape at media granularity:
+    * a pair is a near-dup when the matched-frame FRACTION of either
+    * side clears [[RollupMatchedPpm]] (max of the two sides, so a short
+    * clip fully contained in a long video flags — the containment
+    * asymmetry q98 handles for text). Fractions are exact integer ppm
+    * (matched·10⁶ DIV n_frames), so verdict and ordering are
+    * cross-engine deterministic.
+    *
+    * Scale shape: fingerprints computed ONCE (persisted) feed both the
+    * pair machinery and the per-media frame counts; the roll-up
+    * aggregates the already-capped verified pairs, and the count join
+    * keys on media ids — |media|-sized frames, never frame-level. */
+  private[multimodal] val RollupMatchedPpm = 500000L
+  /** Core of q126 over a (media_id, media: binary) frame — package-
+    * private for MultimodalSpec's threshold fixture. */
+  private[multimodal] def mediaNearDupRollupOf(media: DataFrame): DataFrame = {
+    val fps = graft.core.ScratchCache.persist(fingerprintsOf(media))
+    val nf = fps.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    nearDupFramePairs(fps)
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(countDistinct(col("fa")).as("matched_a"),
+        countDistinct(col("fb")).as("matched_b"))
+      .join(nf.select(col("media_id").as("media_a"), col("n_frames").as("n_frames_a")), "media_a")
+      .join(nf.select(col("media_id").as("media_b"), col("n_frames").as("n_frames_b")), "media_b")
+      .select(col("media_a"), col("media_b"), col("n_frames_a"), col("n_frames_b"),
+        col("matched_a"), col("matched_b"),
+        expr("matched_a * 1000000 DIV n_frames_a").as("frac_a_ppm"),
+        expr("matched_b * 1000000 DIV n_frames_b").as("frac_b_ppm"))
+      .withColumn("is_near_dup",
+        when(greatest(col("frac_a_ppm"), col("frac_b_ppm")) >= RollupMatchedPpm, 1L)
+          .otherwise(0L))
+      .orderBy(col("media_a"), col("media_b"))
   }
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaNearDupRollupOf(Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media")))
+  }
+  private val q126Sql =
+    s"""$nearDupCtesSql,
+       |rolled AS (
+       |  SELECT media_a, media_b,
+       |    CAST(count(DISTINCT fa) AS BIGINT) AS matched_a,
+       |    CAST(count(DISTINCT fb) AS BIGINT) AS matched_b
+       |  FROM sc WHERE hamming <= $NearDupMaxHamming
+       |  GROUP BY 1, 2
+       |),
+       |nf AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames FROM tot GROUP BY 1)
+       |SELECT r.media_a, r.media_b,
+       |  a.n_frames AS n_frames_a, b.n_frames AS n_frames_b,
+       |  matched_a, matched_b,
+       |  matched_a * 1000000 // a.n_frames AS frac_a_ppm,
+       |  matched_b * 1000000 // b.n_frames AS frac_b_ppm,
+       |  CAST(CASE WHEN greatest(matched_a * 1000000 // a.n_frames,
+       |                          matched_b * 1000000 // b.n_frames) >= $RollupMatchedPpm
+       |       THEN 1 ELSE 0 END AS BIGINT) AS is_near_dup
+       |FROM rolled r
+       |JOIN nf a ON r.media_a = a.media_id
+       |JOIN nf b ON r.media_b = b.media_id
+       |ORDER BY media_a, media_b""".stripMargin
 
   // ---------------------------------------------------------------- q113
   /** Energy-gated silence segmentation — the VAD (voice-activity
@@ -426,6 +502,7 @@ object MultimodalQueries extends QueryCatalog {
     "q108_frame_dedup" -> q108,
     "q113_audio_silence" -> q113,
     "q124_frame_neardup" -> q124,
+    "q126_media_neardup_rollup" -> q126,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -435,5 +512,6 @@ object MultimodalQueries extends QueryCatalog {
     "q108_frame_dedup" -> q108Sql,
     "q113_audio_silence" -> q113Sql,
     "q124_frame_neardup" -> q124Sql,
+    "q126_media_neardup_rollup" -> q126Sql,
   )
 }

@@ -145,6 +145,44 @@ class MultimodalSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("media roll-up: matched-frame fraction drives the pair verdict, max-side for containment") {
+    import spark.implicits._
+    // Frame patterns from four 16-bit band ints: byte 16b+j is high
+    // ('z') iff bit j of band b is set, low ('!') otherwise — the aHash
+    // recovers exactly those band values (mean sits between 33 and
+    // 122). Patterns pairwise differ in >3 bits, so only identical
+    // frames verify as matches.
+    def frame(b: Int*) : String =
+      (0 until 64).map { p =>
+        if (((b(p / 16) >> (p % 16)) & 1) == 1) 'z' else '!'
+      }.mkString
+    val A = frame(0xFFFF, 0xFFFF, 0, 0)
+    val B = frame(0, 0, 0xFFFF, 0xFFFF)
+    val C = frame(0xFFFF, 0, 0xFFFF, 0)
+    val D = frame(0, 0xFFFF, 0, 0xFFFF)
+    val X = frame(0x1111, 0x2222, 0x3333, 0x4444)
+    val Y = frame(0x5555, 0x6666, 0x7777, 0x0888)
+    val Z = frame(0x0123, 0x4567, 0x0abc, 0x0def)
+    val media = Seq(
+      1L -> (A + B + C + D), // full re-upload pair with 2
+      2L -> (A + B + C + D),
+      3L -> (A + X + Y + Z), // shares 1/4 frames with 1 and 2
+      4L -> A)               // contained in 1/2/3: 1/1 matched on its side
+      .toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("media"))
+    val got = MultimodalQueries.mediaNearDupRollupOf(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    // (1,2): 4/4 both sides -> verdict 1; (1,3)/(2,3): 1/4 both -> 0;
+    // (1,4)/(2,4)/(3,4): containment — 1/4 vs 1/1 -> max side flags 1
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)),
+      s"pair set: ${got.keySet}")
+    assert(got((1L, 2L)) == (4L, 4L, 1000000L, 1000000L, 1L), s"full dup: ${got((1L, 2L))}")
+    assert(got((1L, 3L)) == (1L, 1L, 250000L, 250000L, 0L), s"sub-threshold: ${got((1L, 3L))}")
+    assert(got((1L, 4L)) == (1L, 1L, 250000L, 1000000L, 1L), s"containment: ${got((1L, 4L))}")
+    graft.core.ScratchCache.drain()
+  }
+
   test("byte accessors are exact for non-ASCII media bytes (bytes >= 0x80, i.e. real media)") {
     import spark.implicits._
     // A UTF-8 decode (CAST(frame AS STRING)) mangles every byte >= 0x80
