@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * ([[DedupQueries.lshPairsFrom]], mirrored in its DuckDB twin via
   * QUALIFY row_number) and the xxhash64 production paths
   * ([[SimHash64.nearDupPairs]], [[MinHash64.candidatePairs]]); pinned
-  * by BandCapSpec for all three.
+  * by BandCapSpec for all three, and the cap CONTRACT — monotone pair
+  * growth with the cap, per-cap lowest-id recall floor, cap not
+  * binding at verification SF — is swept across 16/64/256 by
+  * CapContractSpec, so a [[MaxBandBucket]] change cannot silently
+  * shift the cap-consuming oracles (q42/q46/q94/q98/q124).
   */
 object Banding {
 

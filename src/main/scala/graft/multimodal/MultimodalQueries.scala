@@ -194,7 +194,8 @@ object MultimodalQueries extends QueryCatalog {
     * Scale shape: linear fingerprint scan (codegen'd integer folds,
     * 8 bytes of fingerprint riding each band row — the sizes-in-
     * posting discipline, so NOTHING joins back onto the pair frame);
-    * band buckets capped by [[Banding.capBuckets]]; the only shuffles
+    * band buckets capped by [[Banding.capBuckets]] (cap contract
+    * swept by CapContractSpec); the only shuffles
     * are the band equi-join and the final per-pair aggregate. The
     * 16-bit band space is small (65 k values), so text-corpus char-
     * class patterns DO collide — the cap and the Hamming verify are
