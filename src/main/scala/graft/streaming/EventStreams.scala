@@ -136,16 +136,24 @@ object EventStreams {
     * leave the store. */
   def clickPurchaseLeftJoinStream(clicks: DataFrame, purchases: DataFrame,
                                   horizonMinutes: Int = 60,
-                                  watermarkMinutes: Option[Int] = None): DataFrame = {
+                                  watermarkMinutes: Option[Int] = None,
+                                  inputsPreWatermarked: Boolean = false): DataFrame = {
     // the watermark DELAY (late-arrival tolerance) and the join
     // HORIZON (business time bound) are distinct dials: a replay of
     // historical files needs a delay covering the whole span so
     // shuffled file order drops nothing, while the horizon stays the
     // funnel's 60 minutes. Default keeps them equal (the live-stream
-    // setting, minimal state).
+    // setting, minimal state). `inputsPreWatermarked` is for inputs
+    // that already carry a watermark from an upstream stateful stage
+    // (e.g. [[dedupStream]] repairing at-least-once delivery) — Spark
+    // forbids REDEFINING a watermark past a stateful operator, so the
+    // chained composition passes the one it set (StreamSoakSpec's
+    // disorder tests drive exactly this chain).
     val wm = watermarkMinutes.getOrElse(horizonMinutes)
-    val c = clicks.withWatermark("ts", s"$wm minutes").alias("c")
-    val p = purchases.withWatermark("ts", s"$wm minutes").alias("p")
+    def mark(df: DataFrame) =
+      if (inputsPreWatermarked) df else df.withWatermark("ts", s"$wm minutes")
+    val c = mark(clicks).alias("c")
+    val p = mark(purchases).alias("p")
     c.join(p, expr(
       s"""c.user_id = p.user_id AND
          |p.ts >= c.ts AND

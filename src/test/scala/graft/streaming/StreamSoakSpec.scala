@@ -142,6 +142,142 @@ class StreamSoakSpec extends SparkTestBase {
     }
   }
 
+  /** ADVERSARIAL ARRIVAL staging: the events staged as `n` files, a
+    * copy of every `dupEvery`-th file appended under a fresh name (the
+    * at-least-once REDELIVERY a real source does on retry — same rows,
+    * distinct path, so the file source ingests them twice), and every
+    * file's mtime set to a deterministically SHUFFLED order, which is
+    * the order the file source replays (it processes oldest-mtime
+    * first) — so micro-batches arrive neither in write order nor in
+    * event-time order. */
+  private def stagedDisordered(n: Int, dupEvery: Int): (String, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, Int) = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-soak-dis").toString
+    val batchEvents = Tables.events(spark, dir)
+    batchEvents.repartition(n).write.parquet(s"$stage/events")
+    val evDir = new java.io.File(s"$stage/events")
+    val parts = evDir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val dups = parts.zipWithIndex.collect { case (f, i) if dupEvery > 0 && i % dupEvery == 0 =>
+      val d = new java.io.File(evDir, f.getName.replace("part-", "redeliver-"))
+      java.nio.file.Files.copy(f.toPath, d.toPath)
+      d
+    }
+    val rnd = new scala.util.Random(1234)
+    rnd.shuffle((parts ++ dups).toSeq).zipWithIndex.foreach { case (f, i) =>
+      assert(f.setLastModified(1700000000000L + i * 60000L), s"mtime not settable on $f")
+    }
+    val schema = spark.read.parquet(s"$stage/events").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stage/events")
+    (stage, stream, batchEvents, parts.length + dups.length)
+  }
+
+  // covers the sf0.1 event span (~30 days) so disorder never expires
+  // in-flight state mid-replay
+  private val SpanMinutes = 45000
+
+  test("q102 under shuffled + redelivered files: dedup repair converges to the batch twin") {
+    assume(ready)
+    val (stage, stream, batchEvents, nFiles) = stagedDisordered(8, dupEvery = 2)
+    val customers = Tables.customer(spark, dir)
+    // production at-least-once composition: dedupStream in front of the
+    // aggregate — the duplicated files are exactly the redelivery it
+    // repairs (batch mode degrades to dropDuplicates, a no-op here)
+    val q = EventStreams.enrichedSegmentCounts(
+        EventStreams.dedupStream(stream, watermark = s"$SpanMinutes minutes"), customers)
+      .writeStream.format("memory").queryName("soak_q102_dis")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, nFiles)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val streamed = canon(spark.table("soak_q102_dis"))
+      val batch = canon(EventStreams.enrichedSegmentCounts(
+        EventStreams.dedupStream(batchEvents), customers))
+      assert(batch.nonEmpty, "empty batch twin")
+      assert(streamed == batch,
+        s"disorder divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  test("q103 under shuffled + redelivered files: dedup + outer interval join converge") {
+    assume(ready)
+    import spark.implicits._
+    val (stage, stream, batchEvents, nFiles) = stagedDisordered(8, dupEvery = 2)
+    def carve(df: org.apache.spark.sql.DataFrame, et: String, idAs: String) =
+      df.filter(col("event_type") === et)
+        .select(col("ts"), col("user_id"), col("event_id").as(idAs))
+    // each branch repairs redelivery independently (per-branch dedup
+    // state), then the watermarked outer join runs on clean streams
+    def dd(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.dedupStream(df, watermark = s"$SpanMinutes minutes")
+    val joined = EventStreams.clickPurchaseLeftJoinStream(
+      carve(dd(stream), "click", "click_id"), carve(dd(stream), "purchase", "purchase_id"),
+      horizonMinutes = 60, inputsPreWatermarked = true)
+    val q = joined.writeStream.format("memory").queryName("soak_q103_dis")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, nFiles)
+      // flush outer state: far-future sentinels (see the in-order test)
+      val maxTs = batchEvents.agg(max($"ts")).collect()(0).getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + (SpanMinutes + 120L * 60) * 60000L)
+      Seq((-1L, sentinelTs, -1L, "click", 0.0, "{}"),
+          (-2L, sentinelTs, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(s"$stage/events")
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("user_id") >= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val streamed = canon(spark.table("soak_q103_dis")
+        .select($"user_id", $"click_id", $"purchase_id"))
+      val batch = canon(EventStreams.clickPurchaseLeftJoinStream(
+          carve(batchEvents, "click", "click_id"), carve(batchEvents, "purchase", "purchase_id"))
+        .select($"user_id", $"click_id", $"purchase_id"))
+      assert(batch.exists(_._3 == -1L), "batch twin must contain unconverted clicks")
+      assert(streamed == batch,
+        s"disorder divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  test("q120 under shuffled + redelivered files: first-seen state is idempotent, no dedup needed") {
+    assume(ready)
+    import spark.implicits._
+    val (stage, stream, batchEvents, nFiles) = stagedDisordered(8, dupEvery = 2)
+    // the funnel state is a min-accumulator per user: redelivered rows
+    // and arbitrary arrival order must both be absorbed by the state
+    // itself — the strongest convergence claim, with NO repair stage
+    val q = EventStreams.funnelStageStream(stream)
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("soak_q120_dis")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, nFiles)
+      val latest = spark.table("soak_q120_dis")
+        .withColumn("rn", monotonically_increasing_id())
+        .groupBy($"user_id").agg(max_by($"stage", $"rn").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = EventStreams.funnelStageStream(batchEvents)
+        .collect().map(t => t._1 -> t._2).toMap
+      assert(batch.size > 100, s"soak fixture too small: ${batch.size} users")
+      assert(latest == batch,
+        s"disorder divergence on ${latest.toSet.diff(batch.toSet).take(5)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   test("q120 funnel state machine over micro-batched sf0.1 events converges to the batch stages") {
     assume(ready)
     import spark.implicits._
