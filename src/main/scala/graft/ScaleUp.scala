@@ -33,19 +33,11 @@ object ScaleUp {
     * collide. */
   private val Offset = 100000000L
 
-  def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Write the `factor`× replica of `src` into `dst` — callable from
+    * specs (ScaleUp-at-spec-scale for output-normalized scaling
+    * assertions) as well as [[main]]. */
+  def write(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
 
     /** Replica key ranges overlap silently if any source key reaches
       * the per-replica offset — that would corrupt join fan-outs in
@@ -89,6 +81,22 @@ object ScaleUp {
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scaleup] $t: x$factor -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    write(spark, src, dst, factor)
     spark.stop()
   }
 }

@@ -251,6 +251,42 @@ class SkewStressSpec extends SparkTestBase {
     graft.core.ScratchCache.drain()
   }
 
+  test("q98/q44/q45 output-normalized scaling: time growth is explained by output growth") {
+    assume(ready)
+    // BENCH_SF1's q98 ratio (7.7x time at 10x data) needs an output-
+    // normalized explanation, pinned here at spec scale: ScaleUp grows
+    // the corpus as NEAR-DUPLICATES (shared shingles, per-replica
+    // suffix), so containment/verify PAIRS grow superlinearly in the
+    // replica factor while per-pair cost stays cap-bounded. The claim:
+    // output rows grow at least linearly (cross-replica pairs), and
+    // wall-clock grows no faster than 2x the output growth — i.e.
+    // time-per-output-row stays ~flat; a breach means the plan itself
+    // degraded, not the workload.
+    val dst = java.nio.file.Files.createTempDirectory("graft-scale-spec").toString
+    ScaleUp.write(spark, src, dst, 4)
+    try {
+      def timedRows(name: String, dir: String): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        graft.core.ScratchCache.drain()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      for (name <- Seq("q98_containment_dedup", "q44_dedup_jaccard_verify", "q45_dedup_embed_cosine")) {
+        timedRows(name, src) // warm both paths: JIT + codegen + parquet footers
+        timedRows(name, dst)
+        val (rows1, t1) = timedRows(name, src)
+        val (rows4, t4) = timedRows(name, dst)
+        assert(rows1 > 0, s"$name: empty baseline output")
+        assert(rows4 > rows1, s"$name: output did not grow under 4x near-dup replication")
+        val rowRatio = rows4.toDouble / rows1
+        val timeRatio = t4 / t1
+        assert(timeRatio <= 2 * math.max(rowRatio, 4.0),
+          s"$name: time grew ${f"$timeRatio%.1f"}x but output only ${f"$rowRatio%.1f"}x " +
+            f"(t1=$t1%.2fs rows1=$rows1, t4=$t4%.2fs rows4=$rows4) — sec/row degraded")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+  }
+
   test("q124: the structurally-identical spam+template cluster stays band-capped, hamming 0") {
     assume(ready)
     // aHash is a STRUCTURE hash: "tpl1 tpl2 …" and "tmb1 tmb2 …" have
