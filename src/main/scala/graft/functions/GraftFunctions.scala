@@ -34,13 +34,25 @@ object GraftFunctions {
     DotProduct(toDoubles(args.head), toDoubles(args(1)))
   }
 
+  private def unaryBuilder(name: String, mk: Expression => Expression): Seq[Expression] => Expression = {
+    args =>
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      mk(args.head)
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       cosineBuilder),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      dotBuilder))
+      dotBuilder),
+    (FunctionIdentifier("byte_sum"),
+      new ExpressionInfo(classOf[ByteSum].getName, "byte_sum"),
+      unaryBuilder("byte_sum", ByteSum)),
+    (FunctionIdentifier("ahash64"),
+      new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
+      unaryBuilder("ahash64", AHash64)))
 
   /** Register all engine functions into an existing session. */
   def register(spark: SparkSession): Unit =

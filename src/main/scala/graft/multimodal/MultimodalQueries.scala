@@ -205,22 +205,22 @@ object MultimodalQueries extends QueryCatalog {
   /** Per-frame 64-bit aHash as four 16-bit band ints — shared by
     * q124's pair aggregate and q126's media-level roll-up.
     *
-    * Byte i (1-based) of the BINARY frame = hex pair (2i−1, 2i) of
-    * hex(frame), decoded with conv — never CAST(frame AS STRING),
-    * whose UTF-8 decode mangles any byte ≥ 0x80 (i.e. real media
-    * bytes; the ASCII corpus hid the defect). One hex() per frame,
-    * then pure string slicing — still whole-stage codegen. */
+    * The fingerprint is the native codegen [[graft.functions.AHash64]]
+    * expression — one fused pass over the RAW bytes (bit i = byte i
+    * above the frame mean, exact integer arithmetic), so it is both
+    * byte-exact for real media (never a UTF-8 decode of binary) and
+    * faster than any SQL formulation (hex+conv ran the radix parse
+    * 128× per frame); the bands are 16-bit slices of the one hash.
+    * AHashSpec pins the expression bit-for-bit against the SQL hex
+    * formula on random high-byte frames. */
   private[multimodal] def fingerprintsOf(media: DataFrame): DataFrame = {
     val fb = NearDupFrameBytes
+    graft.functions.GraftFunctions.register(media.sparkSession)
     Multimodal.sampleFrames(media, frameBytes = fb, stride = 1)
       .filter(expr(s"octet_length(frame) = $fb"))
-      .withColumn("hx", hex(col("frame")))
-      .withColumn("total", expr(s"aggregate(sequence(1, $fb), CAST(0 AS BIGINT), " +
-        "(a, i) -> a + CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT))"))
+      .withColumn("h", expr("ahash64(frame)"))
       .select(Seq(col("media_id"), col("frame_no")) ++ (0 until 4).map(b =>
-        expr(s"aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) -> a + " +
-          s"CASE WHEN CAST(conv(substr(hx, 2 * (${16 * b} + j + 1) - 1, 2), 16, 10) AS BIGINT) * $fb > total " +
-          s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)").as(s"b$b")): _*)
+        expr(s"shiftrightunsigned(h, ${16 * b}) & 65535").as(s"b$b")): _*)
   }
   /** Banded, Hamming-verified frame pairs (media_a < media_b) with the
     * matched frame numbers — q124 aggregates them per media pair,
@@ -420,16 +420,16 @@ object MultimodalQueries extends QueryCatalog {
     * private for MultimodalSpec's planted-silence fixtures. */
   private[multimodal] def silenceOf(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // byte-level energy via hex pairs (the q124 accessor) — a PCM
+    // byte-level energy via the native byte_sum expression — a PCM
     // sample byte ≥ 0x80 is the NORM, not the exception; CAST(frame AS
-    // STRING) would mis-decode every one of them
+    // STRING) would mis-decode every one of them, and the SQL hex
+    // repair pays a per-byte radix parse (ByteOps scaladoc)
+    graft.functions.GraftFunctions.register(media.sparkSession)
     val frames = graft.core.ScratchCache.persist(
       Multimodal.sampleFrames(media, frameBytes = VadFrameBytes, stride = 1)
-        .withColumn("hx", hex(col("frame")))
         .select(col("media_id"), col("frame_no"),
           expr("octet_length(frame)").cast("long").as("flen"),
-          expr("aggregate(sequence(1, octet_length(frame)), CAST(0 AS BIGINT), " +
-            "(a, i) -> a + CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT))").as("energy"))
+          expr("byte_sum(frame)").as("energy"))
         .withColumn("silent", col("energy") < col("flen") * VadMeanByteGate))
     val agg = frames.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
