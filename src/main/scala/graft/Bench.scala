@@ -62,12 +62,18 @@ import graft.core.ScratchCache
   *     contention correction from noise harvesting.
   *  3. PRIOR-ROUND ADJUDICATION: r7→r8 measured the per-query noise at
   *     ±40% on byte-identical code, so cross-round deltas need in-run
-  *     adjudication. The newest BENCH_r*.json in the cwd (override:
-  *     SPARK_GRAFT_PRIOR_BENCH; skipped on SF mismatch) supplies prior
-  *     per-query values; any query whose post-retime value exceeds
-  *     1.25× its prior gets ONE more isolated re-time, and
-  *     prior/before/after are emitted ("queries_adjudicated" in
-  *     BENCH_DETAIL, count + top corrections on the stdout line).
+  *     adjudication. The highest-numbered BENCH_r*.json in the cwd
+  *     (override: SPARK_GRAFT_PRIOR_BENCH; skipped on SF mismatch)
+  *     supplies prior per-query values; any query whose post-retime
+  *     value moved >1.25× vs its prior IN EITHER DIRECTION gets ONE
+  *     more isolated re-time, and prior/before/after/direction are
+  *     emitted ("queries_adjudicated" in BENCH_DETAIL, count + top
+  *     corrections on the stdout line). The adjudication sample is an
+  *     ANNOTATION ONLY — it is never folded into the reported value:
+  *     stacking min(value, adjudication) on min(median, retime) would
+  *     be a second one-sided minimum that harvests noise minima
+  *     downward, the exact failure mode the re-time attempts exist to
+  *     expose.
   *
   * Scratch caches registered by catalog queries are drained after
   * every run so no storage leaks across the catalog and every run
@@ -103,8 +109,14 @@ object Bench {
     // q94's corpus-signature artifact is run N's one-off output, not
     // part of run N+1's ingest cost: build it before the timed sweeps
     // so every timed q94 execution measures the incremental REPLAY —
-    // the plan a daily-ingest user actually runs.
-    graft.dedup.DedupQueries.ensureSigStore(spark, sfDir)
+    // the plan a daily-ingest user actually runs. The build itself is
+    // timed and emitted in BENCH_DETAIL ("q94_sigstore_build") so the
+    // cost moved out of the catalog stays visible in the artifact.
+    val sigStoreBuildSec = {
+      val t0 = System.nanoTime()
+      graft.dedup.DedupQueries.ensureSigStore(spark, sfDir)
+      (System.nanoTime() - t0) / 1e9
+    }
     ScratchCache.drain()
 
     // warmup (untimed): touches the fact table + one agg + one join path
@@ -165,12 +177,21 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val explicit = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
         .map(java.nio.file.Paths.get(_)).filter(java.nio.file.Files.exists(_))
+      // newest prior = HIGHEST PARSED ROUND NUMBER, not lexicographic
+      // order (r100 < r99 lexically; unpadded r9/r10 would also sort
+      // wrong), and the directory stream must be closed.
+      val roundNum = "BENCH_r(\\d+)\\.json".r
       val discovered =
-        try java.nio.file.Files.list(java.nio.file.Paths.get("."))
-          .iterator().asScala
-          .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
-          .toSeq.sortBy(_.getFileName.toString).lastOption
-        catch { case _: Throwable => None }
+        try {
+          val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          try stream.iterator().asScala
+            .flatMap(p => p.getFileName.toString match {
+              case roundNum(n) => Some((n.toInt, p))
+              case _           => None
+            })
+            .toSeq.sortBy(_._1).lastOption.map(_._2)
+          finally stream.close()
+        } catch { case _: Throwable => None }
       explicit.orElse(discovered).flatMap { p =>
         try {
           var root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
@@ -186,12 +207,21 @@ object Bench {
       }.getOrElse(Map.empty)
     }
     def short(n: String): String = n.takeWhile(_ != '_')
+    // TWO-SIDED: a >1.25× regression AND a >1.25× improvement both get
+    // one isolated confirmation re-time — a silently-pruned plan that
+    // "got 2× faster" is as suspect as a regression. The re-time is an
+    // EMITTED ANNOTATION ONLY (queries_adjudicated / adjudicated line):
+    // it is NOT folded into value(). Folding min(value, re-time) on top
+    // of min(median, retime) was one more one-sided minimum harvesting
+    // noise downward — the headline is decided by the sweeps + the
+    // contention re-time alone, and the adjudication samples exist so a
+    // reader can judge whether a cross-round delta is real.
     // name -> (prior, before, after); after = -1 when the re-run failed
     val adjudicated: Map[String, (Double, Double, Double)] = prelim.flatMap {
       case (name, med, _, _, true) =>
         val before = sweepValue(name, med, ok = true)
         priorQ.get(name).orElse(priorQ.get(short(name)))
-          .filter(p => before > p * 1.25)
+          .filter(p => before > p * 1.25 || before < p / 1.25)
           .map { p =>
             System.gc()
             val (t, okA) = timeOne(name)
@@ -199,10 +229,8 @@ object Bench {
           }
       case _ => None
     }.toMap
-    def value(name: String, med: Double, ok: Boolean): Double = {
-      val b = sweepValue(name, med, ok)
-      adjudicated.get(name).map(_._3).filter(_ > 0).fold(b)(math.min(b, _))
-    }
+    def value(name: String, med: Double, ok: Boolean): Double =
+      sweepValue(name, med, ok)
     def fmt(v: Double): String =
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def obj(pairs: Seq[(String, Double)]): String =
@@ -221,10 +249,11 @@ object Bench {
       pairs.map { case (k, vs) => "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]" }
         .mkString("{", ",", "}")
     val adjDetail = adjudicated.toSeq.sortBy(_._1).map { case (k, (p, b, a)) =>
-      s""""$k":{"prior":${fmt(p)},"before":${fmt(b)},"after":${fmt(a)}}"""
+      val dir = if (b > p) "regression" else "improvement"
+      s""""$k":{"prior":${fmt(p)},"before":${fmt(b)},"after":${fmt(a)},"direction":"$dir"}"""
     }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"failed":$failed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))

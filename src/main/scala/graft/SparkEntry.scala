@@ -32,4 +32,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     catalogs.map(_.oracleSql).reduce(_ ++ _)
+
+  /** Documented reason for every query WITHOUT an oracleSql entry —
+    * "unverifiable by design" (with the spec that gates it instead),
+    * as opposed to merely unverified. Dumped by Verify as
+    * no_oracle_reasons.json; SparkEntrySpec pins that the no-oracle
+    * set and this map's keys coincide exactly. */
+  def noOracleReasons: Map[String, String] =
+    catalogs.map(_.noOracleReasons).reduce(_ ++ _)
 }

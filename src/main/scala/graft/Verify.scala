@@ -40,6 +40,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the no-oracle queries' documented justification — distinguishes
+    // "unverifiable by design" (sketches, Spark-native hash fns) from
+    // "unverified" in the correctness artifact
+    val reasons = SparkEntry.noOracleReasons
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_reasons.json"), reasons)
     spark.stop()
   }
 }

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
 trait QueryCatalog {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
+  /** For every key in `queries` with NO `oracleSql` entry: a documented
+    * reason why the query is UNVERIFIABLE BY DESIGN (not merely
+    * unverified) plus a pointer to the spec that gates it instead.
+    * Verify dumps these as `no_oracle_reasons.json` so the correctness
+    * artifact carries the distinction. */
+  def noOracleReasons: Map[String, String] = Map.empty
 }
 
 /** Cross-engine determinism helpers.

@@ -1193,11 +1193,15 @@ object RelQueries extends QueryCatalog {
     * The join key is a CONSTANT (one global stream): the maximally
     * modal case, where q39's window formulation would sort every event
     * through ONE task no matter the cluster size. Runs on
-    * [[AsOfJoin.backwardSharded]] — time-range shards bound each
+    * [[AsOfJoin.backwardAuto]] — the cardinality probe sees one
+    * distinct key over the whole union (≥400 rows/key at every SF,
+    * above the 256 rows/key budget) and dispatches to
+    * [[AsOfJoin.backwardSharded]]: time-range shards bound each
     * window task, a carry joins in the last error of earlier shards —
-    * so the operator's modal-safe path is correctness-gated by the
-    * DuckDB ASOF oracle, not only by AsOfJoinSpec. Errors are deduped
-    * per ts (max event_id) so ts ties match deterministically. */
+    * so BOTH the probe/dispatch path and the modal-safe execution are
+    * correctness-gated by the DuckDB ASOF oracle, not only by
+    * AsOfJoinSpec. Errors are deduped per ts (max event_id) so ts
+    * ties match deterministically. */
   private def q127(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -1206,9 +1210,10 @@ object RelQueries extends QueryCatalog {
       .select(lit(0L).as("stream"), $"ts", $"error_id")
     val purchases = ev.filter($"event_type" === "purchase")
       .select(lit(0L).as("stream"), $"event_id".as("purchase_id"), $"ts")
-    AsOfJoin.backwardSharded(purchases, errors,
+    AsOfJoin.backwardAuto(purchases, errors,
         keyCols = Seq("stream"), tsCol = "ts",
-        valueCols = Seq("error_id"), targetShards = 64)
+        valueCols = Seq("error_id"),
+        maxAvgRowsPerKey = 256, targetShards = 64)
       .select($"purchase_id", $"ts",
         $"asof_error_id".as("error_id"), $"asof_ts".as("error_ts"))
       .orderBy($"purchase_id")
@@ -1316,5 +1321,14 @@ object RelQueries extends QueryCatalog {
     "q118_funnel" -> q118Sql,
     "q119_retention" -> q119Sql,
     "q121_anomaly_hours" -> q121Sql,
+  )
+
+  override val noOracleReasons: Map[String, String] = Map(
+    "q25_approx_distinct" ->
+      ("UNVERIFIABLE BY DESIGN: approx_count_distinct is a HyperLogLog++ sketch whose " +
+       "estimates are implementation-specific — DuckDB's approx HLL produces different " +
+       "values on identical input, and an exact-count oracle would test a different " +
+       "operator. Gated instead by HllCalibrationSpec (estimate within the published " +
+       "rsd bound of the exact distinct count at every SF)."),
   )
 }

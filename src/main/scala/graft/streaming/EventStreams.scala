@@ -110,9 +110,19 @@ object EventStreams {
     * join condition the state grows forever and a 100 TB/day stream
     * OOMs the cluster. */
   def clickPurchaseJoinStream(clicks: DataFrame, purchases: DataFrame,
-                              horizonMinutes: Int = 60): DataFrame = {
-    val c = clicks.withWatermark("ts", s"$horizonMinutes minutes").alias("c")
-    val p = purchases.withWatermark("ts", s"$horizonMinutes minutes").alias("p")
+                              horizonMinutes: Int = 60,
+                              watermarkMinutes: Option[Int] = None,
+                              inputsPreWatermarked: Boolean = false): DataFrame = {
+    // same delay-vs-horizon split as [[clickPurchaseLeftJoinStream]]:
+    // replays of shuffled historical files need a watermark DELAY
+    // covering the span while the join HORIZON stays the funnel's
+    // bound; `inputsPreWatermarked` composes after dedupStream, whose
+    // stateful stage already set the watermark
+    val wm = watermarkMinutes.getOrElse(horizonMinutes)
+    def mark(df: DataFrame) =
+      if (inputsPreWatermarked) df else df.withWatermark("ts", s"$wm minutes")
+    val c = mark(clicks).alias("c")
+    val p = mark(purchases).alias("p")
     c.join(p, expr(
       s"""c.user_id = p.user_id AND
          |p.ts >= c.ts AND

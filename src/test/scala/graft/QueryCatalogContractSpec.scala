@@ -26,6 +26,15 @@ class QueryCatalogContractSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
+  test("the no-oracle set and noOracleReasons coincide exactly") {
+    // every query without an oracle must carry a documented
+    // unverifiable-by-design reason — and no reason may be stale
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val reasons = SparkEntry.noOracleReasons.keySet
+    assert(noOracle == reasons,
+      s"undocumented no-oracle queries: ${noOracle -- reasons}; stale reasons: ${reasons -- noOracle}")
+  }
+
   test("no catalog output column is array/map/struct typed (driver hashability)") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineitem.parquet")))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -280,7 +280,13 @@ class SkewStressSpec extends SparkTestBase {
         assert(rows4 > rows1, s"$name: output did not grow under 4x near-dup replication")
         val rowRatio = rows4.toDouble / rows1
         val timeRatio = t4 / t1
-        assert(timeRatio <= 2 * math.max(rowRatio, 4.0),
+        // the real claim: time grows no faster than 2x output growth.
+        // The only escape is SHORT ABSOLUTE RUNTIMES (t4 < 5 s), where
+        // fixed per-query overhead (planning, task launch) dominates
+        // and a ratio on seconds-scale numbers is mostly noise — NOT a
+        // blanket max(rowRatio, 4) floor, which would tolerate 8x time
+        // growth on flat output.
+        assert(timeRatio <= 2 * rowRatio || t4 < 5.0,
           s"$name: time grew ${f"$timeRatio%.1f"}x but output only ${f"$rowRatio%.1f"}x " +
             f"(t1=$t1%.2fs rows1=$rows1, t4=$t4%.2fs rows4=$rows4) — sec/row degraded")
       }

@@ -121,4 +121,25 @@ class AsOfJoinSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!entityPlan.contains("__shard"), "per-entity keys must take the plain window")
   }
+
+  test("backwardAuto on the catalog shapes: q127's constant key shards, q39's per-user key doesn't") {
+    import spark.implicits._
+    // q127's shape: ONE constant key over the whole union, with the
+    // catalog's maxAvgRowsPerKey = 256 budget — ≥400 union rows/key at
+    // every SF, so the probe must dispatch to backwardSharded
+    val errs = (0 until 210).map(i => (0L, t(i * 3), i.toLong)).toDF("stream", "ts", "error_id")
+    val purch = (0 until 210).map(i => (0L, t(i * 2 + 1), s"o$i")).toDF("stream", "ts", "purchase_id")
+    val constPlan = AsOfJoin.backwardAuto(purch, errs, Seq("stream"), "ts",
+        Seq("error_id"), maxAvgRowsPerKey = 256, targetShards = 64)
+      .queryExecution.executedPlan.toString
+    assert(constPlan.contains("__shard"), "q127's constant key must take the sharded shape")
+    graft.core.ScratchCache.drain()
+    // q39's shape: per-user keys, default 65536 rows/key budget — the
+    // probe must keep the plain one-exchange window
+    val clicks = (0 until 500).map(i => ((i % 100).toLong, t(i), i.toLong)).toDF("user_id", "ts", "click_id")
+    val buys = (0 until 500).map(i => ((i % 100).toLong, t(i + 1), s"p$i")).toDF("user_id", "ts", "purchase_id")
+    val userPlan = AsOfJoin.backwardAuto(buys, clicks, Seq("user_id"), "ts", Seq("click_id"))
+      .queryExecution.executedPlan.toString
+    assert(!userPlan.contains("__shard"), "q39's per-user key must take the plain window")
+  }
 }

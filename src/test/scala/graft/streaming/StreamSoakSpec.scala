@@ -223,6 +223,25 @@ class StreamSoakSpec extends SparkTestBase {
     try {
       q.processAllAvailable()
       multiBatch(q, nFiles)
+      // NEVER EARLY: before the watermark-advancing sentinels, a
+      // null-padded "did-not-convert" row may exist only for clicks
+      // that are null-padded in the batch twin too — a click that DOES
+      // convert must never have emitted a premature outer row, because
+      // append-mode output is immutable (the real row could only be
+      // emitted alongside it, a duplicate click_id).
+      def tuples(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("user_id") >= 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      val batchSeq = tuples(EventStreams.clickPurchaseLeftJoinStream(
+          carve(batchEvents, "click", "click_id"), carve(batchEvents, "purchase", "purchase_id"))
+        .select($"user_id", $"click_id", $"purchase_id"))
+      val convertedClicks = batchSeq.collect { case (_, c, p) if p != -1L => c }.toSet
+      val earlyNulls = tuples(spark.table("soak_q103_dis")
+          .select($"user_id", $"click_id", $"purchase_id"))
+        .collect { case (_, c, -1L) if convertedClicks(c) => c }
+      assert(earlyNulls.isEmpty,
+        s"outer rows emitted EARLY for clicks that later convert: ${earlyNulls.take(5)}")
       // flush outer state: far-future sentinels (see the in-order test)
       val maxTs = batchEvents.agg(max($"ts")).collect()(0).getTimestamp(0)
       val sentinelTs = new java.sql.Timestamp(maxTs.getTime + (SpanMinutes + 120L * 60) * 60000L)
@@ -231,18 +250,59 @@ class StreamSoakSpec extends SparkTestBase {
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.mode("append").parquet(s"$stage/events")
       q.processAllAvailable()
-      def canon(df: org.apache.spark.sql.DataFrame) = df
-        .filter(col("user_id") >= 0L)
-        .collect().map(r => (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
-      val streamed = canon(spark.table("soak_q103_dis")
+      val streamedSeq = tuples(spark.table("soak_q103_dis")
         .select($"user_id", $"click_id", $"purchase_id"))
-      val batch = canon(EventStreams.clickPurchaseLeftJoinStream(
+      // EXACTLY ONCE: multiset equality, not set equality — a
+      // redelivered file that slipped past the dedup stage would
+      // double-emit join rows that a Set comparison silently collapses
+      def multi(s: Seq[(Long, Long, Long)]) = s.groupBy(identity).view.mapValues(_.size).toMap
+      val streamed = multi(streamedSeq)
+      val batch = multi(batchSeq)
+      assert(batchSeq.exists(_._3 == -1L), "batch twin must contain unconverted clicks")
+      val onlyS = streamed.collect { case (k, n) if batch.getOrElse(k, 0) != n => (k, n) }
+      val onlyB = batch.collect { case (k, n) if streamed.getOrElse(k, 0) != n => (k, n) }
+      assert(onlyS.isEmpty && onlyB.isEmpty,
+        s"disorder divergence (multiset): onlyStream=${onlyS.take(3)} onlyBatch=${onlyB.take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
+  test("q63 under shuffled + redelivered files: dedup + inner interval join emit exactly once") {
+    assume(ready)
+    import spark.implicits._
+    val (stage, stream, batchEvents, nFiles) = stagedDisordered(8, dupEvery = 2)
+    def carve(df: org.apache.spark.sql.DataFrame, et: String, idAs: String) =
+      df.filter(col("event_type") === et)
+        .select(col("ts"), col("user_id"), col("event_id").as(idAs))
+    def dd(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.dedupStream(df, watermark = s"$SpanMinutes minutes")
+    val joined = EventStreams.clickPurchaseJoinStream(
+      carve(dd(stream), "click", "click_id"), carve(dd(stream), "purchase", "purchase_id"),
+      horizonMinutes = 60, inputsPreWatermarked = true)
+    val q = joined.writeStream.format("memory").queryName("soak_q63_dis")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, nFiles)
+      // inner matches need no state flush — but EXACTLY ONCE must hold
+      // as a multiset: every redelivered click/purchase pair would
+      // double-join if the per-branch dedup state leaked a duplicate
+      def multi(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val streamed = multi(spark.table("soak_q63_dis")
+        .select($"user_id", $"click_id", $"purchase_id"))
+      val batch = multi(EventStreams.clickPurchaseJoinStream(
           carve(batchEvents, "click", "click_id"), carve(batchEvents, "purchase", "purchase_id"))
         .select($"user_id", $"click_id", $"purchase_id"))
-      assert(batch.exists(_._3 == -1L), "batch twin must contain unconverted clicks")
-      assert(streamed == batch,
-        s"disorder divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+      assert(batch.nonEmpty, "batch twin must contain converted clicks")
+      assert(batch.values.forall(_ == 1), "batch twin must be duplicate-free")
+      val onlyS = streamed.collect { case (k, n) if batch.getOrElse(k, 0) != n => (k, n) }
+      val onlyB = batch.collect { case (k, n) if streamed.getOrElse(k, 0) != n => (k, n) }
+      assert(onlyS.isEmpty && onlyB.isEmpty,
+        s"disorder divergence (multiset): onlyStream=${onlyS.take(3)} onlyBatch=${onlyB.take(3)}")
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
