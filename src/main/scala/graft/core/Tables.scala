@@ -21,14 +21,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp (SPARK-40819). Read it as nanos-since-epoch and truncate
-    * to microseconds — the same truncation DuckDB applies when casting
-    * TIMESTAMP_NS to TIMESTAMP — so both engines see identical values. */
+  /** events.ts has shipped in two parquet vintages: TIMESTAMP(NANOS)
+    * (unreadable as a timestamp by Spark — SPARK-40819 — so we read it
+    * as nanos-since-epoch and truncate to µs, matching DuckDB's
+    * TIMESTAMP_NS→TIMESTAMP cast) and plain timestamp[us] (read by
+    * Spark as TIMESTAMP_NTZ). Normalize BOTH to session-tz TimestampType
+    * at microsecond precision; with session tz pinned to UTC every
+    * downstream query and the DuckDB oracle see identical values. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet physical type $other — expected " +
+            "INT64 nanos, TIMESTAMP_NTZ (timestamp[us]) or TIMESTAMP")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

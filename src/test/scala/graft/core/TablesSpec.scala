@@ -23,6 +23,52 @@ class TablesSpec extends SparkTestBase {
     assert(viaSql == viaDf && viaSql.nonEmpty)
   }
 
+  test("events loader: timestamp[us] (NTZ) vintage normalizes to TimestampType, exact µs") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("events-us-vintage").toString
+    // 2021-03-04T05:06:07.123456 as µs since epoch, written as TIMESTAMP_NTZ
+    val micros = 1614834367123456L
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType), StructField("etype", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(1L, 10L, java.time.LocalDateTime.ofEpochSecond(
+        micros / 1000000L, (micros % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC), "click"))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Tables.events(spark, tmp)
+    assert(got.schema("ts").dataType == TimestampType)
+    val ts = got.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(ts == micros, s"expected $micros, got $ts")
+  }
+
+  test("events loader: INT64-nanos vintage truncates to µs TimestampType") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("events-ns-vintage").toString
+    val nanos = 1614834367123456789L // µs truncation drops the trailing 789
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", LongType), StructField("etype", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, 10L, nanos, "click")), schema)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Tables.events(spark, tmp)
+    assert(got.schema("ts").dataType == TimestampType)
+    val ts = got.select(unix_micros(col("ts"))).head().getLong(0)
+    assert(ts == nanos / 1000L, s"expected ${nanos / 1000L}, got $ts")
+  }
+
+  test("events loader handles the driver testdata vintage (whatever it is today)") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/events.parquet")))
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(got.limit(1).count() == 1)
+  }
+
   test("events view carries the µs-truncated timestamps of the loader") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/events.parquet")))
     Tables.registerTempViews(spark, dir)
