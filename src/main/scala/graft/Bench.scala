@@ -24,6 +24,14 @@ import graft.core.ScratchCache
   * produced 10–14× phantom spikes in full-catalog runs (measured:
   * 2.67 s isolated vs 26.8 s in-catalog for the same query):
   *
+  *  0. ANALYSIS PREFLIGHT: every catalog query is analyzed (no
+  *     execution) before any timed work. An environment shift that
+  *     breaks a loader — r10: the testdata's events.ts changed parquet
+  *     vintage and 18 queries died at analysis — is caught in seconds,
+  *     the broken queries are excluded from the sweeps (reported -1 +
+  *     "failed" + message in BENCH_DETAIL "preflight_failed"), and the
+  *     surviving queries' timings aren't contaminated by exception
+  *     churn in the same JVM.
   *  1. INTERLEAVED SWEEPS: with SPARK_GRAFT_BENCH_RUNS = R (default 3,
   *     floored at 1), the WHOLE catalog is swept R times round-robin
   *     rather than running each query R times back-to-back. A
@@ -106,6 +114,31 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // PREFLIGHT (r10 lesson): analyze the whole catalog BEFORE the
+    // sigstore build, the warmup, and the R timed sweeps. A regenerated
+    // testdata file that breaks a loader (r10: events.ts switched
+    // parquet vintage and 18 queries died at analysis) is caught here
+    // in seconds instead of burning a 20-minute sweep on exception
+    // churn that also contaminates every surviving query's timings.
+    // Analysis-failed queries are excluded from the sweeps and still
+    // reported (-1 + "failed" + per-query message in BENCH_DETAIL's
+    // "preflight_failed"). Dataset construction analyzes the plan
+    // eagerly, so building the DataFrame and touching .schema is a
+    // full analyzer+resolver pass without executing the query.
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
+    def analyzeErr(name: String): Option[(String, String)] =
+      try { SparkEntry.queries(name)(spark, sfDir).schema; None }
+      catch { case e: Throwable =>
+        Some(name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
+      finally ScratchCache.drain()
+    // q94 constructs against the sigstore artifact and triggers its
+    // lazy build — preflighted AFTER the timed build below so the
+    // build cost lands in q94_sigstore_build, not in the preflight.
+    val lazyBuilds = Set("q94_incremental_dedup")
+    val preflightFailed = collection.mutable.LinkedHashMap.empty[String, String]
+    allNames.filterNot(lazyBuilds).foreach(n => analyzeErr(n).foreach(preflightFailed += _))
+
     // q94's corpus-signature artifact is run N's one-off output, not
     // part of run N+1's ingest cost: build it before the timed sweeps
     // so every timed q94 execution measures the incremental REPLAY —
@@ -118,12 +151,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     ScratchCache.drain()
+    allNames.filter(lazyBuilds).foreach(n => analyzeErr(n).foreach(preflightFailed += _))
+    if (preflightFailed.nonEmpty) {
+      System.err.println(s"[bench] PREFLIGHT: ${preflightFailed.size}/${allNames.size} queries fail analysis — excluded from sweeps:")
+      preflightFailed.foreach { case (n, m) => System.err.println(s"[bench]   $n: $m") }
+    }
 
     // warmup (untimed): touches the fact table + one agg + one join path
     runNoop("q01_pricing_summary")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.isEmpty || only(n))
+    val names = allNames.filterNot(preflightFailed.keySet)
 
     // R interleaved catalog sweeps (see scaladoc point 1)
     val samples = collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
@@ -236,10 +273,16 @@ object Bench {
     def obj(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 
-    val qsFull = prelim.map { case (k, med, _, _, ok) => k -> value(k, med, ok) }
-    val qsMax = prelim.map { case (k, _, _, mx, ok) => k -> (if (ok) mx else -1.0) }
-    val qsMed = prelim.map { case (k, med, _, _, ok) => k -> (if (ok) med else -1.0) }
-    val failed = prelim.collect { case (k, _, _, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // Preflight-failed queries re-enter the report here: -1 in every
+    // per-query map (merged back into catalog-name order) and in
+    // "failed", so the driver-visible line carries the breakage even
+    // though the sweeps never ran them.
+    val preflightEntries = preflightFailed.keys.toSeq.map(k => k -> -1.0)
+    val qsFull = (prelim.map { case (k, med, _, _, ok) => k -> value(k, med, ok) } ++ preflightEntries).sortBy(_._1)
+    val qsMax = (prelim.map { case (k, _, _, mx, ok) => k -> (if (ok) mx else -1.0) } ++ preflightEntries).sortBy(_._1)
+    val qsMed = (prelim.map { case (k, med, _, _, ok) => k -> (if (ok) med else -1.0) } ++ preflightEntries).sortBy(_._1)
+    val failed = (prelim.collect { case (k, _, _, _, false) => k } ++ preflightFailed.keys)
+      .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = prelim.collect { case (k, med, _, _, true) => value(k, med, ok = true) }.sum
 
     // Full-fidelity record (full query names, sweep medians/maxima,
@@ -252,8 +295,12 @@ object Bench {
       val dir = if (b > p) "regression" else "improvement"
       s""""$k":{"prior":${fmt(p)},"before":${fmt(b)},"after":${fmt(a)},"direction":"$dir"}"""
     }.mkString("{", ",", "}")
+    def qstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
+    val preflightDetail = preflightFailed.toSeq.sortBy(_._1)
+      .map { case (k, m) => s"${qstr(k)}:${qstr(m)}" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"preflight_failed":$preflightDetail,"failed":$failed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
@@ -268,7 +315,7 @@ object Bench {
       if (v < 0) "-1" else "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def obj2(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + fmt2(v) }.mkString("{", ",", "}")
-    val shortable = names.map(short).distinct.size == names.size
+    val shortable = allNames.map(short).distinct.size == allNames.size
     def key(n: String): String = if (shortable) short(n) else n
     val qsLine = obj2(qsFull.map { case (k, v) => key(k) -> v })
     // the driver-visible adjudication: which queries the isolated
