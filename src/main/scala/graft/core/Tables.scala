@@ -32,6 +32,13 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Infer isAdjustedToUTC=false (timestamp[us]) columns as LTZ
+    // directly instead of NTZ: with the session tz pinned to UTC the
+    // values are identical, but the column is then a PLAIN scan output
+    // rather than a cast projection — so predicates on ts reach the
+    // parquet reader as PushedFilters (row-group pruning at 100 TB)
+    // instead of dying at a Cast node above the scan.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -62,6 +62,29 @@ class TablesSpec extends SparkTestBase {
     assert(ts == nanos / 1000L, s"expected ${nanos / 1000L}, got $ts")
   }
 
+  test("events loader (µs vintage): ts predicates reach the parquet scan as PushedFilters") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("events-pushdown").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType), StructField("etype", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 10L, java.time.LocalDateTime.of(2021, 1, 1, 0, 0), "click"),
+        Row(2L, 11L, java.time.LocalDateTime.of(2022, 1, 1, 0, 0), "view")),
+      schema).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val filtered = Tables.events(spark, tmp)
+      .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2021-06-01 00:00:00")))
+    val plan = filtered.queryExecution.executedPlan.toString
+    // ts must be a plain scan column (LTZ inference), not a cast
+    // projection that strands the predicate above the scan
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(ts"),
+      s"ts predicate not pushed to the parquet reader:\n$plan")
+    assert(filtered.count() == 1)
+  }
+
   test("events loader handles the driver testdata vintage (whatever it is today)") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/events.parquet")))
     val got = Tables.events(spark, dir)
