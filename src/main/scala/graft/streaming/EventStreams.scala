@@ -300,4 +300,45 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming corpus admission — the continuous-ingest gate of an
+    * incremental training-data pipeline: a newly-arriving document's
+    * content digest is admitted iff
+    *  (a) it is NOT already in the static corpus digest set — a
+    *      stream-static LEFT OUTER join against a digest-only frame
+    *      plus a null filter (stream-static joins don't support
+    *      left_anti, so the outer join + marker-null filter IS the
+    *      anti join; Structured Streaming plans stream-static
+    *      equi-joins STATELESS, so no join state accumulates across
+    *      micro-batches and the corpus side is 16 bytes/doc at any
+    *      corpus size — re-loadable between restarts as the corpus
+    *      grows, the same artifact-refresh contract as q94's
+    *      signature store); and
+    *  (b) it was not already admitted from this stream within the
+    *      watermark — `dropDuplicatesWithinWatermark` on the digest,
+    *      the bounded-state guard against at-least-once redelivery.
+    *
+    * `arrivals` needs `text` and an event-time `ingest_ts`. Emits the
+    * ADMITTED DIGEST SET (one column, `digest`) rather than surviving
+    * rows: which physical row represents a digest depends on arrival
+    * order in a stream, but the admitted set itself is deterministic —
+    * exactly what a downstream corpus-append consumer keys on, and
+    * what the DuckDB oracle can replay (q128). In batch mode the
+    * dedup degrades to `dropDuplicates` per [[dedupStream]]'s
+    * contract, and the output is the same digest set. */
+  def admissionStream(arrivals: DataFrame, corpusDigests: DataFrame,
+                      watermark: String = "30 minutes"): DataFrame = {
+    val digested = arrivals
+      .withColumn("digest", md5(col("text")))
+    val marked = corpusDigests
+      .select(col("digest"), lit(1).as("in_corpus"))
+    val fresh = (if (digested.isStreaming)
+        digested.withWatermark("ingest_ts", watermark)
+      else digested)
+      .join(broadcast(marked), Seq("digest"), "left_outer")
+      .filter(col("in_corpus").isNull)
+    (if (fresh.isStreaming) fresh.dropDuplicatesWithinWatermark("digest")
+     else fresh.dropDuplicates("digest"))
+      .select(col("digest"))
+  }
 }

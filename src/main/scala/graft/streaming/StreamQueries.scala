@@ -218,6 +218,45 @@ object StreamQueries extends QueryCatalog {
       |FROM f
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Batch twin of the streaming corpus-admission gate
+    * ([[EventStreams.admissionStream]]): the batch slice of
+    * `documents` (q94's hash split, so the two incremental-ingest
+    * queries agree on what "the batch" is) admitted against the
+    * REST of the corpus's exact digest set. Output is the admitted
+    * digest set — deterministic regardless of which duplicate row
+    * survives the in-stream dedup. The streaming-only behavior
+    * (stateless stream-static join, watermark-bounded redelivery
+    * dedup) is StreamingSpec's job. `ingest_ts` is derived from
+    * doc_id only so the batch twin is reproducible. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isBatch = substring(
+      md5(concat(lit("batch|"), col("doc_id").cast("string"))), 1, 1).isin("0", "1")
+    // ingest clock = 2024-01-01T00:00Z + doc_id seconds. The base must
+    // be well after the epoch: Spark floors the watermark at 0, so an
+    // event time AT the epoch (doc_id 0) is never after the initial
+    // watermark and gets dropped as late when it arrives in a later
+    // micro-batch (surfaced by the StreamSoakSpec shuffled replay).
+    val arrivals = docs.filter(isBatch)
+      .withColumn("ingest_ts", expr("timestamp_micros((1704067200 + doc_id) * 1000000)"))
+    val corpusDigests = docs.filter(!isBatch)
+      .select(md5(col("text")).as("digest")).distinct()
+    EventStreams.admissionStream(arrivals, corpusDigests)
+      .orderBy(col("digest"))
+  }
+  private val q128Sql =
+    """WITH split AS (
+      |  SELECT doc_id, text,
+      |    substring(md5(concat('batch|', CAST(doc_id AS VARCHAR))), 1, 1) IN ('0', '1') AS is_batch
+      |  FROM documents
+      |)
+      |SELECT DISTINCT md5(text) AS digest
+      |FROM split
+      |WHERE is_batch
+      |  AND md5(text) NOT IN (SELECT md5(text) FROM split WHERE NOT is_batch)
+      |ORDER BY digest""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
@@ -228,6 +267,7 @@ object StreamQueries extends QueryCatalog {
     "q102_stream_static_enrich" -> q102,
     "q103_stream_left_join" -> q103,
     "q120_funnel_stages" -> q120,
+    "q128_stream_ingest_admission" -> q128,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -240,5 +280,6 @@ object StreamQueries extends QueryCatalog {
     "q102_stream_static_enrich" -> q102Sql,
     "q103_stream_left_join" -> q103Sql,
     "q120_funnel_stages" -> q120Sql,
+    "q128_stream_ingest_admission" -> q128Sql,
   )
 }

@@ -368,4 +368,47 @@ class StreamSoakSpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     }
   }
+
+  test("q128 corpus admission over a micro-batched file stream of sf0.1 documents equals the batch twin") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet")))
+    val stage = java.nio.file.Files.createTempDirectory("graft-soak-docs").toString
+    val docs = Tables.documents(spark, dir)
+    val isBatch = substring(
+      md5(concat(lit("batch|"), col("doc_id").cast("string"))), 1, 1).isin("0", "1")
+    // base the ingest clock at 2024-01-01, not the epoch: the watermark
+    // floors at 0, so an epoch-time row (doc_id 0) arriving late in the
+    // shuffled replay would be dropped as behind-watermark
+    val arrivals = docs.filter(isBatch)
+      .withColumn("ingest_ts", expr("timestamp_micros((1704067200 + doc_id) * 1000000)"))
+      .select(col("doc_id"), col("text"), col("ingest_ts"))
+    val corpusDigests = docs.filter(!isBatch).select(md5(col("text")).as("digest")).distinct()
+    val nArrivals = arrivals.count()
+    arrivals.repartition(8).write.parquet(s"$stage/docs")
+    val schema = spark.read.parquet(s"$stage/docs").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$stage/docs")
+    // repartition shuffles arrival order across files, so a later
+    // micro-batch can carry an EARLIER ingest_ts — the watermark delay
+    // must cover the fixture's full ingest span (~83 min of doc_id
+    // seconds) or the dedup operator drops those rows as late (the
+    // same delay-vs-horizon split the interval-join soaks use)
+    val q = EventStreams.admissionStream(stream, corpusDigests, watermark = "24 hours")
+      .writeStream.format("memory").queryName("soak_q128")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, 8)
+      val streamed = spark.table("soak_q128").collect().map(_.getString(0)).toSet
+      val batch = EventStreams.admissionStream(arrivals, corpusDigests)
+        .collect().map(_.getString(0)).toSet
+      assert(nArrivals > 100 && batch.nonEmpty, s"soak fixture too small: $nArrivals arrivals")
+      assert(batch.size < nArrivals,
+        "fixture must exercise rejection/dedup (admitted digests < arriving docs)")
+      assert(streamed == batch,
+        s"stream/batch divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
 }

@@ -270,6 +270,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming corpus admission: corpus hits rejected, redelivery suppressed, batch twin agrees") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // static corpus knows "alpha"
+    val corpus = Seq(md5hex("alpha")).toDF("digest")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val arrivals = input.toDF().toDF("ingest_ts", "doc_id", "text")
+    val q = EventStreams.admissionStream(arrivals, corpus)
+      .writeStream.format("memory").queryName("admission_test").outputMode("append").start()
+    try {
+      // batch 1: "alpha" is already in the corpus (reject), "beta" is new
+      input.addData((tsAt(10, 0), 1L, "alpha"), (tsAt(10, 1), 2L, "beta"))
+      q.processAllAvailable()
+      // batch 2: "beta" redelivered within the watermark (suppress), "gamma" new
+      input.addData((tsAt(10, 5), 3L, "beta"), (tsAt(10, 6), 4L, "gamma"))
+      q.processAllAvailable()
+      val streamed = spark.table("admission_test").collect().map(_.getString(0)).toSet
+      assert(streamed == Set(md5hex("beta"), md5hex("gamma")),
+        s"admitted set wrong: $streamed")
+      // batch twin over the same arrivals emits the same admitted set
+      val batchArrivals = Seq(
+        (tsAt(10, 0), 1L, "alpha"), (tsAt(10, 1), 2L, "beta"),
+        (tsAt(10, 5), 3L, "beta"), (tsAt(10, 6), 4L, "gamma"))
+        .toDF("ingest_ts", "doc_id", "text")
+      val batch = EventStreams.admissionStream(batchArrivals, corpus)
+        .collect().map(_.getString(0)).toSet
+      assert(batch == streamed, s"batch twin diverged: $batch vs $streamed")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree for on-time data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
