@@ -31,15 +31,35 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Infer isAdjustedToUTC=false (timestamp[us]) columns as LTZ
-    // directly instead of NTZ: with the session tz pinned to UTC the
-    // values are identical, but the column is then a PLAIN scan output
-    // rather than a cast projection — so predicates on ts reach the
-    // parquet reader as PushedFilters (row-group pruning at 100 TB)
-    // instead of dying at a Cast node above the scan.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = table(spark, dir, "events")
+    // Two inference overrides, SCOPED to this one read (set-and-restore
+    // — 4.1.2's ParquetOptions accepts neither as a reader option, and
+    // leaving them pinned session-wide would silently re-type a future
+    // parquet source with a legitimate NTZ column depending on load
+    // order; TablesSpec pins that an NTZ table read AFTER events keeps
+    // its type). Both confs are consulted ONLY during the eager schema
+    // inference inside spark.read.parquet, never again at action time
+    // (verified empirically on both legacy vintages), so restoring
+    // before the frame executes is safe:
+    //  - nanosAsLong: TIMESTAMP(NANOS) is otherwise unreadable
+    //    (SPARK-40819) — read as nanos-since-epoch and truncate below;
+    //  - inferTimestampNTZ=false: infer isAdjustedToUTC=false
+    //    (timestamp[us]) columns as LTZ directly instead of NTZ — with
+    //    the session tz pinned to UTC the values are identical, but the
+    //    column is then a PLAIN scan output rather than a cast
+    //    projection, so ts predicates reach the parquet reader as
+    //    PushedFilters (row-group pruning at 100 TB) instead of dying
+    //    at a Cast node above the scan.
+    val confKeys = Seq("spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.inferTimestampNTZ.enabled")
+    val prior = confKeys.map(k => k -> spark.conf.getOption(k))
+    val raw =
+      try {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        table(spark, dir, "events")
+      } finally prior.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

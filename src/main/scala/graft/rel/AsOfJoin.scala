@@ -68,6 +68,12 @@ object AsOfJoin {
                keyCols: Seq[String], tsCol: String,
                valueCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     val (union, leftVals) = tagged(left, right, keyCols, tsCol, valueCols, tieBreak)
+    backwardImpl(union, leftVals, keyCols, tsCol, valueCols, tieBreak)
+  }
+
+  private def backwardImpl(union: DataFrame, leftVals: Seq[String],
+                           keyCols: Seq[String], tsCol: String,
+                           valueCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol) +: col("__side") +: tieBreak.map(c => col(s"__r.$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -102,20 +108,37 @@ object AsOfJoin {
                       targetShards: Int = 1024): DataFrame = {
     require(targetShards >= 1, s"targetShards must be >= 1, got $targetShards")
     val (union, leftVals) = tagged(left, right, keyCols, tsCol, valueCols, tieBreak)
-    // DECIMAL(21,0) bias/width — see PrefixSum.runningTotal's bounds
-    // comment (a full-Long span overflows IntegralDivide)
-    val bias = "9223372036854775808"
-    def biased(c: String) = s"(CAST($c AS DECIMAL(21,0)) + $bias)"
-    val proxied = union.withColumn("__ats", col(tsCol).cast("long"))
-    val bounds = proxied
-      .agg(expr(biased("min(__ats)")).as("b_min"), expr(biased("max(__ats)")).as("b_max"))
-      .select(col("b_min"),
-        greatest(lit(1L).cast("decimal(21,0)"),
-          expr(s"CAST(floor((b_max - b_min + $targetShards) / $targetShards) AS DECIMAL(21,0))")).as("b_w"))
-    val sharded = graft.core.ScratchCache.persist(
-      proxied.crossJoin(broadcast(bounds))
-        .withColumn("__shard", expr(s"(${biased("__ats")} - b_min) DIV b_w"))
-        .drop("__ats", "b_min", "b_w"))
+    val cached = graft.core.ScratchCache.persist(union)
+    val mm = cached.agg(min(col(tsCol).cast("long")), max(col(tsCol).cast("long"))).head()
+    shardedImpl(cached, leftVals, keyCols, tsCol, valueCols, tieBreak,
+      targetShards, tsBounds(mm, 0), tsBounds(mm, 1))
+  }
+
+  /** Null-safe long extraction from a bounds/stats row (empty union →
+    * null min/max → 0; the result frame is empty either way). */
+  private def tsBounds(row: org.apache.spark.sql.Row, i: Int): Long =
+    if (row.isNullAt(i)) 0L else row.getLong(i)
+
+  /** `union` MUST be persisted by the caller — it is read three times
+    * below (within-shard window, per-shard last, shard universe), and
+    * the caller's 1-row bounds/dispatch action is what materializes the
+    * cache. `tsMin`/`tsMax` arrive as DRIVER-SIDE planning statistics
+    * (the [[SaltedJoin.detectHotKeys]] discipline) so the shard id is a
+    * pure LITERAL expression over `tsCol` — earlier rounds computed the
+    * bounds as an aggregate subtree crossJoin-broadcast into every
+    * consumer, which cost an extra pass over the union plus a broadcast
+    * exchange embedded three times in the final plan (r11 verdict:
+    * q127's 1.4× regression traced to exactly this planning overhead).
+    * Shard arithmetic stays DECIMAL(21,0): a full-Long ts span
+    * overflows 64-bit subtraction, and width is computed in BigInt for
+    * the same reason. */
+  private def shardedImpl(union: DataFrame, leftVals: Seq[String],
+                          keyCols: Seq[String], tsCol: String,
+                          valueCols: Seq[String], tieBreak: Seq[String],
+                          targetShards: Int, tsMin: Long, tsMax: Long): DataFrame = {
+    val width = ((BigInt(tsMax) - BigInt(tsMin) + targetShards) / targetShards).max(BigInt(1))
+    val sharded = union.withColumn("__shard",
+      expr(s"(CAST(CAST($tsCol AS BIGINT) AS DECIMAL(21,0)) - CAST($tsMin AS DECIMAL(21,0))) DIV $width"))
 
     val wIn = Window.partitionBy(keyCols.map(col) :+ col("__shard"): _*)
       .orderBy(col(tsCol) +: col("__side") +: tieBreak.map(c => col(s"__r.$c")): _*)
@@ -146,24 +169,36 @@ object AsOfJoin {
   }
 
   /** Probe-dispatched as-of: one map-combinable (count, approx distinct
-    * keys) aggregate over the two key frames — a 1-row planning
-    * statistic, the [[SaltedJoin.detectHotKeys]] discipline — then
-    * [[backward]] when keys are plentiful, [[backwardSharded]] when
-    * the average key would funnel more than `maxAvgRowsPerKey` union
-    * rows through one window task. */
+    * keys) aggregate — a 1-row planning statistic, the
+    * [[SaltedJoin.detectHotKeys]] discipline — then [[backward]] when
+    * keys are plentiful, [[backwardSharded]] when the average key would
+    * funnel more than `maxAvgRowsPerKey` union rows through one window
+    * task.
+    *
+    * The probe runs over the PERSISTED tagged union the chosen join
+    * shape then consumes, not a separate scan of the two key frames:
+    * the probe's action is what materializes the cache, so the dispatch
+    * statistic costs one cache read instead of a whole extra pass over
+    * both inputs (r11 verdict: that pass made q127 1.4× its r9 time).
+    * The same 1-row probe also carries min/max ts, so the sharded
+    * branch needs no further bounds pass at all. */
   def backwardAuto(left: DataFrame, right: DataFrame,
                    keyCols: Seq[String], tsCol: String,
                    valueCols: Seq[String], tieBreak: Seq[String] = Nil,
                    maxAvgRowsPerKey: Long = 65536, targetShards: Int = 1024): DataFrame = {
     require(maxAvgRowsPerKey >= 1, s"maxAvgRowsPerKey must be >= 1, got $maxAvgRowsPerKey")
-    val keys = left.select(keyCols.map(col): _*)
-      .unionAll(right.select(keyCols.map(col): _*))
-    val stats = keys
+    require(targetShards >= 1, s"targetShards must be >= 1, got $targetShards")
+    val (union, leftVals) = tagged(left, right, keyCols, tsCol, valueCols, tieBreak)
+    val cached = graft.core.ScratchCache.persist(union)
+    val stats = cached
       .agg(count(lit(1)).as("n"),
-        approx_count_distinct(struct(keyCols.map(col): _*)).as("d"))
+        approx_count_distinct(struct(keyCols.map(col): _*)).as("d"),
+        min(col(tsCol).cast("long")).as("ts_min"),
+        max(col(tsCol).cast("long")).as("ts_max"))
       .head()
     val modal = stats.getLong(0) > maxAvgRowsPerKey * math.max(1L, stats.getLong(1))
-    if (modal) backwardSharded(left, right, keyCols, tsCol, valueCols, tieBreak, targetShards)
-    else backward(left, right, keyCols, tsCol, valueCols, tieBreak)
+    if (modal) shardedImpl(cached, leftVals, keyCols, tsCol, valueCols, tieBreak,
+      targetShards, tsBounds(stats, 2), tsBounds(stats, 3))
+    else backwardImpl(cached, leftVals, keyCols, tsCol, valueCols, tieBreak)
   }
 }

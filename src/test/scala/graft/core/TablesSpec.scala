@@ -92,6 +92,36 @@ class TablesSpec extends SparkTestBase {
     assert(got.limit(1).count() == 1)
   }
 
+  test("events loader's inference confs do not leak: an NTZ table read after events keeps NTZ") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("events-conf-scope").toString
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType), StructField("etype", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, 10L, java.time.LocalDateTime.of(2021, 1, 1, 0, 0), "click")),
+      evSchema).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val otherSchema = StructType(Seq(
+      StructField("k", LongType), StructField("when", TimestampNTZType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, java.time.LocalDateTime.of(2021, 1, 1, 0, 0))),
+      otherSchema).write.mode("overwrite").parquet(s"$tmp/other.parquet")
+    val priorNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val priorInfer = spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
+    val ev = Tables.events(spark, tmp)
+    assert(ev.schema("ts").dataType == TimestampType) // LTZ inference still applied to events
+    // the overrides were restored, so an unrelated parquet source with a
+    // legitimate NTZ column is NOT silently re-typed by load order
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") == priorNanos)
+    assert(spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled") == priorInfer)
+    val other = spark.read.parquet(s"$tmp/other.parquet")
+    assert(other.schema("when").dataType == TimestampNTZType,
+      s"NTZ column re-typed to ${other.schema("when").dataType} after Tables.events")
+    assert(ev.count() == 1 && other.count() == 1) // both frames still execute post-restore
+  }
+
   test("events view carries the µs-truncated timestamps of the loader") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/events.parquet")))
     Tables.registerTempViews(spark, dir)
