@@ -127,9 +127,13 @@ object Bench {
     // full analyzer+resolver pass without executing the query.
     val allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // NonFatal only: a fatal error (OOM, linkage) during preflight must
+    // abort the run, not be recorded as a per-query analysis failure
+    // while the bench keeps timing queries in a corrupted JVM — the
+    // exact contamination the preflight exists to prevent.
     def analyzeErr(name: String): Option[(String, String)] =
       try { SparkEntry.queries(name)(spark, sfDir).schema; None }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         Some(name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
       finally ScratchCache.drain()
     // q94 constructs against the sigstore artifact and triggers its
@@ -145,13 +149,22 @@ object Bench {
     // the plan a daily-ingest user actually runs. The build itself is
     // timed and emitted in BENCH_DETAIL ("q94_sigstore_build") so the
     // cost moved out of the catalog stays visible in the artifact.
+    // Guarded like every other failure mode: an environment break in
+    // the artifact build marks q94 preflight-failed (visible in
+    // BENCH_DETAIL) instead of crashing the whole bench before any
+    // record is written.
     val sigStoreBuildSec = {
       val t0 = System.nanoTime()
-      graft.dedup.DedupQueries.ensureSigStore(spark, sfDir)
+      try graft.dedup.DedupQueries.ensureSigStore(spark, sfDir)
+      catch { case scala.util.control.NonFatal(e) =>
+        preflightFailed += ("q94_incremental_dedup" ->
+          ("sigstore build failed: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName)).take(300)) }
       (System.nanoTime() - t0) / 1e9
     }
     ScratchCache.drain()
-    allNames.filter(lazyBuilds).foreach(n => analyzeErr(n).foreach(preflightFailed += _))
+    allNames.filter(lazyBuilds).filterNot(preflightFailed.keySet)
+      .foreach(n => analyzeErr(n).foreach(preflightFailed += _))
     if (preflightFailed.nonEmpty) {
       System.err.println(s"[bench] PREFLIGHT: ${preflightFailed.size}/${allNames.size} queries fail analysis — excluded from sweeps:")
       preflightFailed.foreach { case (n, m) => System.err.println(s"[bench]   $n: $m") }

@@ -313,7 +313,11 @@ object EventStreams {
     *      micro-batches and the corpus side is 16 bytes/doc at any
     *      corpus size — re-loadable between restarts as the corpus
     *      grows, the same artifact-refresh contract as q94's
-    *      signature store); and
+    *      signature store. The join strategy is left to the planner:
+    *      a digest set under the broadcast cap is broadcast, a bigger
+    *      one falls back to a shuffled stream-static join — still
+    *      stateless, so the gate works past the 8 GB broadcast limit
+    *      rather than failing on a forced hint); and
     *  (b) it was not already admitted from this stream within the
     *      watermark — `dropDuplicatesWithinWatermark` on the digest,
     *      the bounded-state guard against at-least-once redelivery.
@@ -328,14 +332,20 @@ object EventStreams {
     * contract, and the output is the same digest set. */
   def admissionStream(arrivals: DataFrame, corpusDigests: DataFrame,
                       watermark: String = "30 minutes"): DataFrame = {
+    // NULL text (→ NULL digest) is dropped on BOTH sides: a null join
+    // key never matches, so a null-text arrival would sail through the
+    // anti join and "admit" a meaningless null digest — and the SQL
+    // twin's subquery semantics would diverge on it.
     val digested = arrivals
       .withColumn("digest", md5(col("text")))
+      .filter(col("digest").isNotNull)
     val marked = corpusDigests
+      .filter(col("digest").isNotNull)
       .select(col("digest"), lit(1).as("in_corpus"))
     val fresh = (if (digested.isStreaming)
         digested.withWatermark("ingest_ts", watermark)
       else digested)
-      .join(broadcast(marked), Seq("digest"), "left_outer")
+      .join(marked, Seq("digest"), "left_outer")
       .filter(col("in_corpus").isNull)
     (if (fresh.isStreaming) fresh.dropDuplicatesWithinWatermark("digest")
      else fresh.dropDuplicates("digest"))

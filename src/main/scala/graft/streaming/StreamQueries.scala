@@ -245,6 +245,12 @@ object StreamQueries extends QueryCatalog {
     EventStreams.admissionStream(arrivals, corpusDigests)
       .orderBy(col("digest"))
   }
+  // NOT EXISTS, not NOT IN: NOT IN's three-valued logic returns UNKNOWN
+  // for every row as soon as the corpus subquery contains one NULL
+  // digest, silently emptying the oracle while the engine's
+  // left-outer+null-filter anti join still admits rows. The engine
+  // filters NULL digests on both sides (admissionStream), and the
+  // text IS NOT NULL guards here mirror that.
   private val q128Sql =
     """WITH split AS (
       |  SELECT doc_id, text,
@@ -252,9 +258,13 @@ object StreamQueries extends QueryCatalog {
       |  FROM documents
       |)
       |SELECT DISTINCT md5(text) AS digest
-      |FROM split
-      |WHERE is_batch
-      |  AND md5(text) NOT IN (SELECT md5(text) FROM split WHERE NOT is_batch)
+      |FROM split s
+      |WHERE is_batch AND text IS NOT NULL
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM split c
+      |    WHERE NOT c.is_batch AND c.text IS NOT NULL
+      |      AND md5(c.text) = md5(s.text)
+      |  )
       |ORDER BY digest""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
