@@ -1,0 +1,148 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** q129 — URL/domain canonicalization + per-domain dedup policy: the
+  * CCNet-style pre-step that runs BEFORE content dedup in a web-scale
+  * curation pipeline (reference computes nothing like it; this is part
+  * of the declared LLM-pipeline superset). Two halves:
+  *
+  *  1. CANONICALIZE: collapse the forms under which the same page is
+  *     crawled twice — scheme and host-case noise, `www.` prefixes,
+  *     default ports (`:80`/`:443`), tracking params (`utm_*`-style),
+  *     param order, trailing slashes, fragments — and extract the
+  *     registered domain (simplified public-suffix heuristic: a
+  *     3-label domain when the middle label is a known second-level
+  *     suffix like `co`/`com`/`ac`, else 2 labels; a production run
+  *     swaps in the full PSL table as a broadcast join).
+  *  2. POLICY: each registered domain gets a dedup policy — `by_url`
+  *     (one doc per canonical URL: normal sites, where re-crawls of
+  *     one URL are the duplicate mode) or `by_text` (one doc per exact
+  *     content digest: mirror-heavy domains, where the same text
+  *     appears under many URLs). The keeper is the lowest doc_id per
+  *     (domain, dedup key); every row reports its group size and
+  *     keep/drop verdict.
+  *
+  * The driver `documents` table carries no URL column, so a
+  * deterministic raw URL is SYNTHESIZED per doc — same expression text
+  * in the engine and the DuckDB oracle — deliberately exercising every
+  * mess the canonicalizer must remove (mixed case, flipped param
+  * order, optional port/fragment/trailing slash). The policy bit is a
+  * deterministic hash of the domain, standing in for a curated domain
+  * list (which at scale is a tiny broadcast side input).
+  *
+  * Scale shape: everything up to the window is a per-row projection —
+  * regex canonicalization is map-side, no shuffle, codegen'd
+  * (`regexp_*` are native Catalyst expressions). The single exchange
+  * hashes on (domain, dedup key); a window partition is ONE duplicate
+  * group — the same partitioning contract as q40's exact dedup, so a
+  * pathological single-URL flood degrades one task, not the stage
+  * (and at 100 TB the key includes the content/url digest, so domains
+  * never concentrate a partition). Every fragment is shared verbatim
+  * between the Spark expression and the oracle SQL: regexes avoid
+  * backslashes (`[.]` not `\.`) so Spark's escaped string literals and
+  * DuckDB's standard literals parse identically.
+  */
+object UrlCanon {
+
+  /** Deterministic raw-URL synthesis over (doc_id, source) — shared
+    * verbatim by engine and oracle. Hex-digit comparisons against the
+    * doc's md5 drive every noise dimension independently. */
+  private[dedup] val rawUrlSql: String = {
+    val h = "md5('url|' || doc_id)"
+    s"""(CASE WHEN substring($h, 1, 1) < '8' THEN 'https://' ELSE 'http://' END
+       | || CASE WHEN substring($h, 2, 1) < '4' THEN 'WWW.' ELSE '' END
+       | || CASE WHEN substring($h, 3, 1) < '4' THEN upper(source) ELSE source END
+       | || '-' || (doc_id % 7)
+       | || CASE WHEN substring($h, 4, 1) < '6' THEN '.com'
+       |         WHEN substring($h, 4, 1) < 'c' THEN '.org'
+       |         ELSE '.co.uk' END
+       | || CASE WHEN substring($h, 5, 1) < '4'
+       |         THEN CASE WHEN substring($h, 1, 1) < '8' THEN ':443' ELSE ':80' END
+       |         ELSE '' END
+       | || '/p/' || (doc_id % 41)
+       | || CASE WHEN substring($h, 6, 1) < '8' THEN '/' ELSE '' END
+       | || CASE WHEN substring($h, 7, 1) < '8'
+       |         THEN '?id=' || (doc_id % 5) || '&utm_source=feed'
+       |         ELSE '?utm_source=feed&id=' || (doc_id % 5) END
+       | || CASE WHEN substring($h, 8, 1) < '8' THEN '#sec' ELSE '' END)"""
+      .stripMargin.replace("\n", "")
+  }
+
+  /** Scheme and fragment stripped — the working form the host/path/
+    * param extractors below operate on. */
+  private[dedup] def strippedSql(raw: String): String =
+    s"regexp_replace(regexp_replace($raw, '^[a-z]+://', ''), '#.*$$', '')"
+
+  /** Canonical host from the stripped form: lowercased, `www.` and
+    * explicit port removed. */
+  private[dedup] def hostSql(u: String): String =
+    s"regexp_replace(regexp_replace(lower(regexp_extract($u, '^([^/?]+)', 1)), '^www[.]', ''), ':[0-9]+$$', '')"
+
+  /** Canonical path: trailing slashes stripped (`/p/3/` ≡ `/p/3`,
+    * bare `/` ≡ empty). */
+  private[dedup] def pathSql(u: String): String =
+    s"regexp_replace(regexp_extract($u, '^[^/?]+([^?]*)', 1), '/+$$', '')"
+
+  /** The meaningful query param, dropped-tracking and order-normalized:
+    * only `id=<n>` survives canonicalization. */
+  private[dedup] def idParamSql(u: String): String =
+    s"regexp_extract($u, '[?&](id=[0-9]+)', 1)"
+
+  /** Registered domain via the simplified public-suffix heuristic. */
+  private[dedup] def domainSql(host: String): String =
+    s"""coalesce(nullif(regexp_extract($host, '([^.]+[.](?:co|com|net|org|ac|gov)[.][a-z]+)$$', 1), ''),
+       | regexp_extract($host, '([^.]+[.][^.]+)$$', 1))""".stripMargin.replace("\n", "")
+
+  private def canonSql(host: String, path: String, idp: String): String =
+    s"($host || $path || CASE WHEN $idp <> '' THEN '?' || $idp ELSE '' END)"
+
+  private val policySql =
+    "CASE WHEN substring(md5('policy|' || domain), 1, 1) < '8' THEN 'by_url' ELSE 'by_text' END"
+  private val keySql =
+    "CASE WHEN policy = 'by_url' THEN canon_url ELSE md5(text) END"
+
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", s"$rawUrlSql AS raw_url")
+      .selectExpr("doc_id", "text", s"${strippedSql("raw_url")} AS u")
+      .selectExpr("doc_id", "text",
+        s"${hostSql("u")} AS host", s"${pathSql("u")} AS pathn", s"${idParamSql("u")} AS idp")
+      .selectExpr("doc_id", "text",
+        s"${domainSql("host")} AS domain",
+        s"${canonSql("host", "pathn", "idp")} AS canon_url")
+      .selectExpr("doc_id", "text", "domain", "canon_url", s"$policySql AS policy")
+      .selectExpr("doc_id", "domain", "canon_url", "policy", s"$keySql AS key")
+      .selectExpr("doc_id", "domain", "canon_url", "policy",
+        "CAST(count(*) OVER (PARTITION BY domain, key) AS BIGINT) AS dup_n",
+        "CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY domain, key) THEN 1 ELSE 0 END AS BIGINT) AS is_kept")
+      .orderBy($"doc_id")
+  }
+
+  val q129Sql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, text, $rawUrlSql AS raw_url FROM documents
+       |), s AS (
+       |  SELECT doc_id, text, ${strippedSql("raw_url")} AS u FROM raw
+       |), parts AS (
+       |  SELECT doc_id, text, ${hostSql("u")} AS host,
+       |         ${pathSql("u")} AS pathn, ${idParamSql("u")} AS idp
+       |  FROM s
+       |), cd AS (
+       |  SELECT doc_id, text, ${domainSql("host")} AS domain,
+       |         ${canonSql("host", "pathn", "idp")} AS canon_url
+       |  FROM parts
+       |), pol AS (
+       |  SELECT doc_id, text, domain, canon_url, $policySql AS policy FROM cd
+       |), keyed AS (
+       |  SELECT doc_id, domain, canon_url, policy, $keySql AS key FROM pol
+       |)
+       |SELECT doc_id, domain, canon_url, policy,
+       |  CAST(count(*) OVER (PARTITION BY domain, key) AS BIGINT) AS dup_n,
+       |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY domain, key) THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM keyed
+       |ORDER BY doc_id""".stripMargin
+}

@@ -52,7 +52,13 @@ object GraftFunctions {
       unaryBuilder("byte_sum", ByteSum)),
     (FunctionIdentifier("ahash64"),
       new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
-      unaryBuilder("ahash64", AHash64)))
+      unaryBuilder("ahash64", AHash64)),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      { args =>
+        require(args.length == 2, s"bloom_might_contain expects 2 arguments, got ${args.length}")
+        BloomMightContain(args.head, args(1))
+      }))
 
   /** Register all engine functions into an existing session. */
   def register(spark: SparkSession): Unit =
@@ -66,6 +72,18 @@ object GraftFunctions {
     register(spark)
     // route through the registry so the Column API stays version-stable
     org.apache.spark.sql.functions.call_function("cosine_similarity", a, b)
+  }
+
+  /** DataFrame-side helper: probe `value` against a built sketch
+    * (serialized once here; deserialized once per executor by the
+    * expression). */
+  def bloomMightContain(spark: SparkSession, value: Column,
+                        filter: org.apache.spark.util.sketch.BloomFilter): Column = {
+    register(spark)
+    val bos = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bos)
+    org.apache.spark.sql.functions.call_function("bloom_might_contain",
+      value, org.apache.spark.sql.functions.lit(bos.toByteArray))
   }
 }
 

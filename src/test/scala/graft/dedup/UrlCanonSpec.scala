@@ -1,0 +1,79 @@
+package graft.dedup
+
+import graft.SparkTestBase
+
+/** Pins q129's canonicalization fragments on handcrafted URLs — every
+  * noise dimension the synthesizer emits, plus shapes it doesn't (no
+  * query, no path) so the fragments are correct beyond the fixture. */
+class UrlCanonSpec extends SparkTestBase {
+
+  private def canonOf(urls: Seq[String]): Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      urls.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("raw_url",
+          org.apache.spark.sql.types.StringType))))
+    df.selectExpr(s"${UrlCanon.strippedSql("raw_url")} AS u", "raw_url")
+      .selectExpr("raw_url",
+        s"${UrlCanon.hostSql("u")} AS host",
+        s"${UrlCanon.pathSql("u")} AS pathn",
+        s"${UrlCanon.idParamSql("u")} AS idp")
+      .selectExpr("raw_url",
+        s"${UrlCanon.domainSql("host")} AS domain",
+        s"(host || pathn || CASE WHEN idp <> '' THEN '?' || idp ELSE '' END) AS canon")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+  }
+
+  test("canonicalization collapses scheme/case/www/port/tracking/order/slash/fragment noise") {
+    val forms = Seq(
+      "https://WWW.Example-3.com:443/p/7/?id=2&utm_source=feed#sec",
+      "http://example-3.COM:80/p/7?utm_source=feed&id=2",
+      "https://example-3.com/p/7/?id=2",
+      "http://www.EXAMPLE-3.com/p/7?id=2#sec")
+    val out = canonOf(forms)
+    assert(out.map(_._3).distinct == Seq("example-3.com/p/7?id=2"),
+      s"forms did not collapse: ${out.mkString("\n")}")
+    assert(out.map(_._2).distinct == Seq("example-3.com"))
+  }
+
+  test("distinct pages stay distinct: different path, id param, or host") {
+    val out = canonOf(Seq(
+      "https://example-3.com/p/7?id=2",
+      "https://example-3.com/p/8?id=2",
+      "https://example-3.com/p/7?id=3",
+      "https://example-4.com/p/7?id=2"))
+    assert(out.map(_._3).distinct.size == 4)
+  }
+
+  test("registered domain: 2-label default, 3-label for second-level suffixes") {
+    val out = canonOf(Seq(
+      "https://www.news.site-1.co.uk/p/1?id=0",
+      "https://a.b.site-2.org/p/1?id=0",
+      "https://site-3.com/p/1?id=0"))
+    assert(out.map(_._2) == Seq("site-1.co.uk", "site-2.org", "site-3.com"))
+  }
+
+  test("degenerate shapes: no query, no path, bare host") {
+    val out = canonOf(Seq(
+      "https://example-1.com",
+      "https://example-1.com/",
+      "http://example-1.com/p/1"))
+    assert(out.map(_._3) == Seq("example-1.com", "example-1.com", "example-1.com/p/1"))
+  }
+
+  test("q129 end to end: keeper is min doc_id per group, dup_n counts the group") {
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")))
+    val out = UrlCanon.q129(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    val kept = out.count(_.getAs[Long]("is_kept") == 1L)
+    assert(kept > 0 && kept <= out.length)
+    assert(out.forall(r => Set("by_url", "by_text")(r.getAs[String]("policy"))))
+    assert(out.forall(r => r.getAs[Long]("dup_n") >= 1L))
+    // every (domain) maps to exactly one policy
+    val byDomain = out.groupBy(_.getAs[String]("domain"))
+      .view.mapValues(_.map(_.getAs[String]("policy")).distinct.size)
+    assert(byDomain.values.forall(_ == 1))
+  }
+}
