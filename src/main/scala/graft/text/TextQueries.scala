@@ -1763,6 +1763,7 @@ object TextQueries extends QueryCatalog {
     "q122_langid_confusion" -> q122,
     "q123_weighted_sample" -> q123,
     "q125_split_assign" -> q125,
+    "q131_heavy_hitters_cms" -> (HeavyHitters.q131 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1801,5 +1802,6 @@ object TextQueries extends QueryCatalog {
     "q122_langid_confusion" -> q122Sql,
     "q123_weighted_sample" -> q123Sql,
     "q125_split_assign" -> q125Sql,
+    "q131_heavy_hitters_cms" -> HeavyHitters.q131Sql,
   )
 }
