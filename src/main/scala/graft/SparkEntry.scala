@@ -18,6 +18,7 @@ object SparkEntry {
     sim.SimilarityQueries,
     streaming.StreamQueries,
     multimodal.MultimodalQueries,
+    graph.GraphQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

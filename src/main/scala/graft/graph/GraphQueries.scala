@@ -1,0 +1,134 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryCatalog, ScratchCache, Tables}
+
+/** Link-graph analytics over the document corpus — the web-curation
+  * signals (who links whom, which pages carry authority) a crawl
+  * pipeline computes before per-domain policy decisions.
+  *
+  * q132 implements the REFERENCE'S OWN missing app: CMakeLists.txt
+  * lists a `ReverseWeblinkGraph` target (`CMakeLists.txt:35-37`,
+  * commented out, no source file shipped) — the canonical MapReduce
+  * example (map: emit (target, source) per link; reduce: collect each
+  * target's sources). This is that app, Spark-first, plus q133's
+  * PageRank over the same graph.
+  *
+  * The corpus has no link column, so a deterministic link set is
+  * SYNTHESIZED: doc i links to i/2, i/3 (integer division — long
+  * low-id-bound chains, the depth PageRank needs to propagate
+  * through) and i mod 7 (seven HUB pages holding ~N/7 in-links each —
+  * the skew that makes the source-list cap and the authority ranking
+  * mean something). Self-links dropped, edges deduped; both engines
+  * replay the identical graph from the same expression, so everything
+  * downstream is hash-checkable.
+  *
+  * Scale shape: q132 is one exchange on the target id; the per-target
+  * source list is CAPPED (first 64 ascending) so a hub's output row
+  * stays bounded while in_degree reports the true count — the q21
+  * collect-set discipline under skew. q133 is O(iterations) id-keyed
+  * join rounds — the [[graft.dedup.ConnectedComponents]] propagation
+  * shape, never a whole-graph window — with edges and out-degrees
+  * persisted once and reused by all 8 rounds. Rank arithmetic is
+  * FIXED-POINT integer (rank scaled by 10⁶; damping as
+  * `(85 · Σ(rank DIV outdeg)) DIV 100`): deterministic under any
+  * partitioning and replayed bit-for-bit by the DuckDB twin —
+  * floating-point PageRank would hash-mismatch on addition order
+  * alone. Dangling mass (doc 0 has no outlinks) is dropped, the
+  * standard simplification; ranks CONVERGE relatively, which is what
+  * authority ordering needs. */
+object GraphQueries extends QueryCatalog {
+
+  /** Shared synthesized edge set: (src, dst), self-links dropped,
+    * deduped. */
+  private def linksOf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id AS src",
+        "explode(array(doc_id div 2, doc_id div 3, doc_id % 7)) AS dst")
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private val linksSql =
+    """SELECT DISTINCT doc_id AS src, t AS dst
+      |  FROM (SELECT doc_id, unnest([doc_id // 2, doc_id // 3, doc_id % 7]) AS t
+      |        FROM documents)
+      |  WHERE doc_id <> t""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    linksOf(s, dir)
+      .groupBy($"dst".as("page_id"))
+      .agg(count(lit(1)).as("in_degree"),
+        array_join(slice(sort_array(collect_list($"src")), 1, 64), ",").as("sources"))
+      .orderBy($"page_id")
+  }
+  private val q132Sql =
+    s"""WITH links AS (
+       |$linksSql
+       |)
+       |SELECT dst AS page_id, CAST(count(*) AS BIGINT) AS in_degree,
+       |  array_to_string(list_slice(list_sort(list(src)), 1, 64), ',') AS sources
+       |FROM links GROUP BY dst ORDER BY page_id""".stripMargin
+
+  // ---------------------------------------------------------------- q133
+  private val Iters = 8
+  private val Scale = 1000000L // rank 1.0 ≡ 10⁶; damping 0.85 ≡ 85/100
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = ScratchCache.persist(linksOf(s, dir))
+    val outdeg = links.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val nodes = ScratchCache.persist(
+      Tables.documents(s, dir).select($"doc_id".as("page_id")))
+    var rank = nodes.withColumn("rank", lit(Scale))
+    for (_ <- 1 to Iters) {
+      val contrib = links
+        .join(outdeg, "src")
+        .join(rank.withColumnRenamed("page_id", "src"), "src")
+        .select($"dst".as("page_id"), expr("rank DIV outdeg").as("c"))
+        .groupBy($"page_id").agg(sum($"c").as("contrib"))
+      rank = nodes.join(contrib, Seq("page_id"), "left")
+        .select($"page_id",
+          expr(s"CAST(150000 + (85 * coalesce(contrib, 0L)) DIV 100 AS BIGINT)").as("rank"))
+    }
+    rank.orderBy($"page_id")
+  }
+  private val q133Sql = {
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.page_id,
+         |    CAST(150000 + (85 * coalesce(c.contrib, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT l.dst AS page_id, CAST(sum(r.rank // o.outdeg) AS BIGINT) AS contrib
+         |    FROM links l
+         |    JOIN outdeg o ON l.src = o.src
+         |    JOIN r${i - 1} r ON l.src = r.page_id
+         |    GROUP BY l.dst
+         |  ) c USING (page_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH links AS (
+       |$linksSql
+       |), outdeg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM links GROUP BY src
+       |), nodes AS (
+       |  SELECT doc_id AS page_id FROM documents
+       |), r0 AS (
+       |  SELECT page_id, CAST($Scale AS BIGINT) AS rank FROM nodes
+       |),
+       |$iters
+       |SELECT page_id, rank FROM r$Iters ORDER BY page_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_reverse_links" -> q132,
+    "q133_pagerank" -> q133,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q132_reverse_links" -> q132Sql,
+    "q133_pagerank" -> q133Sql,
+  )
+}

@@ -1,0 +1,65 @@
+package graft.graph
+
+import graft.SparkTestBase
+
+/** Pins the link-graph queries on the driver fixture: the synthesized
+  * graph's shape (hub at doc 0, capped source lists), the reverse-graph
+  * semantics, and PageRank's fixed-point invariants. */
+class GraphQueriesSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def fixture = java.nio.file.Files.exists(
+    java.nio.file.Paths.get(s"$dir/documents.parquet"))
+
+  test("q132: reverse graph — every page's sources are ascending, capped at 64, in_degree true") {
+    assume(fixture)
+    val out = GraphQueries.queries("q132_reverse_links")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val raw = r.getAs[String]("sources")
+      val sources = if (raw.isEmpty) Seq.empty[Long] else raw.split(",").map(_.toLong).toSeq
+      assert(sources == sources.sorted, s"page ${r.getLong(0)}: sources not ascending")
+      assert(sources.length <= 64)
+      val deg = r.getAs[Long]("in_degree")
+      assert(deg >= sources.length.toLong)
+      if (deg <= 64) assert(sources.length.toLong == deg)
+    }
+    // pages 0..6 are the mod-7 hubs (~N/7 in-links each at 500 docs):
+    // their true in_degree overflows the 64-source cap
+    (0L to 6L).foreach { p =>
+      val hub = out.find(_.getAs[Long]("page_id") == p).get
+      assert(hub.getAs[Long]("in_degree") > 64L, s"hub $p should overflow the cap")
+      assert(hub.getAs[String]("sources").split(",").length == 64)
+    }
+  }
+
+  test("q132: reverse-link semantics — planted check for page 10 (a non-hub)") {
+    assume(fixture)
+    val out = GraphQueries.queries("q132_reverse_links")(spark, dir).collect()
+    val p10 = out.find(_.getAs[Long]("page_id") == 10L).get
+    // sources of 10: i div 2 = 10 → {20,21}; i div 3 = 10 → {30,31,32};
+    // i mod 7 = 10 is impossible — exactly these five
+    assert(p10.getAs[String]("sources") == "20,21,30,31,32")
+    assert(p10.getAs[Long]("in_degree") == 5L)
+  }
+
+  test("q133: PageRank — hub dominates, floors hold, deterministic across runs") {
+    assume(fixture)
+    val run1 = GraphQueries.queries("q133_pagerank")(spark, dir).collect()
+    graft.core.ScratchCache.drain()
+    val run2 = GraphQueries.queries("q133_pagerank")(spark, dir).collect()
+    graft.core.ScratchCache.drain()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq,
+      "fixed-point PageRank must be bit-identical across runs")
+    val byId = run1.map(r => r.getAs[Long]("page_id") -> r.getAs[Long]("rank")).toMap
+    // every rank ≥ the damping floor; leaf pages (no inlinks) sit exactly on it
+    assert(run1.forall(_.getAs[Long]("rank") >= 150000L))
+    val maxId = byId.keys.max
+    assert(byId(maxId) == 150000L, "the highest doc id has no inlinks — rank = floor")
+    // authority concentrates in the mod-7 hubs: the top-ranked page is one
+    val top = run1.maxBy(_.getAs[Long]("rank"))
+    assert(top.getAs[Long]("page_id") < 7L,
+      s"expected a mod-7 hub on top, got page ${top.getAs[Long]("page_id")}")
+    assert(top.getAs[Long]("rank") > 2L * 150000L, "hub rank should clear the floor decisively")
+  }
+}
