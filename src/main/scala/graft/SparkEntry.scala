@@ -19,6 +19,7 @@ object SparkEntry {
     streaming.StreamQueries,
     multimodal.MultimodalQueries,
     graph.GraphQueries,
+    layout.LayoutQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,313 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, PrefixSum, QueryCatalog, ScratchCache, Tables}
+
+/** Physical-data-layout operators — the table-maintenance surface a
+  * 100 TB lakehouse pipeline runs BETWEEN queries so the queries
+  * themselves stay cheap: co-located (bucketed) joins that skip the
+  * shuffle entirely, Z-order clustering so zone maps prune 2-D
+  * predicate boxes, small-file compaction planning, and a mergeable
+  * histogram sketch that answers quantile questions without a global
+  * sort.
+  *
+  * Everything here is exact-integer / exact-decimal arithmetic, so
+  * every query (including the two whose PAYOFF is physical — q134's
+  * missing shuffle, q135's prunable zone maps) has a value-level
+  * DuckDB twin; the physical claims are pinned by LayoutSpec plan
+  * assertions instead of the oracle, which can only see values.
+  *
+  * Scale notes per query:
+  *  - q134: bucketed writes cost one shuffle ONCE at ingest; every
+  *    subsequent orderkey join is exchange-free (LayoutSpec pins zero
+  *    ShuffleExchange under the SortMergeJoin). At 100 TB this is the
+  *    difference between re-shuffling 6 TB of lineitem per join and
+  *    reading pre-hashed files. The bucket-store build is memoized per
+  *    (session, corpus dir) like q94's sigstore; Bench pre-builds it so
+  *    timed runs measure the join, not the one-off ingest.
+  *  - q135: the z-key is pure map-side bit arithmetic (no exchange at
+  *    all until the 128-row-bounded per-bucket rollup); the report —
+  *    per-file zone maps + whether a 2-D box prunes each file — is the
+  *    evidence a z-ordered rewrite actually buys skipping, BEFORE
+  *    paying for the rewrite. Equi-width z-range bucketing (not ntile)
+  *    keeps file assignment windowless.
+  *  - q136: the compaction manifest is one row per FILE (~millions of
+  *    rows at 100 TB, not billions), but the greedy fill still never
+  *    funnels the whole manifest through one window task — the running
+  *    total decomposes through [[PrefixSum.runningTotal]]'s sharded
+  *    windows exactly like q101's token budget.
+  *  - q137: the histogram is 256 rows at ANY corpus size and merges by
+  *    addition (executor partials combine map-side) — the quantile
+  *    path that replaces q28's global sort at scale. The exact ranks
+  *    computed alongside are CALIBRATION-ONLY evidence (they pay the
+  *    global-order window q28 pays); production reads the estimate.
+  */
+object LayoutQueries extends QueryCatalog {
+
+  // ---------------------------------------------------------------- q134
+  /** Memoized bucketed-table store: orders + lineitem written once per
+    * (session, corpus dir) as parquet bucketed by orderkey into 8
+    * buckets, sorted within buckets. saveAsTable is required (bucket
+    * metadata lives in the catalog, not the files), so tables are
+    * session-scoped; the parquet files land under SPARK_GRAFT_SCRATCH
+    * on a deterministic per-corpus path (the q94 sigstore discipline —
+    * re-runs overwrite instead of orphaning trees). */
+  private val bucketStores = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val Buckets = 8
+
+  def ensureBucketStore(s: SparkSession, dir: String): (String, String) = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    bucketStores.computeIfAbsent(key, _ => {
+      val slug = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val base = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
+        .resolve(s"graft-bktstore-$slug")
+      java.nio.file.Files.createDirectories(base)
+      val oTbl = s"graft_bkt_orders_$slug"
+      val lTbl = s"graft_bkt_lineitem_$slug"
+      s.sql(s"DROP TABLE IF EXISTS $oTbl")
+      s.sql(s"DROP TABLE IF EXISTS $lTbl")
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", base.resolve("orders").toString).saveAsTable(oTbl)
+      Tables.lineitem(s, dir).write.mode("overwrite")
+        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", base.resolve("lineitem").toString).saveAsTable(lTbl)
+      (oTbl, lTbl)
+    })
+  }
+
+  /** Co-located join over the bucket store: both sides arrive
+    * pre-hashed on the join key, so the SortMergeJoin takes them
+    * exchange-FREE (merge hint keeps AQE from demoting to a broadcast
+    * that would hide the point). Values are identical to the plain
+    * join — the oracle runs the plain join — which is exactly the
+    * claim: bucketing changes the physical plan, never the answer. */
+  def q134(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (oTbl, lTbl) = ensureBucketStore(s, dir)
+    val o = s.table(oTbl)
+    val l = s.table(lTbl)
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        countDistinct($"o_orderkey").as("order_cnt"),
+        Det.moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q134Sql =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS line_cnt,
+       |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_cnt,
+       |  ${Det.sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Morton "part1by1": spread a 16-bit value's bits into the even bit
+    * positions of a 32-bit word, via the classic magic-mask shifts.
+    * Generated as a SQL string with a pluggable shift syntax so the
+    * Spark expression and the DuckDB oracle evaluate the IDENTICAL
+    * formula (Spark lacks the `<<` operator; DuckDB lacks shiftleft). */
+  private def part1by1(e: String, shl: (String, Int) => String): String = {
+    val a = s"(($e) & 65535)"
+    val b = s"((($a) | ${shl(a, 8)}) & 16711935)"
+    val c = s"((($b) | ${shl(b, 4)}) & 252645135)"
+    val d = s"((($c) | ${shl(c, 2)}) & 858993459)"
+    s"((($d) | ${shl(d, 1)}) & 1431655765)"
+  }
+  private val sparkShl: (String, Int) => String = (e, n) => s"shiftleft($e, $n)"
+  private val duckShl: (String, Int) => String = (e, n) => s"(($e) << $n)"
+
+  /** Z-order layout report over lineitem's (partkey, suppkey) plane:
+    * each dim is scaled to 16 bits against data-derived bounds, bit-
+    * interleaved into a 32-bit Morton key, and equi-width-bucketed into
+    * 64 "files"; a lexicographic (partkey-major) layout of the same
+    * rows into 64 files rides along for contrast. Per file: row count,
+    * the (min,max) zone map of BOTH dims, and whether the middle-decile
+    * 2-D box `partkey ∈ mid-10% AND suppkey ∈ mid-10%` can prune the
+    * file from its zone map alone. Z-order bounds both dims per file,
+    * so far more z-files prune than lexicographic ones (suppkey is
+    * unbounded within a lex file) — LayoutSpec pins that inequality;
+    * the oracle pins every zone-map value. */
+  def q135(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey".cast("long").as("pk"), $"l_suppkey".cast("long").as("sk"))
+    val bounds = li.agg(
+      min($"pk").as("minp"), max($"pk").as("maxp"),
+      min($"sk").as("mins"), max($"sk").as("maxs"))
+    val scaled = li.crossJoin(broadcast(bounds))
+      .withColumn("sx", expr("((pk - minp) * 65535) DIV greatest(1L, maxp - minp)"))
+      .withColumn("sy", expr("((sk - mins) * 65535) DIV greatest(1L, maxs - mins)"))
+    val zkey = s"(${part1by1("sx", sparkShl)} | shiftleft(${part1by1("sy", sparkShl)}, 1))"
+    val perLayout = scaled
+      .withColumn("lb", expr(
+        s"array(struct('zorder' AS layout, ($zkey DIV 67108864) AS bucket_id)," +
+          " struct('lex' AS layout, (sx DIV 1024) AS bucket_id))"))
+      .select($"pk", $"sk", explode($"lb").as("x"))
+      .select($"pk", $"sk", $"x.layout", $"x.bucket_id")
+      .groupBy($"layout", $"bucket_id")
+      .agg(count(lit(1)).as("cnt"),
+        min($"pk").as("min_pk"), max($"pk").as("max_pk"),
+        min($"sk").as("min_sk"), max($"sk").as("max_sk"))
+    perLayout.crossJoin(broadcast(bounds))
+      .withColumn("box_lo_p", expr("minp + ((maxp - minp) * 45) DIV 100"))
+      .withColumn("box_hi_p", expr("minp + ((maxp - minp) * 55) DIV 100"))
+      .withColumn("box_lo_s", expr("mins + ((maxs - mins) * 45) DIV 100"))
+      .withColumn("box_hi_s", expr("mins + ((maxs - mins) * 55) DIV 100"))
+      .withColumn("prunable",
+        $"max_pk" < $"box_lo_p" || $"min_pk" > $"box_hi_p" ||
+          $"max_sk" < $"box_lo_s" || $"min_sk" > $"box_hi_s")
+      .select($"layout", $"bucket_id", $"cnt",
+        $"min_pk", $"max_pk", $"min_sk", $"max_sk", $"prunable")
+      .orderBy($"layout", $"bucket_id")
+  }
+  private val q135Sql = {
+    val zk = s"(${part1by1("sx", duckShl)} | (${part1by1("sy", duckShl)} << 1))"
+    s"""WITH li AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk FROM lineitem
+       |), bounds AS (
+       |  SELECT min(pk) AS minp, max(pk) AS maxp, min(sk) AS mins, max(sk) AS maxs FROM li
+       |), scaled AS (
+       |  SELECT pk, sk,
+       |    ((pk - minp) * 65535) // greatest(1, maxp - minp) AS sx,
+       |    ((sk - mins) * 65535) // greatest(1, maxs - mins) AS sy
+       |  FROM li, bounds
+       |), tagged AS (
+       |  SELECT pk, sk, 'zorder' AS layout, $zk // 67108864 AS bucket_id FROM scaled
+       |  UNION ALL
+       |  SELECT pk, sk, 'lex' AS layout, sx // 1024 AS bucket_id FROM scaled
+       |), files AS (
+       |  SELECT layout, bucket_id, CAST(count(*) AS BIGINT) AS cnt,
+       |    min(pk) AS min_pk, max(pk) AS max_pk, min(sk) AS min_sk, max(sk) AS max_sk
+       |  FROM tagged GROUP BY layout, bucket_id
+       |)
+       |SELECT layout, bucket_id, cnt, min_pk, max_pk, min_sk, max_sk,
+       |  (max_pk < minp + ((maxp - minp) * 45) // 100
+       |   OR min_pk > minp + ((maxp - minp) * 55) // 100
+       |   OR max_sk < mins + ((maxs - mins) * 45) // 100
+       |   OR min_sk > mins + ((maxs - mins) * 55) // 100) AS prunable
+       |FROM files, bounds ORDER BY layout, bucket_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q136
+  /** Small-file compaction plan: group the corpus into "files" (doc_id
+    * DIV 8 — a stand-in for a real manifest's file listing), then
+    * assign files to target-sized output bins by sorted greedy fill:
+    * biggest first, running total, `bin = exclusive_prefix DIV target`.
+    * The target derives from the corpus (total DIV 16), so the plan
+    * shape is SF-invariant. The running total goes through
+    * [[PrefixSum.runningTotal]] — no manifest-wide single-task window
+    * even at a 100 TB manifest's millions of files. */
+  def q136(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = ScratchCache.persist(
+      Tables.documents(s, dir)
+        .groupBy(expr("doc_id DIV 8").as("file_id"))
+        .agg(sum($"n_chars").cast("long").as("size")))
+    val target = files.agg(
+      greatest(lit(1L), expr("CAST(sum(size) AS BIGINT) DIV 16")).as("tgt"))
+    PrefixSum.runningTotal(files, keyCol = "size", idCol = "file_id",
+        valCol = "size", cumCol = "cum", targetShards = 64)
+      .crossJoin(broadcast(target))
+      .select($"file_id", $"size", expr("(cum - size) DIV tgt").as("bin"))
+      .orderBy($"file_id")
+  }
+  private val q136Sql =
+    """WITH files AS (
+      |  SELECT doc_id // 8 AS file_id, CAST(sum(n_chars) AS BIGINT) AS size
+      |  FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT greatest(1, CAST(sum(size) AS BIGINT) // 16) AS tgt FROM files
+      |), c AS (
+      |  SELECT file_id, size,
+      |    CAST(sum(size) OVER (ORDER BY size DESC, file_id) AS BIGINT) AS cum
+      |  FROM files
+      |)
+      |SELECT file_id, size, (cum - size) // tgt AS bin FROM c, t ORDER BY file_id""".stripMargin
+
+  // ---------------------------------------------------------------- q137
+  /** Histogram quantile sketch with exact calibration (the q131/q106
+    * discipline): o_totalprice in exact integer CENTS (decimal(18,2)
+    * cast — a binary double's exact decimal expansion never ties at a
+    * 10^-2 boundary, so both engines round identically), equi-width
+    * 256-bucket histogram against data-derived bounds, then p50/p90/p99
+    * estimated by deterministic integer interpolation inside the
+    * covering bucket. Each estimate sits beside the TRUE nearest-rank
+    * value and the error in ppm — the calibration that licenses
+    * dropping the exact global sort at scale. */
+  def q137(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = ScratchCache.persist(Tables.orders(s, dir)
+      .select($"o_orderkey",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c")))
+    val bounds = cents.agg(
+      min($"c").as("minc"), max($"c").as("maxc"), count(lit(1)).as("n"))
+      .withColumn("w", expr("greatest(1L, (maxc - minc) DIV 256 + 1)"))
+    val hist = cents.crossJoin(broadcast(bounds))
+      .groupBy(expr("least(255L, (c - minc) DIV w)").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_before", $"cum" - $"cnt")
+    val qs = s.range(1)
+      .selectExpr("explode(array(500000L, 900000L, 990000L)) AS qppm")
+      .crossJoin(broadcast(bounds))
+      .withColumn("r", expr("(n * qppm + 999999) DIV 1000000"))
+    val est = qs.join(broadcast(hist),
+        $"cum" >= $"r" && $"cum_before" < $"r")
+      .withColumn("est_cents",
+        expr("minc + b * w + ((r - cum_before) * w) DIV (cnt + 1)"))
+      .select($"qppm", $"r", $"est_cents")
+    val ranked = cents
+      .withColumn("rk", row_number().over(Window.orderBy($"c", $"o_orderkey")))
+    ranked.join(broadcast(est), $"rk" === $"r")
+      .select($"qppm", $"est_cents", $"c".as("exact_cents"),
+        expr("abs(est_cents - c) * 1000000 DIV greatest(1L, c)").as("err_ppm"))
+      .orderBy($"qppm")
+  }
+  private val q137Sql =
+    """WITH cents AS (
+      |  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders
+      |), bounds AS (
+      |  SELECT min(c) AS minc, max(c) AS maxc, CAST(count(*) AS BIGINT) AS n,
+      |    greatest(1, (max(c) - min(c)) // 256 + 1) AS w
+      |  FROM cents
+      |), hist0 AS (
+      |  SELECT least(255, (c - minc) // w) AS b, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM cents, bounds GROUP BY 1
+      |), hist AS (
+      |  SELECT b, cnt, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) - cnt AS cum_before
+      |  FROM hist0
+      |), qs AS (
+      |  SELECT qppm, (n * qppm + 999999) // 1000000 AS r, minc, w
+      |  FROM (SELECT unnest([500000, 900000, 990000]) AS qppm), bounds
+      |), est AS (
+      |  SELECT qppm, r, minc + b * w + ((r - cum_before) * w) // (cnt + 1) AS est_cents
+      |  FROM qs JOIN hist ON cum >= r AND cum_before < r
+      |), ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rk FROM cents
+      |)
+      |SELECT qppm, est_cents, c AS exact_cents,
+      |  abs(est_cents - c) * 1000000 // greatest(1, c) AS err_ppm
+      |FROM est JOIN ranked ON rk = r ORDER BY qppm""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_bucketed_join" -> q134,
+    "q135_zorder_layout" -> q135,
+    "q136_compaction_plan" -> q136,
+    "q137_hist_quantiles" -> q137,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q134_bucketed_join" -> q134Sql,
+    "q135_zorder_layout" -> q135Sql,
+    "q136_compaction_plan" -> q136Sql,
+    "q137_hist_quantiles" -> q137Sql,
+  )
+}

@@ -1,0 +1,133 @@
+package graft.layout
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Pins the PHYSICAL claims of the layout queries — the parts the
+  * DuckDB oracle (values only) cannot see: q134's exchange-free
+  * co-located join, q135's z-order-beats-lexicographic pruning, q136's
+  * bin-fill contract, q137's estimate-inside-bucket calibration. */
+class LayoutSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def fixture = java.nio.file.Files.exists(
+    java.nio.file.Paths.get(s"$dir/lineitem.parquet"))
+
+  // AQE hides subtrees: AdaptiveSparkPlanExec carries the final plan in
+  // .executedPlan and QueryStageExec wraps its stage in .plan — neither
+  // surfaces through .children, so a naive traversal sees an empty tree.
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)
+    case q: QueryStageExec => Seq(q) ++ collectPlan(q.plan)
+    case other =>
+      Seq(other) ++ other.children.flatMap(collectPlan) ++
+        other.subqueries.flatMap(collectPlan)
+  }
+
+  test("q134: the bucketed join's SortMergeJoin has NO shuffle beneath it") {
+    assume(fixture)
+    val df = LayoutQueries.queries("q134_bucketed_join")(spark, dir)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan
+    val smjs = collectPlan(plan).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a SortMergeJoin (merge hint), got:\n$plan")
+    smjs.foreach { j =>
+      val shuffles = j.children.flatMap(collectPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join must read pre-hashed buckets exchange-free, found:\n$j")
+    }
+  }
+
+  test("q134: bucketed values ≡ the plain unbucketed join") {
+    assume(fixture)
+    import org.apache.spark.sql.functions._
+    val bucketed = LayoutQueries.queries("q134_bucketed_join")(spark, dir).collect()
+    val o = graft.core.Tables.orders(spark, dir)
+    val l = graft.core.Tables.lineitem(spark, dir)
+    val plain = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("line_cnt"),
+        countDistinct(col("o_orderkey")).as("order_cnt"),
+        graft.core.Det.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority")).collect()
+    assert(bucketed.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("q135: z-order prunes at least as many files as lexicographic for the 2-D box") {
+    assume(fixture)
+    val out = LayoutQueries.queries("q135_zorder_layout")(spark, dir).collect()
+    val pruned = out.groupBy(_.getAs[String]("layout"))
+      .view.mapValues(_.count(_.getAs[Boolean]("prunable"))).toMap
+    assert(pruned.keySet == Set("zorder", "lex"))
+    assert(pruned("zorder") >= pruned("lex"),
+      s"z-order should bound BOTH dims per file: $pruned")
+    // zone maps are genuine: every row of every file falls inside its map
+    out.foreach { r =>
+      assert(r.getAs[Long]("min_pk") <= r.getAs[Long]("max_pk"))
+      assert(r.getAs[Long]("min_sk") <= r.getAs[Long]("max_sk"))
+      assert(r.getAs[Long]("cnt") > 0L)
+    }
+    // both layouts partition the same rows
+    val byLayout = out.groupBy(_.getAs[String]("layout"))
+      .view.mapValues(_.map(_.getAs[Long]("cnt")).sum).toMap
+    assert(byLayout("zorder") == byLayout("lex"))
+  }
+
+  test("q135: Morton interleave — a z-file's extent is tighter in suppkey than a lex file's") {
+    assume(fixture)
+    val out = LayoutQueries.queries("q135_zorder_layout")(spark, dir).collect()
+    def skSpan(layout: String): Double = {
+      val rows = out.filter(_.getAs[String]("layout") == layout)
+      val spans = rows.map(r => (r.getAs[Long]("max_sk") - r.getAs[Long]("min_sk")).toDouble)
+      spans.sum / spans.length
+    }
+    // lex files sort partkey-major, so each covers ~the FULL suppkey
+    // range; z-order files alternate bits and bound both dims. The mean
+    // per-file suppkey span must reflect that.
+    assert(skSpan("zorder") < skSpan("lex"),
+      s"zorder mean sk-span ${skSpan("zorder")} !< lex ${skSpan("lex")}")
+  }
+
+  test("q136: bin fill — contiguous bins, each non-final bin reaches target before spilling over") {
+    assume(fixture)
+    val out = LayoutQueries.queries("q136_compaction_plan")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("size"), r.getAs[Long]("bin")))
+    assert(out.nonEmpty)
+    val total = out.map(_._2).sum
+    val tgt = math.max(1L, total / 16)
+    val bins = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxBin = bins.keys.max
+    assert(bins.keys.toSeq.sorted == (0L to maxBin), s"bins not contiguous: ${bins.keys}")
+    // sorted-fill contract: a file opens a new bin only once the running
+    // total has crossed the bin boundary, so every bin except the last
+    // holds ≥ target minus its own largest file (which may straddle)
+    val largest = out.map(_._2).max
+    bins.filterKeys(_ < maxBin).foreach { case (b, sz) =>
+      assert(sz + largest >= tgt, s"bin $b underfilled: $sz vs target $tgt")
+    }
+    // deterministic across runs
+    val again = LayoutQueries.queries("q136_compaction_plan")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("file_id"), r.getAs[Long]("size"), r.getAs[Long]("bin")))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("q137: estimates land inside the covering bucket and within 1% of exact") {
+    assume(fixture)
+    val out = LayoutQueries.queries("q137_hist_quantiles")(spark, dir).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val err = r.getAs[Long]("err_ppm")
+      assert(err >= 0L && err < 10000L,
+        s"q${r.getAs[Long]("qppm")}: err $err ppm exceeds 1%")
+    }
+    // monotone: p50 ≤ p90 ≤ p99 for both est and exact
+    val sorted = out.sortBy(_.getAs[Long]("qppm"))
+    val est = sorted.map(_.getAs[Long]("est_cents"))
+    val exact = sorted.map(_.getAs[Long]("exact_cents"))
+    assert(est.sameElements(est.sorted) && exact.sameElements(exact.sorted))
+  }
+}
