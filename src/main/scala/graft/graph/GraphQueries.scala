@@ -80,12 +80,22 @@ object GraphQueries extends QueryCatalog {
     import s.implicits._
     val links = ScratchCache.persist(linksOf(s, dir))
     val outdeg = links.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // Out-degrees fused into the edge frame ONCE, before the loop —
+    // joining them per round re-shuffled the edge set 8 times — and the
+    // persisted edges PRE-PARTITIONED on src, so every round's join
+    // reads the in-memory partitioning instead of exchanging the (much
+    // bigger) edge side again; only the node-sized rank frame moves per
+    // round. Join strategy inside the loop is left to AQE: at fixture
+    // scale it broadcasts the ~1 MB rank frame, at web scale (rank =
+    // every page — NOT broadcastable) it degrades to the id-keyed
+    // shuffle join this loop is shaped for.
+    val linksDeg = ScratchCache.persist(
+      links.join(outdeg, "src").repartition($"src"))
     val nodes = ScratchCache.persist(
       Tables.documents(s, dir).select($"doc_id".as("page_id")))
     var rank = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to Iters) {
-      val contrib = links
-        .join(outdeg, "src")
+      val contrib = linksDeg
         .join(rank.withColumnRenamed("page_id", "src"), "src")
         .select($"dst".as("page_id"), expr("rank DIV outdeg").as("c"))
         .groupBy($"page_id").agg(sum($"c").as("contrib"))

@@ -106,10 +106,10 @@ object LayoutQueries extends QueryCatalog {
 
   // ---------------------------------------------------------------- q135
   /** Morton "part1by1": spread a 16-bit value's bits into the even bit
-    * positions of a 32-bit word, via the classic magic-mask shifts.
-    * Generated as a SQL string with a pluggable shift syntax so the
-    * Spark expression and the DuckDB oracle evaluate the IDENTICAL
-    * formula (Spark lacks the `<<` operator; DuckDB lacks shiftleft). */
+    * positions of a 32-bit word, via the classic magic-mask shifts —
+    * the ORACLE's nested one-shot form (DuckDB `<<` syntax). The Spark
+    * side computes the same steps through named columns instead (see
+    * q135: the nested form's tree is exponential in the step count). */
   private def part1by1(e: String, shl: (String, Int) => String): String = {
     val a = s"(($e) & 65535)"
     val b = s"((($a) | ${shl(a, 8)}) & 16711935)"
@@ -117,7 +117,6 @@ object LayoutQueries extends QueryCatalog {
     val d = s"((($c) | ${shl(c, 2)}) & 858993459)"
     s"((($d) | ${shl(d, 1)}) & 1431655765)"
   }
-  private val sparkShl: (String, Int) => String = (e, n) => s"shiftleft($e, $n)"
   private val duckShl: (String, Int) => String = (e, n) => s"(($e) << $n)"
 
   /** Z-order layout report over lineitem's (partkey, suppkey) plane:
@@ -138,20 +137,40 @@ object LayoutQueries extends QueryCatalog {
     val bounds = li.agg(
       min($"pk").as("minp"), max($"pk").as("maxp"),
       min($"sk").as("mins"), max($"sk").as("maxs"))
-    val scaled = li.crossJoin(broadcast(bounds))
-      .withColumn("sx", expr("((pk - minp) * 65535) DIV greatest(1L, maxp - minp)"))
-      .withColumn("sy", expr("((sk - mins) * 65535) DIV greatest(1L, maxs - mins)"))
-    val zkey = s"(${part1by1("sx", sparkShl)} | shiftleft(${part1by1("sy", sparkShl)}, 1))"
-    val perLayout = scaled
-      .withColumn("lb", expr(
-        s"array(struct('zorder' AS layout, ($zkey DIV 67108864) AS bucket_id)," +
-          " struct('lex' AS layout, (sx DIV 1024) AS bucket_id))"))
-      .select($"pk", $"sk", explode($"lb").as("x"))
-      .select($"pk", $"sk", $"x.layout", $"x.bucket_id")
-      .groupBy($"layout", $"bucket_id")
-      .agg(count(lit(1)).as("cnt"),
-        min($"pk").as("min_pk"), max($"pk").as("max_pk"),
-        min($"sk").as("min_sk"), max($"sk").as("max_sk"))
+    // The Morton interleave is built STEPWISE through named columns,
+    // one magic-mask step per projection: inlining the whole formula as
+    // a single expr would duplicate each step's input twice per level —
+    // an exponential tree where `sx` is evaluated ~31 times per row
+    // (measured 8.6 s at sf0.1 vs ~1 s stepwise). Each step references
+    // the previous column ONCE; CollapseProject keeps non-cheap
+    // duplicated expressions out of line, so the evaluated plan stays
+    // linear in the step count. The ORACLE keeps the nested one-shot
+    // formula — same values, and the hash-match proves it.
+    def spread(dst: String, src: String)(df: DataFrame): DataFrame = df
+      .withColumn(dst, expr(s"$src & 65535"))
+      .withColumn(dst, expr(s"($dst | shiftleft($dst, 8)) & 16711935"))
+      .withColumn(dst, expr(s"($dst | shiftleft($dst, 4)) & 252645135"))
+      .withColumn(dst, expr(s"($dst | shiftleft($dst, 2)) & 858993459"))
+      .withColumn(dst, expr(s"($dst | shiftleft($dst, 1)) & 1431655765"))
+    val scaled = ScratchCache.persist(
+      spread("zy", "sy")(spread("zx", "sx")(
+        li.crossJoin(broadcast(bounds))
+          .withColumn("sx", expr("((pk - minp) * 65535) DIV greatest(1L, maxp - minp)"))
+          .withColumn("sy", expr("((sk - mins) * 65535) DIV greatest(1L, maxs - mins)"))))
+        .withColumn("zkey", expr("zx | shiftleft(zy, 1)"))
+        .select($"pk", $"sk", $"sx", $"zkey"))
+    // one roll-up per layout over the persisted frame, unioned — NOT a
+    // per-row explode of array<struct> rows: Generate over constructed
+    // structs measured 7.4 s at sf0.1 where these two map-side partial
+    // aggregates take ~0.5 s combined (file-count-sized exchanges)
+    def rollup(layout: String, bucketExpr: String): DataFrame =
+      scaled.groupBy(expr(bucketExpr).as("bucket_id"))
+        .agg(count(lit(1)).as("cnt"),
+          min($"pk").as("min_pk"), max($"pk").as("max_pk"),
+          min($"sk").as("min_sk"), max($"sk").as("max_sk"))
+        .withColumn("layout", lit(layout))
+    val perLayout = rollup("zorder", "zkey DIV 67108864")
+      .unionByName(rollup("lex", "sx DIV 1024"))
     perLayout.crossJoin(broadcast(bounds))
       .withColumn("box_lo_p", expr("minp + ((maxp - minp) * 45) DIV 100"))
       .withColumn("box_hi_p", expr("minp + ((maxp - minp) * 55) DIV 100"))

@@ -1187,6 +1187,45 @@ object RelQueries extends QueryCatalog {
       |FROM hourly JOIN stats USING (event_type)
       |ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** Event-transition (Markov) matrix — the path-analysis view of the
+    * event stream: consecutive (prev → next) event-type transitions per
+    * user timeline, with counts and row-normalized ppm shares. The
+    * lead() window partitions by user_id — high-cardinality entity
+    * keys, each timeline bounded by one user's history, so the shuffle
+    * scales out — and the normalization window runs over the AGGREGATED
+    * transition frame, |event types|² rows at any corpus size. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"tu", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tu"), $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("prev_type"), $"next_type")
+      .agg(count(lit(1)).as("cnt"))
+    pairs
+      .withColumn("row_total", sum($"cnt").over(Window.partitionBy($"prev_type")))
+      .withColumn("ppm", expr("(cnt * 1000000) DIV row_total"))
+      .select($"prev_type", $"next_type", $"cnt", $"ppm")
+      .orderBy($"prev_type", $"next_type")
+  }
+  private val q138Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_id, event_type FROM events
+      |), p AS (
+      |  SELECT event_type AS prev_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS next_type
+      |  FROM e
+      |), c AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT prev_type, next_type, cnt,
+      |  (cnt * 1000000) // CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
   // ---------------------------------------------------------------- q127
   /** Modal-key as-of — the latest platform-wide ERROR at or before
     * each purchase ("was the system degraded when this order landed").
@@ -1274,6 +1313,7 @@ object RelQueries extends QueryCatalog {
     "q118_funnel" -> q118,
     "q119_retention" -> q119,
     "q121_anomaly_hours" -> q121,
+    "q138_transition_matrix" -> q138,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1321,6 +1361,7 @@ object RelQueries extends QueryCatalog {
     "q118_funnel" -> q118Sql,
     "q119_retention" -> q119Sql,
     "q121_anomaly_hours" -> q121Sql,
+    "q138_transition_matrix" -> q138Sql,
   )
 
   override val noOracleReasons: Map[String, String] = Map(

@@ -351,4 +351,71 @@ object EventStreams {
      else fresh.dropDuplicates("digest"))
       .select(col("digest"))
   }
+
+  /** Streaming per-key rate quota — the ingest throttle of a
+    * multi-tenant pipeline: admit at most `quota` events per
+    * (user, tumbling hour), chosen as the K LOWEST (event time,
+    * event id) of the window, emitted ONCE per (user, window) when the
+    * watermark passes the window's end.
+    *
+    * Admission by k-lowest (not arrival order) is what makes the
+    * operator deterministic and therefore batch-twinned (q139's window
+    * rank) and oracle-checkable: mergeing "keep the K smallest" is an
+    * order-independent accumulator — however arrivals split or reorder
+    * across micro-batches, the state CONVERGES to the batch answer —
+    * while "first K to arrive" would admit a different set per run.
+    * Emission waits for the EventTimeTimeout (never fires early, the
+    * q103 left-outer discipline) so a late-but-in-watermark event can
+    * still displace a provisional admit before anything is published.
+    *
+    * State per live (user, window): ≤ quota (ts, id) pairs, dropped at
+    * emission — bounded by watermark horizon × active keys, never by
+    * history. Output: (user_id, window_start µs, event_id, rank). */
+  def quotaStream(events: DataFrame, quota: Int = 4,
+                  watermark: String = "30 minutes"): Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(quota > 0, "quota must be positive")
+    val HourUs = 3600L * 1000000L
+    // full-µs event time from the Timestamp: getTime is ms-truncated,
+    // getNanos carries the whole sub-second fraction
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // the WATERMARKED column itself must reach the stateful operator —
+    // projecting ts into a derived µs long first makes the analyzer
+    // reject EventTimeTimeout ("watermark must be specified")
+    val withTime = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id").cast("long"),
+        col("event_id").cast("long"))
+      .as[(java.sql.Timestamp, Long, Long)]
+    withTime
+      .groupByKey(r => (r._2, (micros(r._1) / HourUs) * HourUs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long), batch: Iterator[(java.sql.Timestamp, Long, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          val (user, winStart) = key
+          if (state.hasTimedOut) {
+            // watermark has passed the window end: the k-lowest set is
+            // final — publish with its within-window rank and drop state
+            val admitted = state.getOption.getOrElse(Nil)
+            state.remove()
+            admitted.sorted.iterator.zipWithIndex.map {
+              case ((tu, id), i) => (user, winStart, id, i + 1L)
+            }
+          } else {
+            val merged = (state.getOption.getOrElse(Nil) ++
+              batch.map(r => (micros(r._1), r._3))).sorted.take(quota)
+            state.update(merged)
+            // fire once the watermark clears the window end; a timeout
+            // timestamp at/below the current watermark throws, so floor
+            // it just above (the window is then already emittable and
+            // times out on the next micro-batch)
+            val target = math.max(winStart + HourUs,
+              state.getCurrentWatermarkMs() * 1000L + 1000L)
+            state.setTimeoutTimestamp(target / 1000L)
+            Iterator.empty
+          }
+      }
+  }
 }

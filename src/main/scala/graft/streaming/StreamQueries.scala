@@ -267,6 +267,44 @@ object StreamQueries extends QueryCatalog {
       |  )
       |ORDER BY digest""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** Batch twin of the streaming per-key rate quota
+    * ([[EventStreams.quotaStream]]): at most 4 events admitted per
+    * (user, tumbling hour), chosen as the k LOWEST (event time,
+    * event id) — the deterministic admission rule that makes the
+    * throttle convergent under shuffled/late arrival (k-smallest is an
+    * order-independent accumulator; "first k to arrive" is not). In
+    * batch that rule IS a per-(user, hour) window rank; the
+    * streaming-only behavior — bounded ≤ k-pair state per live window,
+    * emit-once when the watermark passes the window end, displacement
+    * of a provisional admit by a late-but-in-watermark event — is
+    * StreamingSpec's job. Partition keys are (user × hour): high
+    * cardinality, no modal-key hazard. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tu"), $"event_id")
+      .withColumn("win_start", expr("(tu DIV 3600000000) * 3600000000"))
+    ev.withColumn("rk", row_number().over(
+        Window.partitionBy($"user_id", $"win_start").orderBy($"tu", $"event_id")))
+      .filter($"rk" <= 4)
+      .select($"user_id", $"win_start", $"event_id", $"rk".cast("long").as("rk"))
+      .orderBy($"user_id", $"win_start", $"rk")
+  }
+  private val q139Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS tu, event_id FROM events
+      |), w AS (
+      |  SELECT user_id, (tu // 3600000000) * 3600000000 AS win_start, event_id,
+      |    row_number() OVER (PARTITION BY user_id, tu // 3600000000
+      |                       ORDER BY tu, event_id) AS rk
+      |  FROM e
+      |)
+      |SELECT user_id, win_start, event_id, CAST(rk AS BIGINT) AS rk
+      |FROM w WHERE rk <= 4
+      |ORDER BY user_id, win_start, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
@@ -278,6 +316,7 @@ object StreamQueries extends QueryCatalog {
     "q103_stream_left_join" -> q103,
     "q120_funnel_stages" -> q120,
     "q128_stream_ingest_admission" -> q128,
+    "q139_stream_quota" -> q139,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,5 +330,6 @@ object StreamQueries extends QueryCatalog {
     "q103_stream_left_join" -> q103Sql,
     "q120_funnel_stages" -> q120Sql,
     "q128_stream_ingest_admission" -> q128Sql,
+    "q139_stream_quota" -> q139Sql,
   )
 }

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryCatalog, Tables}
+import graft.core.{QueryCatalog, ScratchCache, Tables}
 import graft.apps.{InvertedIndex, WordCount}
 
 /** Text-analysis surface over `documents` (SURVEY.md §2.3 "text
@@ -1727,6 +1727,78 @@ object TextQueries extends QueryCatalog {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** Collocation mining — co-occurrence LIFT over ±2-token windows (the
+    * word2vec/phrase-detection preprocessing view): for unordered token
+    * pairs seen ≥ 5 times within distance ≤ 2,
+    * `lift = P(a,b) / (P(a)·P(b))` computed as exact integer products
+    * (DECIMAL(38,0) Spark-side, HUGEINT in the oracle — both exact, so
+    * multiplication order is moot) with ONE IEEE double division at the
+    * end, rounded to 4 places — the q115 sufficient-statistics
+    * discipline, which is what makes an FP-looking score hash-match
+    * across engines. Top 50 by (lift DESC, pair), ties broken
+    * textually so the LIMIT boundary is deterministic.
+    *
+    * Scale shape: pair windows explode map-side from the token arrays
+    * (`filter(array(1,2), d -> size > d)` guards short docs — Spark's
+    * sequence() runs DESCENDING for stop < start and would fabricate
+    * negative indices); the count frames are vocab- and
+    * pair-vocab-sized, joined on their own keys; corpus totals ride a
+    * broadcast 1-row frame. Nothing here is corpus-quadratic: the ≥5
+    * support filter runs BEFORE the unigram joins. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = ScratchCache.persist(
+      Tables.documents(s, dir).select(expr(toksExpr).as("toks")))
+    val uni = toks.select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n_tok"))
+    val totTok = uni.agg(sum($"n_tok").cast("decimal(38,0)").as("n_total"))
+    val pairWindows = toks.select(explode(expr(
+        "flatten(transform(filter(array(1, 2), d -> size(toks) > d), " +
+          "d -> transform(sequence(0, size(toks) - 1 - d), " +
+          "i -> array_sort(array(toks[i], toks[i + d])))))")).as("pr"))
+      .select($"pr"(0).as("t1"), $"pr"(1).as("t2"))
+    val cached = ScratchCache.persist(pairWindows)
+    val totPair = cached.agg(count(lit(1)).cast("decimal(38,0)").as("n_pairs"))
+    cached.groupBy($"t1", $"t2").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+      .join(uni.select($"tok".as("t1"), $"n_tok".as("n_a")), "t1")
+      .join(uni.select($"tok".as("t2"), $"n_tok".as("n_b")), "t2")
+      .crossJoin(broadcast(totTok)).crossJoin(broadcast(totPair))
+      .withColumn("lift", expr(
+        "round(CAST(CAST(n_ab AS DECIMAL(38,0)) * n_total * n_total AS DOUBLE) / " +
+          "CAST(CAST(n_a AS DECIMAL(38,0)) * n_b * n_pairs AS DOUBLE), 4)"))
+      .select($"t1", $"t2", $"n_ab", $"n_a", $"n_b", $"lift")
+      .orderBy($"lift".desc, $"t1", $"t2")
+      .limit(50)
+  }
+  private val q140Sql =
+    s"""WITH toks AS (
+       |  SELECT $toksSql AS toks FROM documents
+       |), uni AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+       |  FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(sum(n_tok) AS HUGEINT) AS n_total FROM uni
+       |), pw AS (
+       |  SELECT p[1] AS t1, p[2] AS t2 FROM (
+       |    SELECT unnest(flatten(list_transform(
+       |      list_filter([1, 2], d -> len(toks) > d),
+       |      d -> list_transform(generate_series(1, len(toks) - d),
+       |        i -> list_sort([toks[i], toks[i + d]]))))) AS p
+       |    FROM toks)
+       |), totp AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n_pairs FROM pw
+       |), ab AS (
+       |  SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_ab FROM pw GROUP BY 1, 2
+       |)
+       |SELECT t1, t2, n_ab, a.n_tok AS n_a, b.n_tok AS n_b,
+       |  round(CAST(CAST(n_ab AS HUGEINT) * n_total * n_total AS DOUBLE) /
+       |        CAST(CAST(a.n_tok AS HUGEINT) * b.n_tok * n_pairs AS DOUBLE), 4) AS lift
+       |FROM ab JOIN uni a ON ab.t1 = a.tok JOIN uni b ON ab.t2 = b.tok, tot, totp
+       |WHERE n_ab >= 5
+       |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -1764,6 +1836,7 @@ object TextQueries extends QueryCatalog {
     "q123_weighted_sample" -> q123,
     "q125_split_assign" -> q125,
     "q131_heavy_hitters_cms" -> (HeavyHitters.q131 _),
+    "q140_collocations" -> q140,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1803,5 +1876,6 @@ object TextQueries extends QueryCatalog {
     "q123_weighted_sample" -> q123Sql,
     "q125_split_assign" -> q125Sql,
     "q131_heavy_hitters_cms" -> HeavyHitters.q131Sql,
+    "q140_collocations" -> q140Sql,
   )
 }
