@@ -58,10 +58,25 @@ object GraphQueries extends QueryCatalog {
   // ---------------------------------------------------------------- q132
   private def q132(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    linksOf(s, dir)
-      .groupBy($"dst".as("page_id"))
-      .agg(count(lit(1)).as("in_degree"),
-        array_join(slice(sort_array(collect_list($"src")), 1, 64), ",").as("sources"))
+    import org.apache.spark.sql.expressions.Window
+    // The cap is applied BEFORE anything is collected: a hub's full
+    // source list never materializes in one aggregation buffer (the
+    // old collect-then-slice held ~N/7 ids per hub buffer at any
+    // scale). rank ≤ 64 over (dst, src) is pushed map-side by
+    // WindowGroupLimit — each task forwards at most 64 rows per dst —
+    // and the true in_degree comes from a separate count aggregate
+    // that shares the dst partitioning. sort_array on the ≤64-element
+    // list pins the output order without trusting aggregation input
+    // order.
+    val links = ScratchCache.persist(linksOf(s, dir))
+    val capped = links
+      .withColumn("rn", row_number().over(Window.partitionBy($"dst").orderBy($"src")))
+      .filter($"rn" <= 64)
+      .groupBy($"dst")
+      .agg(array_join(sort_array(collect_list($"src")), ",").as("sources"))
+    val deg = links.groupBy($"dst").agg(count(lit(1)).as("in_degree"))
+    capped.join(deg, "dst")
+      .select($"dst".as("page_id"), $"in_degree", $"sources")
       .orderBy($"page_id")
   }
   private val q132Sql =

@@ -39,9 +39,12 @@ import graft.core.{Det, PrefixSum, QueryCatalog, ScratchCache, Tables}
   *    windows exactly like q101's token budget.
   *  - q137: the histogram is 256 rows at ANY corpus size and merges by
   *    addition (executor partials combine map-side) — the quantile
-  *    path that replaces q28's global sort at scale. The exact ranks
-  *    computed alongside are CALIBRATION-ONLY evidence (they pay the
-  *    global-order window q28 pays); production reads the estimate.
+  *    path that replaces q28's global sort at scale. Even the exact
+  *    calibration side never sorts the corpus: the sketch names each
+  *    target's covering bucket, and global rank r ≡ within-bucket rank
+  *    (r − cum_before) there, so only the ~N/256-row covering slice is
+  *    ever ranked (distributed selection: sketch narrows, the narrowed
+  *    slice sorts).
   */
 object LayoutQueries extends QueryCatalog {
 
@@ -54,7 +57,20 @@ object LayoutQueries extends QueryCatalog {
     * on a deterministic per-corpus path (the q94 sigstore discipline —
     * re-runs overwrite instead of orphaning trees). */
   private val bucketStores = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
-  private val Buckets = 8
+
+  /** Bucket count DERIVED from the fact table at build time (next power
+    * of two of rows/150k, clamped [8, 4096]): bucket count is the JOIN
+    * parallelism ceiling for every later read — a fixed 8 measured
+    * 6.4× at 10× data because six million rows sorted through eight
+    * tasks, while the sublinear everything-else rode 32 cores. Powers
+    * of two so differently-sized corpora still tend to land on
+    * compatible bucket counts. */
+  private def bucketCountFor(rows: Long): Int = {
+    val want = math.max(8L, (rows + 149999L) / 150000L)
+    var b = 8
+    while (b < want && b < 4096) b <<= 1
+    b
+  }
 
   def ensureBucketStore(s: SparkSession, dir: String): (String, String) = {
     val key = s"${System.identityHashCode(s)}|$dir"
@@ -67,13 +83,14 @@ object LayoutQueries extends QueryCatalog {
       java.nio.file.Files.createDirectories(base)
       val oTbl = s"graft_bkt_orders_$slug"
       val lTbl = s"graft_bkt_lineitem_$slug"
+      val buckets = bucketCountFor(Tables.lineitem(s, dir).count())
       s.sql(s"DROP TABLE IF EXISTS $oTbl")
       s.sql(s"DROP TABLE IF EXISTS $lTbl")
       Tables.orders(s, dir).write.mode("overwrite")
-        .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", base.resolve("orders").toString).saveAsTable(oTbl)
       Tables.lineitem(s, dir).write.mode("overwrite")
-        .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", base.resolve("lineitem").toString).saveAsTable(lTbl)
       (oTbl, lTbl)
     })
@@ -280,10 +297,24 @@ object LayoutQueries extends QueryCatalog {
         $"cum" >= $"r" && $"cum_before" < $"r")
       .withColumn("est_cents",
         expr("minc + b * w + ((r - cum_before) * w) DIV (cnt + 1)"))
-      .select($"qppm", $"r", $"est_cents")
-    val ranked = cents
-      .withColumn("rk", row_number().over(Window.orderBy($"c", $"o_orderkey")))
-    ranked.join(broadcast(est), $"rk" === $"r")
+      .select($"qppm", $"r", $"b", $"cum_before", $"est_cents")
+    // exact nearest-rank WITHOUT a global sort: the sketch already
+    // names the covering bucket, and bucket assignment is monotone in
+    // c, so global rank r ≡ within-bucket rank (r − cum_before) over
+    // the covering bucket's rows alone — a per-qppm partition of
+    // ~N/256 rows instead of the whole-corpus single-task window that
+    // measured 5× superlinear at sf1. This is the distributed
+    // selection shape: sketch narrows, then only the narrowed slice
+    // sorts.
+    val exact = cents.crossJoin(broadcast(bounds))
+      .withColumn("cb", expr("least(255L, (c - minc) DIV w)"))
+      .join(broadcast(est.select($"qppm".as("eq"), $"r", $"cum_before", $"b")),
+        $"cb" === $"b")
+      .withColumn("rkb", row_number().over(
+        Window.partitionBy($"eq").orderBy($"c", $"o_orderkey")))
+      .filter($"rkb" === $"r" - $"cum_before")
+      .select($"eq", $"c")
+    est.join(broadcast(exact), $"qppm" === $"eq")
       .select($"qppm", $"est_cents", $"c".as("exact_cents"),
         expr("abs(est_cents - c) * 1000000 DIV greatest(1L, c)").as("err_ppm"))
       .orderBy($"qppm")
@@ -307,14 +338,20 @@ object LayoutQueries extends QueryCatalog {
       |  SELECT qppm, (n * qppm + 999999) // 1000000 AS r, minc, w
       |  FROM (SELECT unnest([500000, 900000, 990000]) AS qppm), bounds
       |), est AS (
-      |  SELECT qppm, r, minc + b * w + ((r - cum_before) * w) // (cnt + 1) AS est_cents
+      |  SELECT qppm, r, b, cum_before,
+      |    minc + b * w + ((r - cum_before) * w) // (cnt + 1) AS est_cents
       |  FROM qs JOIN hist ON cum >= r AND cum_before < r
-      |), ranked AS (
-      |  SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rk FROM cents
+      |), sel AS (
+      |  SELECT e.qppm, c,
+      |    row_number() OVER (PARTITION BY e.qppm ORDER BY c, o_orderkey) AS rkb,
+      |    e.r - e.cum_before AS tgt
+      |  FROM cents, bounds
+      |  JOIN est e ON least(255, (c - minc) // w) = e.b
       |)
-      |SELECT qppm, est_cents, c AS exact_cents,
-      |  abs(est_cents - c) * 1000000 // greatest(1, c) AS err_ppm
-      |FROM est JOIN ranked ON rk = r ORDER BY qppm""".stripMargin
+      |SELECT e.qppm, est_cents, s.c AS exact_cents,
+      |  abs(est_cents - s.c) * 1000000 // greatest(1, s.c) AS err_ppm
+      |FROM est e JOIN sel s ON e.qppm = s.qppm AND s.rkb = s.tgt
+      |ORDER BY e.qppm""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bucketed_join" -> q134,
