@@ -353,11 +353,152 @@ object LayoutQueries extends QueryCatalog {
       |FROM est e JOIN sel s ON e.qppm = s.qppm AND s.rkb = s.tgt
       |ORDER BY e.qppm""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** CDC merge-on-read upsert view — the lakehouse write-path
+    * semantics (Hudi/Delta/Iceberg MOR): a base snapshot overlaid with
+    * a change log of upserts and delete tombstones, resolved at read
+    * time as latest-version-wins per key. The change log is
+    * SYNTHESIZED deterministically from orders (md5-carved: hex
+    * digits 0–3 of the key hash → version-2 price update, digit 4 →
+    * tombstone), so both engines replay the identical log and the
+    * merged view is hash-checkable.
+    *
+    * Scale shape: the resolve is ONE window over the per-key
+    * base∪log rows — keys are order ids (high cardinality, ≤ 1 + log
+    * entries per key), never a modal partition — and `rn = 1` is
+    * map-side-limited by WindowGroupLimit before the shuffle. The
+    * report aggregates the merged view per priority: live rows,
+    * exact-decimal revenue, how many live rows are version-2, and how
+    * many base rows the tombstones removed. */
+  def q141(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        $"o_totalprice".cast("decimal(18,2)").as("price"))
+      .withColumn("sel", substring(md5(concat(lit("cdc|"), $"o_orderkey".cast("string"))), 1, 1))
+    val snapshot = base.select($"o_orderkey", $"o_orderpriority", $"price",
+      lit(1L).as("version"), lit("upsert").as("op"))
+    val updates = base.filter($"sel".isin("0", "1", "2", "3"))
+      .select($"o_orderkey", $"o_orderpriority",
+        ($"price" + lit(java.math.BigDecimal.ONE)).cast("decimal(18,2)").as("price"),
+        lit(2L).as("version"), lit("upsert").as("op"))
+    val deletes = base.filter($"sel" === "4")
+      .select($"o_orderkey", $"o_orderpriority", $"price",
+        lit(2L).as("version"), lit("delete").as("op"))
+    val merged = snapshot.unionByName(updates).unionByName(deletes)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"o_orderkey").orderBy($"version".desc)))
+      .filter($"rn" === 1)
+    merged.groupBy($"o_orderpriority")
+      .agg(
+        sum(when($"op" === "upsert", 1L).otherwise(0L)).as("n_live"),
+        round(sum(when($"op" === "upsert", $"price").otherwise(lit(0)))
+          .cast("double"), 2).as("revenue"),
+        sum(when($"op" === "upsert" && $"version" === 2L, 1L).otherwise(0L)).as("n_updated"),
+        sum(when($"op" === "delete", 1L).otherwise(0L)).as("n_deleted"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q141Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    substring(md5(concat('cdc|', CAST(o_orderkey AS VARCHAR))), 1, 1) AS sel
+      |  FROM orders
+      |), log AS (
+      |  SELECT o_orderkey, o_orderpriority, price, 1 AS version, 'upsert' AS op FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(price + 1 AS DECIMAL(18,2)), 2, 'upsert'
+      |  FROM base WHERE sel IN ('0', '1', '2', '3')
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, price, 2, 'delete'
+      |  FROM base WHERE sel = '4'
+      |), merged AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |    FROM log
+      |  ) WHERE rn = 1
+      |)
+      |SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |  round(CAST(sum(CASE WHEN op = 'upsert' THEN price ELSE 0 END) AS DOUBLE), 2) AS revenue,
+      |  CAST(sum(CASE WHEN op = 'upsert' AND version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Schema-evolution-tolerant scan — the long-lived-table reality
+    * that a 100 TB corpus is written over years by evolving jobs: an
+    * "old vintage" parquet file (no `o_channel` column) and a "new
+    * vintage" file (with it) are read as ONE table via mergeSchema;
+    * old rows surface NULL for the added column and the query maps
+    * them to 'legacy'. The two vintages are carved deterministically
+    * from orders (md5 hex digit of the key: 0–7 old, 8–f new with a
+    * derived channel), so the DuckDB oracle recomputes the SAME values
+    * from the base table — the mergeSchema MECHANICS (unified schema,
+    * null back-fill) are LayoutSpec's job, the values are the
+    * oracle's. Store built once per (session, dir), q94-sigstore
+    * discipline. */
+  private val evoStores = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  def ensureEvoStore(s: SparkSession, dir: String): (String, String) = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    evoStores.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val slug = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val base = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
+        .resolve(s"graft-evostore-$slug")
+      java.nio.file.Files.createDirectories(base)
+      val orders = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority",
+          $"o_totalprice".cast("decimal(18,2)").as("price"))
+        .withColumn("sel", expr(
+          "substring(md5(concat('evo|', CAST(o_orderkey AS STRING))), 1, 1)"))
+      val oldPath = base.resolve("v1").toString
+      val newPath = base.resolve("v2").toString
+      orders.filter(!$"sel".isin("8", "9", "a", "b", "c", "d", "e", "f"))
+        .select($"o_orderkey", $"o_orderpriority", $"price")
+        .write.mode("overwrite").parquet(oldPath)
+      orders.filter($"sel".isin("8", "9", "a", "b", "c", "d", "e", "f"))
+        .select($"o_orderkey", $"o_orderpriority", $"price",
+          when($"sel".isin("8", "9", "a", "b"), "web").otherwise("store").as("o_channel"))
+        .write.mode("overwrite").parquet(newPath)
+      (oldPath, newPath)
+    })
+  }
+
+  def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (oldPath, newPath) = ensureEvoStore(s, dir)
+    s.read.option("mergeSchema", "true").parquet(oldPath, newPath)
+      .withColumn("channel", coalesce($"o_channel", lit("legacy")))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"price").cast("double"), 2).as("revenue"))
+      .orderBy($"channel")
+  }
+  private val q142Sql =
+    """WITH t AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    substring(md5(concat('evo|', CAST(o_orderkey AS VARCHAR))), 1, 1) AS sel
+      |  FROM orders
+      |)
+      |SELECT CASE WHEN sel IN ('8', '9', 'a', 'b') THEN 'web'
+      |            WHEN sel IN ('c', 'd', 'e', 'f') THEN 'store'
+      |            ELSE 'legacy' END AS channel,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(price) AS DOUBLE), 2) AS revenue
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bucketed_join" -> q134,
     "q135_zorder_layout" -> q135,
     "q136_compaction_plan" -> q136,
     "q137_hist_quantiles" -> q137,
+    "q141_cdc_upsert" -> q141,
+    "q142_schema_evolution" -> q142,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -365,5 +506,7 @@ object LayoutQueries extends QueryCatalog {
     "q135_zorder_layout" -> q135Sql,
     "q136_compaction_plan" -> q136Sql,
     "q137_hist_quantiles" -> q137Sql,
+    "q141_cdc_upsert" -> q141Sql,
+    "q142_schema_evolution" -> q142Sql,
   )
 }

@@ -115,6 +115,44 @@ class LayoutSpec extends SparkTestBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("q141: merge-on-read accounting — tombstones + survivors tile the base exactly") {
+    assume(fixture)
+    import org.apache.spark.sql.functions._
+    val out = LayoutQueries.queries("q141_cdc_upsert")(spark, dir).collect()
+    val base = graft.core.Tables.orders(spark, dir)
+      .withColumn("sel", substring(md5(concat(lit("cdc|"), col("o_orderkey").cast("string"))), 1, 1))
+    val byPrio = base.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(col("sel") === "4", 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("sel").isin("0", "1", "2", "3"), 1L).otherwise(0L)).as("n_upd"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      val (nBase, nDel, nUpd) = byPrio(p)
+      assert(r.getAs[Long]("n_live") + r.getAs[Long]("n_deleted") == nBase,
+        s"$p: live + deleted must tile the base")
+      assert(r.getAs[Long]("n_deleted") == nDel, s"$p: tombstone count")
+      assert(r.getAs[Long]("n_updated") == nUpd, s"$p: version-2 winners = update-carve size")
+    }
+  }
+
+  test("q142: mergeSchema unifies vintages — old rows back-fill NULL for the added column") {
+    assume(fixture)
+    import org.apache.spark.sql.functions._
+    val (oldPath, newPath) = LayoutQueries.ensureEvoStore(spark, dir)
+    val v1 = spark.read.parquet(oldPath)
+    assert(!v1.columns.contains("o_channel"), "old vintage must not carry the new column")
+    val merged = spark.read.option("mergeSchema", "true").parquet(oldPath, newPath)
+    assert(merged.columns.contains("o_channel"), "merged schema must include the evolved column")
+    val v1Rows = v1.count()
+    val nullRows = merged.filter(col("o_channel").isNull).count()
+    assert(nullRows == v1Rows, "exactly the old-vintage rows surface NULL")
+    // and the catalog view maps them all to 'legacy'
+    val legacy = LayoutQueries.queries("q142_schema_evolution")(spark, dir)
+      .filter(col("channel") === "legacy").collect()
+    assert(legacy.length == 1 && legacy.head.getAs[Long]("n") == v1Rows)
+  }
+
   test("q137: estimates land inside the covering bucket and within 1% of exact") {
     assume(fixture)
     val out = LayoutQueries.queries("q137_hist_quantiles")(spark, dir).collect()
