@@ -147,13 +147,80 @@ object GraphQueries extends QueryCatalog {
        |SELECT page_id, rank FROM r$Iters ORDER BY page_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Triangle count with DEGREE-ORDERED orientation — the
+    * Schank–Wagner / classic MapReduce trick that makes triangle
+    * counting survive hub skew: each undirected edge is oriented from
+    * its lower-(degree, id) endpoint toward the higher, so a hub's
+    * edges all point INTO it and wedges are built from OUT-edges only.
+    * A naive wedge join on the middle node explodes as Σ deg² (the
+    * seven mod-7 hubs here hold ~N/7 edges each → N²/49 wedges
+    * apiece); oriented, Σ outdeg² is bounded because no high-degree
+    * node keeps a large out-list (amortized O(m·√m) total work). Both
+    * the orientation and the joins replay verbatim in DuckDB, so the
+    * exact counts hash-match. Output: one row of global graph stats —
+    * edges, oriented wedges examined, triangles closed. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = linksOf(s, dir)
+    // undirected unique edges: canonical (lo, hi) pairs
+    val und = ScratchCache.persist(links
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct())
+    val deg = und.selectExpr("a AS v").unionAll(und.selectExpr("b AS v"))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    // orient: (u → w) iff (deg, id) of u < (deg, id) of w
+    val oriented = ScratchCache.persist(und
+      .join(deg.select($"v".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"v".as("b"), $"deg".as("db")), "b")
+      .selectExpr(
+        "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u",
+        "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w"))
+    // wedges from out-edges of the same u, canonical (x < y by id);
+    // closed against the ID-canonical undirected edge set — a single
+    // equi-join (closing against `oriented` would need an OR of
+    // equalities, which Spark can only nested-loop)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.w").as("x"), col("e2.w").as("y"))
+    val closed = wedges.join(und, $"x" === $"a" && $"y" === $"b", "left_semi")
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+  }
+  private val q143Sql =
+    s"""WITH links AS (
+       |$linksSql
+       |), und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM links
+       |), deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+       |), oriented AS (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS w
+       |  FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v
+       |), wedges AS (
+       |  SELECT e1.w AS x, e2.w AS y
+       |  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.w < e2.w
+       |), closed AS (
+       |  SELECT * FROM wedges wg
+       |  WHERE EXISTS (SELECT 1 FROM und WHERE a = wg.x AND b = wg.y)
+       |)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_reverse_links" -> q132,
     "q133_pagerank" -> q133,
+    "q143_triangle_count" -> q143,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q132_reverse_links" -> q132Sql,
     "q133_pagerank" -> q133Sql,
+    "q143_triangle_count" -> q143Sql,
   )
 }

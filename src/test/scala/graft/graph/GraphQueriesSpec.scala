@@ -62,4 +62,29 @@ class GraphQueriesSpec extends SparkTestBase {
       s"expected a mod-7 hub on top, got page ${top.getAs[Long]("page_id")}")
     assert(top.getAs[Long]("rank") > 2L * 150000L, "hub rank should clear the floor decisively")
   }
+
+  test("q143: triangle count matches a brute-force oracle; orientation bounds the wedges") {
+    assume(fixture)
+    val out = GraphQueries.queries("q143_triangle_count")(spark, dir).collect().head
+    graft.core.ScratchCache.drain()
+    // brute-force oracle on the small fixture graph (undirected, canonical)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val und = docs.flatMap(i => Seq(i / 2, i / 3, i % 7).filter(_ != i)
+      .map(j => (math.min(i, j), math.max(i, j)))).toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triangles = und.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b) // canonical a < b < c
+    }.sum
+    assert(out.getAs[Long]("n_triangles") == triangles.toLong,
+      s"expected $triangles triangles, got ${out.getAs[Long]("n_triangles")}")
+    assert(out.getAs[Long]("n_edges") == und.size.toLong)
+    // the point of the degree orientation: wedges examined stay FAR
+    // under the naive per-middle-node Σ deg·(deg−1)/2 (the mod-7 hubs
+    // alone would contribute ~(N/7)² each unoriented)
+    val naiveWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(out.getAs[Long]("n_wedges") < naiveWedges / 3,
+      s"oriented wedges ${out.getAs[Long]("n_wedges")} vs naive $naiveWedges")
+  }
 }
