@@ -53,6 +53,12 @@ object GraftFunctions {
     (FunctionIdentifier("ahash64"),
       new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
       unaryBuilder("ahash64", AHash64)),
+    (FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+      { args =>
+        require(args.length == 2, s"morton_interleave expects 2 arguments, got ${args.length}")
+        MortonInterleave(args.head, args(1))
+      }),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       { args =>

@@ -154,27 +154,22 @@ object LayoutQueries extends QueryCatalog {
     val bounds = li.agg(
       min($"pk").as("minp"), max($"pk").as("maxp"),
       min($"sk").as("mins"), max($"sk").as("maxs"))
-    // The Morton interleave is built STEPWISE through named columns,
-    // one magic-mask step per projection: inlining the whole formula as
-    // a single expr would duplicate each step's input twice per level —
-    // an exponential tree where `sx` is evaluated ~31 times per row
-    // (measured 8.6 s at sf0.1 vs ~1 s stepwise). Each step references
-    // the previous column ONCE; CollapseProject keeps non-cheap
-    // duplicated expressions out of line, so the evaluated plan stays
-    // linear in the step count. The ORACLE keeps the nested one-shot
-    // formula — same values, and the hash-match proves it.
-    def spread(dst: String, src: String)(df: DataFrame): DataFrame = df
-      .withColumn(dst, expr(s"$src & 65535"))
-      .withColumn(dst, expr(s"($dst | shiftleft($dst, 8)) & 16711935"))
-      .withColumn(dst, expr(s"($dst | shiftleft($dst, 4)) & 252645135"))
-      .withColumn(dst, expr(s"($dst | shiftleft($dst, 2)) & 858993459"))
-      .withColumn(dst, expr(s"($dst | shiftleft($dst, 1)) & 1431655765"))
+    // The Morton interleave is the native codegen
+    // [[graft.functions.MortonInterleave]] expression — straight-line
+    // long arithmetic in generated code. The pure-SQL alternatives both
+    // have a failure mode: a single nested expr duplicates each
+    // magic-mask step's input twice per level (exponential tree, `sx`
+    // evaluated ~31× per row — measured 8.6 s at sf0.1), and stepwise
+    // withColumn projections lean on CollapseProject's is-cheap
+    // heuristic not to re-inline them. The ORACLE keeps the nested
+    // magic-mask formula — same values, and the hash-match proves it;
+    // BitOpsSpec pins the expression against a per-bit reference.
+    graft.functions.GraftFunctions.register(s)
     val scaled = ScratchCache.persist(
-      spread("zy", "sy")(spread("zx", "sx")(
-        li.crossJoin(broadcast(bounds))
-          .withColumn("sx", expr("((pk - minp) * 65535) DIV greatest(1L, maxp - minp)"))
-          .withColumn("sy", expr("((sk - mins) * 65535) DIV greatest(1L, maxs - mins)"))))
-        .withColumn("zkey", expr("zx | shiftleft(zy, 1)"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("sx", expr("((pk - minp) * 65535) DIV greatest(1L, maxp - minp)"))
+        .withColumn("sy", expr("((sk - mins) * 65535) DIV greatest(1L, maxs - mins)"))
+        .withColumn("zkey", expr("morton_interleave(sx, sy)"))
         .select($"pk", $"sk", $"sx", $"zkey"))
     // one roll-up per layout over the persisted frame, unioned — NOT a
     // per-row explode of array<struct> rows: Generate over constructed
