@@ -1226,6 +1226,67 @@ object RelQueries extends QueryCatalog {
       |  (cnt * 1000000) // CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS ppm
       |FROM c ORDER BY prev_type, next_type""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** Time-series resample + forward-fill — the gap-filling regularizer
+    * every monitoring/feature pipeline needs before it can diff, rate,
+    * or model an event stream: each tenant's irregular events become a
+    * REGULAR hourly grid between that tenant's first and last hour
+    * (`sequence(h0, h1, interval 1 hour)` exploded — never a global
+    * calendar cross join), hours with no events are emitted as
+    * explicit gap rows, and the hourly value sum is carried forward
+    * (`last(..., ignoreNulls)` over a per-tenant ordered window) so
+    * every grid cell has the latest observed reading. The tenant
+    * selector (`user_id % 19 = 3`) is the deterministic dashboard
+    * cohort — resampling is a per-entity view, not a corpus scan.
+    *
+    * Scale shape: the grid explode is linear in each tenant's time
+    * span (never |tenants| × |global calendar|); both the left join
+    * and the forward-fill window partition on the high-cardinality
+    * tenant key, so no task ever holds more than one tenant's grid —
+    * at 100 TB the whole query is one events scan (tenant filter
+    * pushed to parquet) plus tenant-local work. Value sums go through
+    * [[Det]] (exact decimal) so the carried-forward doubles are
+    * order-independent. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter(expr("user_id % 19 = 3"))
+      .select($"user_id", date_trunc("hour", $"ts").as("h"), $"value")
+    val hourly = ev.groupBy($"user_id", $"h")
+      .agg(count(lit(1)).as("n_events"), Det.moneySum($"value").as("sum_value"))
+    val grid = ev.groupBy($"user_id").agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select($"user_id", explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select($"user_id", $"h",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        when($"n_events".isNull, 1L).otherwise(0L).as("is_gap"),
+        coalesce(last($"sum_value", ignoreNulls = true).over(w), lit(0.0)).as("ffill_value"))
+      .orderBy($"user_id", $"h")
+  }
+  private val q144Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+       |  FROM events WHERE user_id % 19 = 3
+       |),
+       |hourly AS (
+       |  SELECT user_id, h, count(*) AS n_events,
+       |    ${Det.sqlSum("value")} AS sum_value
+       |  FROM ev GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+       |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1)
+       |)
+       |SELECT user_id, h,
+       |  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       |  CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       |  coalesce(last_value(sum_value IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING), 0.0) AS ffill_value
+       |FROM grid LEFT JOIN hourly USING (user_id, h)
+       |ORDER BY user_id, h""".stripMargin
+
   // ---------------------------------------------------------------- q127
   /** Modal-key as-of — the latest platform-wide ERROR at or before
     * each purchase ("was the system degraded when this order landed").
@@ -1314,6 +1375,7 @@ object RelQueries extends QueryCatalog {
     "q119_retention" -> q119,
     "q121_anomaly_hours" -> q121,
     "q138_transition_matrix" -> q138,
+    "q144_resample_ffill" -> q144,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1362,6 +1424,7 @@ object RelQueries extends QueryCatalog {
     "q119_retention" -> q119Sql,
     "q121_anomaly_hours" -> q121Sql,
     "q138_transition_matrix" -> q138Sql,
+    "q144_resample_ffill" -> q144Sql,
   )
 
   override val noOracleReasons: Map[String, String] = Map(

@@ -77,4 +77,28 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("2024-01-01", 2L, 1L),
       ("2024-01-02", 0L, 1L)))
   }
+
+  test("q144: gaps are explicit grid rows and the last value carries forward") {
+    // cohort user 3 (user_id % 19 == 3): two events in hour 0, one in
+    // hour 3 — hours 1 and 2 are gaps that must appear with the hour-0
+    // sum carried forward. user 22 spans a single hour (1-row grid).
+    // user 5 is OUTSIDE the % 19 == 3 cohort and must not appear.
+    val rows = Seq[(Long, String, Long, String)](
+      (1L, "2024-01-01 00:10:00", 3L, "view"),
+      (2L, "2024-01-01 00:40:00", 3L, "view"),
+      (3L, "2024-01-01 03:20:00", 3L, "click"),
+      (4L, "2024-01-01 07:00:00", 22L, "view"),
+      (5L, "2024-01-01 01:00:00", 5L, "view"))
+    val dir = writeEvents(rows)
+    val got = RelQueries.queries("q144_resample_ffill")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (3L, "2024-01-01 00:00:00.0", 2L, 0L, 2.0),
+      (3L, "2024-01-01 01:00:00.0", 0L, 1L, 2.0), // gap row, hour-0 sum carried
+      (3L, "2024-01-01 02:00:00.0", 0L, 1L, 2.0),
+      (3L, "2024-01-01 03:00:00.0", 1L, 0L, 1.0),
+      (22L, "2024-01-01 07:00:00.0", 1L, 0L, 1.0)), s"got $got")
+  }
 }
