@@ -974,6 +974,128 @@ object TextQueries extends QueryCatalog {
        |ORDER BY score_q DESC, doc_id
        |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+  /** Champion-list (top-docs) pruned retrieval — the classic IR
+    * index-pruning technique (Manning et al., IIR §7.1.3) measured the
+    * way q74/q116 measure ANN recall: per query term keep only its C
+    * highest-contribution postings (the champion list), score ONLY the
+    * union of champions, and audit the result against q92's exact
+    * top-10 in the same query. Each exact-top-10 doc is reported with
+    * whether the champion index found it and the rank it got there —
+    * the calibration that licenses serving retrieval from an index
+    * whose per-term posting lists are CONSTANT-sized at any corpus
+    * scale (|terms|·C candidates instead of every doc containing a hot
+    * term). Because a candidate's pruned score sums the SAME query-term
+    * contributions as its exact score, champion ranking errors are
+    * purely recall (a missing doc), never scoring drift — so found=1
+    * rows must agree on score, which the oracle hash pins.
+    *
+    * Scale shape: contributions are quantized BIGINTs (q92 contract);
+    * the champion cut is a per-term window that WindowGroupLimit
+    * pre-limits map-side; every frame after it is ≤ |terms|·C rows, so
+    * the audit windows run over ≤256-row frames by construction. */
+  private val ChampC = 64
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    championAudit(s, dir, ChampC)
+  /** q145 core with the champion-list size exposed — Bm25Spec drives
+    * it with c=1 to pin the miss path (found=0 / rank_champ=-1) that
+    * the production c=64 never hits on the fixture. */
+  private[text] def championAudit(s: SparkSession, dir: String, c: Int): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .select($"doc_id", size($"toks").cast("long").as("dl"), $"toks")
+      .filter($"dl" > 0)
+    val scal = docs.agg(count(lit(1)).as("n"), sum($"dl").as("t"))
+    val tf = docs.select($"doc_id", $"dl", explode($"toks").as("term"))
+      .filter($"term".isin(bm25Terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val contribExpr =
+      (lit(10000.0) * log(lit(1.0) + (($"n" - $"df") + lit(0.5)) / ($"df" + lit(0.5)))) *
+        (($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + (((lit(0.75) * $"dl") * $"n") / $"t"))))
+    val contrib = graft.core.ScratchCache.persist(
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(scal))
+        .select($"term", $"doc_id",
+          floor(contribExpr + lit(0.5)).cast("long").as("contrib")))
+    val cand = contrib
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"term").orderBy($"contrib".desc, $"doc_id")))
+      .filter($"rn" <= c)
+      .select($"doc_id").distinct()
+    val scores = graft.core.ScratchCache.persist(
+      contrib.groupBy($"doc_id").agg(sum($"contrib").as("score_q")))
+    val exact10 = scores
+      .orderBy($"score_q".desc, $"doc_id").limit(10)
+      .withColumn("rank_exact", row_number().over(
+        Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
+    val candRank = scores.join(cand, "doc_id")
+      .withColumn("rank_champ", row_number().over(
+        Window.orderBy($"score_q".desc, $"doc_id")).cast("long"))
+      .select($"doc_id", $"rank_champ")
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    exact10.join(candRank, Seq("doc_id"), "left")
+      .crossJoin(broadcast(nCand))
+      .select($"rank_exact", $"doc_id", $"score_q",
+        when($"rank_champ".isNotNull, 1L).otherwise(0L).as("found"),
+        coalesce($"rank_champ", lit(-1L)).as("rank_champ"),
+        $"n_candidates")
+      .orderBy($"rank_exact")
+  }
+  private val q145Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) > 0
+       |),
+       |scal AS (SELECT count(*) AS n, sum(dl) AS t FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2, 3
+       |),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT term, tf.doc_id,
+       |    CAST(floor(
+       |      ((10000.0 * ln(1.0 + ((n - df) + 0.5) / (df + 0.5))) *
+       |       ((tf * 2.2) / (tf + 1.2 * (0.25 + (((0.75 * dl) * n) / t)))))
+       |      + 0.5) AS BIGINT) AS contrib
+       |  FROM tf JOIN dft USING (term) CROSS JOIN scal
+       |),
+       |cand AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      PARTITION BY term ORDER BY contrib DESC, doc_id) AS rn
+       |    FROM contrib
+       |  ) WHERE rn <= $ChampC
+       |),
+       |scores AS (
+       |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_q
+       |  FROM contrib GROUP BY 1
+       |),
+       |exact10 AS (
+       |  SELECT doc_id, score_q, CAST(row_number() OVER (
+       |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_exact
+       |  FROM scores ORDER BY score_q DESC, doc_id LIMIT 10
+       |),
+       |candrank AS (
+       |  SELECT doc_id, CAST(row_number() OVER (
+       |    ORDER BY score_q DESC, doc_id) AS BIGINT) AS rank_champ
+       |  FROM scores JOIN cand USING (doc_id)
+       |),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+       |SELECT rank_exact, doc_id, score_q,
+       |  CAST(CASE WHEN rank_champ IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found,
+       |  coalesce(rank_champ, -1) AS rank_champ,
+       |  n_candidates
+       |FROM exact10 LEFT JOIN candrank USING (doc_id) CROSS JOIN nc
+       |ORDER BY rank_exact""".stripMargin
+
   // ---------------------------------------------------------------- q93
   /** Rare-bigram rate — the KenLM-free fluency filter: the share (ppm)
     * of a document's word bigrams whose whole-corpus frequency is ≤ 5.
@@ -1821,6 +1943,7 @@ object TextQueries extends QueryCatalog {
     "q89_source_mixture" -> q89,
     "q91_cdc_chunks" -> q91,
     "q92_bm25_search" -> q92,
+    "q145_bm25_champions" -> q145,
     "q93_rare_bigram_rate" -> q93,
     "q95_bpe_merges" -> q95,
     "q96_quality_classifier" -> q96,
@@ -1861,6 +1984,7 @@ object TextQueries extends QueryCatalog {
     "q89_source_mixture" -> q89Sql,
     "q91_cdc_chunks" -> q91Sql,
     "q92_bm25_search" -> q92Sql,
+    "q145_bm25_champions" -> q145Sql,
     "q93_rare_bigram_rate" -> q93Sql,
     "q95_bpe_merges" -> q95Sql,
     "q96_quality_classifier" -> q96Sql,

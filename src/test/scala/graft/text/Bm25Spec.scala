@@ -58,4 +58,37 @@ class Bm25Spec extends SparkTestBase {
     assert(top.take(3).forall(rareDocs.contains),
       s"idf weighting must float the '$rare' docs to the top; top=$${top.toSeq}")
   }
+
+  test("q145 at production C: exact top-10 fully recalled, champion ranks agree") {
+    assume(ready)
+    val got = TextQueries.queries("q145_bm25_champions")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 10)
+    // candidates bounded by |terms|·C regardless of corpus size
+    assert(got.head._6 <= terms.length * 64L, s"candidates ${got.head._6}")
+    // exact top-10 and its scores equal q92's answer
+    assert(got.map(r => (r._2, r._3)).toSeq ==
+      expectedTop10.map { case (id, sc, _) => (id, sc) })
+    // on this fixture the champion index recalls everything, and since
+    // pruned scores equal exact scores, ranks must line up 1:1
+    assert(got.forall(_._4 == 1L), s"missed docs: ${got.filter(_._4 == 0L).toSeq}")
+    assert(got.forall(r => r._1 == r._5), s"rank drift: ${got.toSeq}")
+  }
+
+  test("q145 core at C=1 pins the miss path: candidates shrink, misses report -1") {
+    assume(ready)
+    val got = TextQueries.championAudit(spark, dir, 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length == 10)
+    assert(got.head._6 <= terms.length.toLong, s"C=1 candidates ${got.head._6}")
+    val missed = got.filter(_._4 == 0L)
+    assert(missed.nonEmpty, "C=1 over a 4-term query cannot recall 10 docs")
+    assert(missed.forall(_._5 == -1L))
+    // found rows keep exact relative order: champion rank increases
+    // with exact rank (scores are identical on both sides)
+    val foundRanks = got.filter(_._4 == 1L).map(_._5)
+    assert(foundRanks.sorted.sameElements(foundRanks), s"order drift: ${got.toSeq}")
+  }
 }
