@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{QueryCatalog, ScratchCache, Tables}
 import graft.apps.{InvertedIndex, WordCount}
@@ -1365,6 +1365,175 @@ object TextQueries extends QueryCatalog {
        |) CROSS JOIN tot
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  /** Quality-gate agreement matrix — the filter-ensemble dashboard a
+    * curation team reads before composing gates: for every pair of the
+    * four independent quality filters (q104's Gopher rules, q96's
+    * hashing-trick classifier, q97's surprisal gate, q93's rare-bigram
+    * gate) the 2×2 confusion cells (both pass / A only / B only /
+    * neither) and the agreement rate in ppm. Highly-agreeing gates are
+    * redundant (drop the expensive one); strongly-disagreeing gates
+    * flag a population one of them is wrong about — this query is how
+    * you find out WHICH before betting a 100 TB filtering run on it.
+    * The universe is documents with ≥2 tokens (the smallest universe
+    * on which all four gates are defined); the surprisal/rare-bigram
+    * corpus statistics are computed over that same universe, so the
+    * matrix is self-consistent and engine-replayable.
+    *
+    * Scale shape: the corpus is tokenized ONCE (persisted toks frame
+    * feeds all four gates); gopher+classifier are per-row map work,
+    * surprisal reuses one (doc, token) aggregate with a broadcast
+    * vocabulary (q97 shape), rare-bigram one (doc, bigram) aggregate
+    * with a broadcast count frame (q93 shape). The pair explosion is a
+    * 6-row broadcast cross join — output is 6 rows at any corpus
+    * size. */
+  private val gateNames = Seq("classifier", "gopher", "rare_bigram", "surprisal")
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    val toksDf = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir)
+        .select($"doc_id", expr(toksExpr).as("toks"))
+        .filter(size($"toks") >= 2))
+    // map-side gates: gopher rules + classifier score in ONE pass
+    val mapGates = toksDf.select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0, (a, t) -> a + length(t))").cast("long").as("token_chars"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        expr(hitsExpr(allStop)).cast("long").as("stop_hits"),
+        expr(scoreExpr).as("score"))
+      .select($"doc_id",
+        ($"n_tokens" >= 50L && $"n_tokens" <= 100000L &&
+          $"token_chars" >= $"n_tokens" * 3L && $"token_chars" <= $"n_tokens" * 10L &&
+          $"stop_hits" >= 2L && $"n_distinct" * 2L >= $"n_tokens").as("g_gopher"),
+        ($"score" > 0L).as("g_classifier"))
+    // surprisal gate (q97 shape) over the same universe
+    val tf = graft.core.ScratchCache.persist(
+      toksDf.select($"doc_id", explode($"toks").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+    val vocab = tf.groupBy($"t").agg(sum($"tf").as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    val scoredVocab = vocab.crossJoin(broadcast(total))
+      .select($"t", length(bin(expr("total DIV cnt"))).cast("long").as("bits"))
+    val surp = tf.join(broadcast(scoredVocab), "t")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").cast("long").as("n_toks"),
+        sum($"tf" * $"bits").cast("long").as("sum_bits"))
+      .select($"doc_id",
+        (expr("(sum_bits * 1000000) DIV n_toks") <= 10000000L).as("g_surprisal"))
+    // rare-bigram gate (q93 shape) over the same universe
+    val bg = toksDf.select($"doc_id", explode(expr(
+      "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+    val btf = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("tf"))
+    val bcnt = btf.groupBy($"bigram").agg(sum($"tf").as("corpus_cnt"))
+    val rare = btf.join(broadcast(bcnt), "bigram")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"),
+        sum(when($"corpus_cnt" <= 5, $"tf").otherwise(lit(0L))).as("n_rare"))
+      .select($"doc_id",
+        (expr("(n_rare * 1000000) DIV n_bigrams") <= 100000L).as("g_rare_bigram"))
+    val gates = mapGates.join(surp, "doc_id").join(rare, "doc_id")
+    val pairs = gateNames.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      .toDF("gate_a", "gate_b")
+    val pick = (n: Column) =>
+      when(n === "gopher", $"g_gopher")
+        .when(n === "classifier", $"g_classifier")
+        .when(n === "surprisal", $"g_surprisal")
+        .otherwise($"g_rare_bigram")
+    gates.crossJoin(broadcast(pairs))
+      .select($"gate_a", $"gate_b",
+        pick($"gate_a").as("ga"), pick($"gate_b").as("gb"))
+      .groupBy($"gate_a", $"gate_b")
+      .agg(
+        sum(when($"ga" && $"gb", 1L).otherwise(0L)).as("n_both"),
+        sum(when($"ga" && !$"gb", 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(!$"ga" && $"gb", 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(!$"ga" && !$"gb", 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("agree_ppm",
+        expr("((n_both + n_neither) * 1000000) DIV (n_both + n_a_only + n_b_only + n_neither)"))
+      .orderBy($"gate_a", $"gate_b")
+  }
+  private val q146Sql = {
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    val pairRows = gateNames.combinations(2)
+      .map { case Seq(a, b) => s"('$a', '$b')" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, toks FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 2
+       |),
+       |map_g AS (
+       |  SELECT doc_id,
+       |    (n_tokens BETWEEN 50 AND 100000
+       |     AND token_chars >= n_tokens * 3 AND token_chars <= n_tokens * 10
+       |     AND stop_hits >= 2 AND n_distinct * 2 >= n_tokens) AS g_gopher,
+       |    (score > 0) AS g_classifier
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(toks) AS BIGINT) AS n_tokens,
+       |      CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
+       |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |      ${hitsSql(allStop)} AS stop_hits,
+       |      $scoreSql AS score
+       |    FROM base
+       |  )
+       |),
+       |tf AS (
+       |  SELECT doc_id, t, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY 1, 2
+       |),
+       |vocab AS (SELECT t, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+       |sv AS (SELECT t, CAST(length(bin(total // cnt)) AS BIGINT) AS bits
+       |       FROM vocab CROSS JOIN tot),
+       |surp AS (
+       |  SELECT doc_id, ((sum_bits * 1000000) // n_toks <= 10000000) AS g_surprisal
+       |  FROM (
+       |    SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_toks,
+       |      CAST(sum(tf.tf * sv.bits) AS BIGINT) AS sum_bits
+       |    FROM tf JOIN sv USING (t) GROUP BY 1
+       |  )
+       |),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |    i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+       |  FROM base
+       |),
+       |btf AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |bcnt AS (SELECT bigram, sum(tf) AS corpus_cnt FROM btf GROUP BY 1),
+       |rare AS (
+       |  SELECT doc_id, ((n_rare * 1000000) // n_bigrams <= 100000) AS g_rare_bigram
+       |  FROM (
+       |    SELECT btf.doc_id, CAST(sum(btf.tf) AS BIGINT) AS n_bigrams,
+       |      CAST(sum(CASE WHEN bcnt.corpus_cnt <= 5 THEN btf.tf ELSE 0 END) AS BIGINT) AS n_rare
+       |    FROM btf JOIN bcnt USING (bigram) GROUP BY 1
+       |  )
+       |),
+       |gates AS (
+       |  SELECT doc_id, g_gopher, g_classifier, g_surprisal, g_rare_bigram
+       |  FROM map_g JOIN surp USING (doc_id) JOIN rare USING (doc_id)
+       |),
+       |pairs(gate_a, gate_b) AS (VALUES $pairRows),
+       |picked AS (
+       |  SELECT gate_a, gate_b,
+       |    CASE gate_a WHEN 'gopher' THEN g_gopher WHEN 'classifier' THEN g_classifier
+       |      WHEN 'surprisal' THEN g_surprisal ELSE g_rare_bigram END AS ga,
+       |    CASE gate_b WHEN 'gopher' THEN g_gopher WHEN 'classifier' THEN g_classifier
+       |      WHEN 'surprisal' THEN g_surprisal ELSE g_rare_bigram END AS gb
+       |  FROM gates CROSS JOIN pairs
+       |)
+       |SELECT gate_a, gate_b, n_both, n_a_only, n_b_only, n_neither,
+       |  ((n_both + n_neither) * 1000000) // (n_both + n_a_only + n_b_only + n_neither) AS agree_ppm
+       |FROM (
+       |  SELECT gate_a, gate_b,
+       |    CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |    CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+       |    CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+       |    CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+       |  FROM picked GROUP BY 1, 2
+       |)
+       |ORDER BY gate_a, gate_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q104
   /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1,
     * adapted to this corpus's no-newline docs): a document survives
@@ -1950,6 +2119,7 @@ object TextQueries extends QueryCatalog {
     "q97_token_surprisal" -> q97,
     "q101_token_budget" -> q101,
     "q104_gopher_rules" -> q104,
+    "q146_gate_agreement" -> q146,
     "q105_quality_quantile" -> q105,
     "q110_temperature_mixture" -> q110,
     "q111_line_dedup" -> q111,
@@ -1991,6 +2161,7 @@ object TextQueries extends QueryCatalog {
     "q97_token_surprisal" -> q97Sql,
     "q101_token_budget" -> q101Sql,
     "q104_gopher_rules" -> q104Sql,
+    "q146_gate_agreement" -> q146Sql,
     "q105_quality_quantile" -> q105Sql,
     "q110_temperature_mixture" -> q110Sql,
     "q111_line_dedup" -> q111Sql,
