@@ -1287,6 +1287,85 @@ object RelQueries extends QueryCatalog {
        |FROM grid LEFT JOIN hourly USING (user_id, h)
        |ORDER BY user_id, h""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** Null-aware NOT IN anti join — the OTHER anti-join Spark plans
+    * (q06 is NOT EXISTS → plain LeftAnti): `NOT IN (subquery)` carries
+    * SQL's three-valued semantics (one NULL in the subquery empties
+    * the result; a NULL probe row never qualifies), so Catalyst plans
+    * a NULL-AWARE anti join — on a broadcastable build side a
+    * BroadcastHashJoin with isNullAware=true — instead of the plain
+    * anti join, which would silently return WRONG rows. The build side
+    * here (high-value order custkeys) is nullable-by-schema but
+    * null-free-by-data, so the result is non-degenerate while the
+    * operator exercised is the null-aware path (NullAwareAntiJoinSpec
+    * pins both the plan shape and the one-NULL-empties-it semantics
+    * on a planted frame).
+    *
+    * Scale shape: the build side is an aggregate of order keys above a
+    * high price cut — small, broadcast; the probe side streams. A
+    * non-broadcastable build would force BroadcastNestedLoopJoin
+    * (Spark's only shuffle-free null-aware fallback) — the documented
+    * contract is: keep the NOT IN build side aggregated/filtered under
+    * the broadcast cap, or rewrite to NOT EXISTS when the data is
+    * known null-free. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("q147_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("q147_orders")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM q147_customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM q147_orders WHERE o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+  private val q147Sql =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q148
+  /** Time-RANGE-frame trailing window — the sliding aggregate WITHOUT
+    * window explosion: at every event, the count and exact-decimal
+    * value sum of that user's events in the trailing hour, via a RANGE
+    * frame over epoch seconds (`rangeBetween(-3599, 0)`). q61 answers
+    * the same question bucketized (each event exploded into its
+    * covering windows); this is the per-event exact form — one sort
+    * per user partition, zero row multiplication, the shape for "rate
+    * at event time" features and throttling lookbacks.
+    *
+    * Scale shape: one shuffle on the high-cardinality user key; each
+    * task sorts only its users' timelines. The frame is time-bounded,
+    * so a burst widens the frame's ROW count but never the sort; the
+    * decimal sum keeps in-frame addition order-independent. Peers at
+    * the same second land in the same frame on both engines (RANGE
+    * semantics) — ties cost nothing because the value summed is
+    * per-frame, not per-peer-order. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"es")
+      .rangeBetween(-3599L, 0L)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"ts",
+        unix_timestamp($"ts").as("es"), $"value")
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        round(sum($"value".cast("decimal(18,6)")).over(w).cast("double"), 4))
+      .select($"event_id", $"user_id", $"ts", $"n_1h", $"sum_1h")
+      .orderBy($"event_id")
+  }
+  private val q148Sql =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS sum_1h
+      |FROM (SELECT event_id, user_id, ts,
+      |        CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es, value
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- q127
   /** Modal-key as-of — the latest platform-wide ERROR at or before
     * each purchase ("was the system degraded when this order landed").
@@ -1376,6 +1455,8 @@ object RelQueries extends QueryCatalog {
     "q121_anomaly_hours" -> q121,
     "q138_transition_matrix" -> q138,
     "q144_resample_ffill" -> q144,
+    "q147_not_in_null_aware" -> q147,
+    "q148_trailing_window" -> q148,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1425,6 +1506,8 @@ object RelQueries extends QueryCatalog {
     "q121_anomaly_hours" -> q121Sql,
     "q138_transition_matrix" -> q138Sql,
     "q144_resample_ffill" -> q144Sql,
+    "q147_not_in_null_aware" -> q147Sql,
+    "q148_trailing_window" -> q148Sql,
   )
 
   override val noOracleReasons: Map[String, String] = Map(

@@ -101,4 +101,19 @@ class EventAnalyticsSpec extends SparkTestBase {
       (3L, "2024-01-01 03:00:00.0", 1L, 0L, 1.0),
       (22L, "2024-01-01 07:00:00.0", 1L, 0L, 1.0)), s"got $got")
   }
+
+  test("q148: trailing-hour RANGE frame is inclusive-exact at the 3599 s boundary") {
+    val rows = Seq[(Long, String, Long, String)](
+      (1L, "2024-01-01 00:00:00", 1L, "view"), // es 0
+      (2L, "2024-01-01 00:30:00", 1L, "view"), // es 1800
+      (3L, "2024-01-01 00:59:59", 1L, "view"), // es 3599: frame [0, 3599] → 3
+      (4L, "2024-01-01 01:00:00", 1L, "view"), // es 3600: frame [1, 3600] → excludes es 0
+      (5L, "2024-01-01 01:00:00", 2L, "view")) // other user: own frame
+    val dir = writeEvents(rows)
+    val got = RelQueries.queries("q148_trailing_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 3L, 3.0), (4L, 3L, 3.0), (5L, 1L, 1.0)),
+      s"got $got")
+  }
 }
