@@ -348,6 +348,97 @@ object LayoutQueries extends QueryCatalog {
       |FROM est e JOIN sel s ON e.qppm = s.qppm AND s.rkb = s.tgt
       |ORDER BY e.qppm""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** GROUPED histogram quantile sketch — q137 with a group key, the
+    * form a warehouse actually serves ("p50/p90/p99 revenue per
+    * priority tier"): per-group equi-width 256-bucket histograms over
+    * per-group data-derived bounds, mergeable by addition, quantiles
+    * by the same deterministic integer interpolation, each beside its
+    * TRUE per-group nearest-rank value and error ppm. The trap this
+    * shape avoids: o_orderpriority is a MODAL key (5 values), so the
+    * naive exact form — a window sorted per priority — funnels N/5
+    * rows through single tasks; here the sketch is |groups|·256 rows,
+    * its cum window runs over 256-row group partitions, and even the
+    * exact calibration ranks only each target's covering (group,
+    * bucket) slice (~N/(|groups|·256) rows), the q137 distributed-
+    * selection discipline applied per group. */
+  def q149(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cents = ScratchCache.persist(Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority".as("g"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c")))
+    val bounds = cents.groupBy($"g").agg(
+      min($"c").as("minc"), max($"c").as("maxc"), count(lit(1)).as("n"))
+      .withColumn("w", expr("greatest(1L, (maxc - minc) DIV 256 + 1)"))
+    val hist = cents.join(broadcast(bounds), "g")
+      .groupBy($"g", expr("least(255L, (c - minc) DIV w)").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"g").orderBy($"b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_before", $"cum" - $"cnt")
+    val qs = bounds
+      .select($"g", $"n", $"minc", $"w",
+        explode(expr("array(500000L, 900000L, 990000L)")).as("qppm"))
+      .withColumn("r", expr("(n * qppm + 999999) DIV 1000000"))
+    val est = qs.join(broadcast(hist),
+        qs("g") === hist("g") && $"cum" >= $"r" && $"cum_before" < $"r")
+      .select(qs("g").as("g"), $"qppm", $"r", $"b", $"cum_before", $"cnt",
+        $"minc", $"w")
+      .withColumn("est_cents",
+        expr("minc + b * w + ((r - cum_before) * w) DIV (cnt + 1)"))
+      .select($"g", $"qppm", $"r", $"b", $"cum_before", $"est_cents")
+    val exact = cents.join(broadcast(bounds), "g")
+      .withColumn("cb", expr("least(255L, (c - minc) DIV w)"))
+      .join(broadcast(est.select($"g".as("eg"), $"qppm".as("eq"),
+          $"r", $"cum_before", $"b")),
+        $"g" === $"eg" && $"cb" === $"b")
+      .withColumn("rkb", row_number().over(
+        Window.partitionBy($"eg", $"eq").orderBy($"c", $"o_orderkey")))
+      .filter($"rkb" === $"r" - $"cum_before")
+      .select($"eg", $"eq", $"c")
+    est.join(broadcast(exact), $"g" === $"eg" && $"qppm" === $"eq")
+      .select($"g".as("priority"), $"qppm", $"est_cents", $"c".as("exact_cents"),
+        expr("abs(est_cents - c) * 1000000 DIV greatest(1L, c)").as("err_ppm"))
+      .orderBy($"priority", $"qppm")
+  }
+  private val q149Sql =
+    """WITH cents AS (
+      |  SELECT o_orderkey, o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders
+      |), bounds AS (
+      |  SELECT g, min(c) AS minc, max(c) AS maxc, CAST(count(*) AS BIGINT) AS n,
+      |    greatest(1, (max(c) - min(c)) // 256 + 1) AS w
+      |  FROM cents GROUP BY g
+      |), hist0 AS (
+      |  SELECT cents.g, least(255, (c - minc) // w) AS b, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM cents JOIN bounds ON cents.g = bounds.g GROUP BY 1, 2
+      |), hist AS (
+      |  SELECT g, b, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY b) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY b) AS BIGINT) - cnt AS cum_before
+      |  FROM hist0
+      |), qs AS (
+      |  SELECT g, qppm, (n * qppm + 999999) // 1000000 AS r, minc, w
+      |  FROM bounds, (SELECT unnest([500000, 900000, 990000]) AS qppm)
+      |), est AS (
+      |  SELECT qs.g, qppm, r, b, cum_before,
+      |    minc + b * w + ((r - cum_before) * w) // (cnt + 1) AS est_cents
+      |  FROM qs JOIN hist ON qs.g = hist.g AND cum >= r AND cum_before < r
+      |), sel AS (
+      |  SELECT e.g, e.qppm, c,
+      |    row_number() OVER (PARTITION BY e.g, e.qppm ORDER BY c, o_orderkey) AS rkb,
+      |    e.r - e.cum_before AS tgt
+      |  FROM cents JOIN bounds ON cents.g = bounds.g
+      |  JOIN est e ON cents.g = e.g AND least(255, (c - minc) // w) = e.b
+      |)
+      |SELECT e.g AS priority, e.qppm, est_cents, s.c AS exact_cents,
+      |  abs(est_cents - s.c) * 1000000 // greatest(1, s.c) AS err_ppm
+      |FROM est e JOIN sel s ON e.g = s.g AND e.qppm = s.qppm AND s.rkb = s.tgt
+      |ORDER BY priority, e.qppm""".stripMargin
+
   // ---------------------------------------------------------------- q141
   /** CDC merge-on-read upsert view — the lakehouse write-path
     * semantics (Hudi/Delta/Iceberg MOR): a base snapshot overlaid with
@@ -492,6 +583,7 @@ object LayoutQueries extends QueryCatalog {
     "q135_zorder_layout" -> q135,
     "q136_compaction_plan" -> q136,
     "q137_hist_quantiles" -> q137,
+    "q149_grouped_quantiles" -> q149,
     "q141_cdc_upsert" -> q141,
     "q142_schema_evolution" -> q142,
   )
@@ -501,6 +593,7 @@ object LayoutQueries extends QueryCatalog {
     "q135_zorder_layout" -> q135Sql,
     "q136_compaction_plan" -> q136Sql,
     "q137_hist_quantiles" -> q137Sql,
+    "q149_grouped_quantiles" -> q149Sql,
     "q141_cdc_upsert" -> q141Sql,
     "q142_schema_evolution" -> q142Sql,
   )

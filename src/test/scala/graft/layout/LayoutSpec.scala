@@ -168,4 +168,33 @@ class LayoutSpec extends SparkTestBase {
     val exact = sorted.map(_.getAs[Long]("exact_cents"))
     assert(est.sameElements(est.sorted) && exact.sameElements(exact.sorted))
   }
+
+  test("q149: per-group quantiles match a driver-side nearest-rank per group") {
+    assume(fixture)
+    val out = LayoutQueries.queries("q149_grouped_quantiles")(spark, dir).collect()
+    val groups = out.map(_.getAs[String]("priority")).distinct
+    assert(out.length == groups.length * 3)
+    // exact per-group nearest-rank recomputed in the driver
+    val cents = graft.core.Tables.orders(spark, dir)
+      .selectExpr("o_orderpriority AS g",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val (g, qppm) = (r.getAs[String]("priority"), r.getAs[Long]("qppm"))
+      val xs = cents(g)
+      val rank = ((xs.length.toLong * qppm + 999999L) / 1000000L).toInt
+      assert(r.getAs[Long]("exact_cents") == xs(rank - 1),
+        s"($g, $qppm): exact mismatch")
+      val err = r.getAs[Long]("err_ppm")
+      assert(err >= 0L && err < 20000L, s"($g, $qppm): err $err ppm exceeds 2%")
+    }
+    // per-group monotone in q for both est and exact
+    out.groupBy(_.getAs[String]("priority")).values.foreach { rs =>
+      val s = rs.sortBy(_.getAs[Long]("qppm"))
+      val e1 = s.map(_.getAs[Long]("est_cents"))
+      val e2 = s.map(_.getAs[Long]("exact_cents"))
+      assert(e1.sameElements(e1.sorted) && e2.sameElements(e2.sorted))
+    }
+  }
 }
