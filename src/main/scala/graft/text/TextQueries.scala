@@ -1197,6 +1197,120 @@ object TextQueries extends QueryCatalog {
        |ORDER BY n_occurrences DESC, pair
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** BPE merge APPLICATION — the other half of q95 (which ranks the
+    * merges): encode the corpus with its own learned top-20 merges and
+    * report per-source symbol compression, the tokenizer-apply shape
+    * every training pipeline runs after training a vocabulary. Symbols
+    * are separator-delimited (`chr(31)` between segments), so a merge
+    * pattern `␟a␟b␟` can only match at SYMBOL boundaries — a segment
+    * "ab" produced by an earlier merge is never re-split by a later
+    * one — and merges apply in rank order, ONE leftmost-to-right
+    * non-overlapping pass each (`replace` has identical semantics in
+    * the JVM and DuckDB; consecutive self-pairs like `a a a a` merge
+    * to `aa a a` in that single pass — the documented contract,
+    * BpeEncodeSpec pins it — where reference tokenizers iterate each
+    * merge to a fixpoint).
+    *
+    * Scale shape — the q95 vocab-first discipline, applied to
+    * INFERENCE: the fold over 20 merges runs per token TYPE (one
+    * ~|vocab|-row frame), never per occurrence; per-source totals come
+    * from joining the (source, token, cnt) aggregate with the encoded
+    * vocabulary BROADCAST. A 100 TB corpus with a 10 M-type vocabulary
+    * does 20 string replaces on 10 M short strings — the corpus itself
+    * is touched exactly once, for the (source, token) count. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stCnt = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir)
+        .select($"source", explode(expr(toksExpr)).as("token"))
+        .groupBy($"source", $"token").agg(count(lit(1)).as("cnt")))
+    val vocab = stCnt.groupBy($"token").agg(sum($"cnt").as("cnt"))
+    val merges = vocab
+      .filter(length($"token") >= 2)
+      .select($"cnt", explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> concat(substr(token, i, 1), ' ', substr(token, i + 1, 1)))"))
+        .as("pair"))
+      .groupBy($"pair").agg(sum($"cnt").as("n"))
+      .orderBy($"n".desc, $"pair").limit(20)
+      .withColumn("rnk", row_number().over(Window.orderBy($"n".desc, $"pair")).cast("long"))
+    val mergeArr = merges.agg(expr(
+      """array_sort(
+        |  collect_list(named_struct(
+        |    'rnk', rnk,
+        |    'pat', concat(chr(31), replace(pair, ' ', chr(31)), chr(31)),
+        |    'rep', concat(chr(31), replace(pair, ' ', ''), chr(31)))),
+        |  (a, b) -> CASE WHEN a.rnk < b.rnk THEN -1 WHEN a.rnk > b.rnk THEN 1 ELSE 0 END)
+        |""".stripMargin).as("ms"))
+    val enc = vocab.select($"token")
+      .filter(expr("instr(token, chr(31)) = 0"))
+      .crossJoin(broadcast(mergeArr))
+      .withColumn("enc0", // filter: Java split('') emits a trailing "" under limit=-1
+        expr("concat(chr(31), concat_ws(chr(31), filter(split(token, ''), x -> x != '')), chr(31))"))
+      .withColumn("enc", expr("aggregate(ms, enc0, (acc, m) -> replace(acc, m.pat, m.rep))"))
+      .select($"token",
+        expr("length(enc) - length(replace(enc, chr(31), '')) - 1").cast("long").as("segs"),
+        length($"token").cast("long").as("chars"))
+    stCnt.join(broadcast(enc), "token")
+      .groupBy($"source")
+      .agg(sum($"cnt" * $"chars").as("n_chars"),
+        sum($"cnt").as("n_words"),
+        sum($"cnt" * $"segs").as("n_bpe_tokens"))
+      .withColumn("compression_ppm", expr("(n_bpe_tokens * 1000000) DIV n_chars"))
+      .orderBy($"source")
+  }
+  private val q150Sql =
+    s"""WITH RECURSIVE st AS (
+       |  SELECT source, unnest($toksSql) AS token FROM documents
+       |),
+       |sc AS (SELECT source, token, count(*) AS cnt FROM st GROUP BY 1, 2),
+       |vocab AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS cnt FROM sc GROUP BY 1),
+       |prs AS (
+       |  SELECT cnt, unnest(list_transform(generate_series(1, length(token) - 1),
+       |    i -> concat(substr(token, i, 1), ' ', substr(token, i + 1, 1)))) AS pair
+       |  FROM vocab WHERE length(token) >= 2
+       |),
+       |merges0 AS (
+       |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM prs GROUP BY 1
+       |  ORDER BY n DESC, pair LIMIT 20
+       |),
+       |merges AS (
+       |  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rnk
+       |  FROM merges0
+       |),
+       |nm AS (SELECT CAST(count(*) AS BIGINT) AS n_merges FROM merges),
+       |venc0 AS (
+       |  SELECT token,
+       |    concat(chr(31), array_to_string(string_split(token, ''), chr(31)), chr(31)) AS enc
+       |  FROM vocab WHERE instr(token, chr(31)) = 0
+       |),
+       |encr AS (
+       |  SELECT token, enc, CAST(0 AS BIGINT) AS i FROM venc0
+       |  UNION ALL
+       |  SELECT e.token,
+       |    replace(e.enc,
+       |      concat(chr(31), replace(m.pair, ' ', chr(31)), chr(31)),
+       |      concat(chr(31), replace(m.pair, ' ', ''), chr(31))),
+       |    e.i + 1
+       |  FROM encr e JOIN merges m ON m.rnk = e.i + 1
+       |  WHERE e.i < (SELECT n_merges FROM nm)
+       |),
+       |venc AS (
+       |  SELECT token,
+       |    CAST(length(enc) - length(replace(enc, chr(31), '')) - 1 AS BIGINT) AS segs,
+       |    CAST(length(token) AS BIGINT) AS chars
+       |  FROM encr WHERE i = (SELECT n_merges FROM nm)
+       |)
+       |SELECT source,
+       |  CAST(sum(cnt * chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(cnt * segs) AS BIGINT) AS n_bpe_tokens,
+       |  (CAST(sum(cnt * segs) AS BIGINT) * 1000000) // CAST(sum(cnt * chars) AS BIGINT) AS compression_ppm
+       |FROM sc JOIN venc USING (token)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** Hashing-trick linear quality classifier — fastText-style INFERENCE
     * shape: each token hashes into one of 256 feature buckets (first
@@ -2113,6 +2227,7 @@ object TextQueries extends QueryCatalog {
     "q91_cdc_chunks" -> q91,
     "q92_bm25_search" -> q92,
     "q145_bm25_champions" -> q145,
+    "q150_bpe_encode" -> q150,
     "q93_rare_bigram_rate" -> q93,
     "q95_bpe_merges" -> q95,
     "q96_quality_classifier" -> q96,
@@ -2155,6 +2270,7 @@ object TextQueries extends QueryCatalog {
     "q91_cdc_chunks" -> q91Sql,
     "q92_bm25_search" -> q92Sql,
     "q145_bm25_champions" -> q145Sql,
+    "q150_bpe_encode" -> q150Sql,
     "q93_rare_bigram_rate" -> q93Sql,
     "q95_bpe_merges" -> q95Sql,
     "q96_quality_classifier" -> q96Sql,
