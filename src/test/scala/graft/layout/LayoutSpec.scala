@@ -197,4 +197,36 @@ class LayoutSpec extends SparkTestBase {
       assert(e1.sameElements(e1.sorted) && e2.sameElements(e2.sorted))
     }
   }
+
+  test("q151: the day-scoped scan prunes at listing time — one partition's files only") {
+    assume(fixture)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = LayoutQueries.queries("q151_partition_pruning")(spark, dir)
+    df.collect()
+    val scans = collectPlan(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the partitioned store")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      s"event_date filter must be a PARTITION filter, got:\n${scan.metadata}")
+    val storePath = LayoutQueries.ensurePartStore(spark, dir)
+    val totalDays = new java.io.File(storePath).listFiles()
+      .count(_.getName.startsWith("event_date="))
+    val scannedFiles = scan.metrics("numFiles").value
+    val oneDayFiles = new java.io.File(s"$storePath/event_date=" +
+      df.select("event_date").head.getDate(0).toString).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(totalDays > 10, s"fixture span collapsed to $totalDays days")
+    assert(scannedFiles == oneDayFiles,
+      s"scan read $scannedFiles files; the probe day holds $oneDayFiles")
+    // values equal the unpartitioned recomputation
+    import org.apache.spark.sql.functions._
+    val day = df.select("event_date").head.getDate(0)
+    val plain = graft.core.Tables.events(spark, dir)
+      .filter(to_date(col("ts")) === lit(day))
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.core.Det.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type")).collect()
+    assert(df.collect().map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
 }
