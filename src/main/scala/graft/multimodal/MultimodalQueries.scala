@@ -496,6 +496,97 @@ object MultimodalQueries extends QueryCatalog {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** Scene-cut detection on frame-energy deltas — the shot-boundary
+    * primitive of video curation (the temporal twin of q113's VAD):
+    * media cut into fixed-width frames, each frame's energy an exact
+    * integer byte sum (native codegen byte_sum), and a CUT flagged
+    * wherever consecutive frames' energies jump by ≥ 16 per byte —
+    * the cheap first-pass heuristic a pipeline runs before paying for
+    * perceptual hashing (q124) on candidate boundaries. The trailing
+    * partial frame is dropped so every delta compares equal-width
+    * frames (exact integer threshold, no per-frame normalization).
+    *
+    * Scale shape: one narrow frame explode; lag() and the aggregates
+    * partition BY MEDIA (bounded by one clip's frame count); the frame
+    * frame is persisted so the count and delta branches share one
+    * explode — the q113 discipline, oracle-replayed byte-for-byte on
+    * the ASCII corpus. */
+  private[multimodal] val CutDeltaPerByte = 16L
+  private[multimodal] def sceneCutsOf(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(media.sparkSession)
+    val frames = graft.core.ScratchCache.persist(
+      Multimodal.sampleFrames(media, frameBytes = VadFrameBytes, stride = 1)
+        .filter(expr("octet_length(frame)").cast("long") === VadFrameBytes)
+        .select(col("media_id"), col("frame_no"),
+          expr("byte_sum(frame)").as("energy")))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_no"))
+    val deltas = frames
+      .withColumn("prev_e", lag(col("energy"), 1).over(w))
+      .filter(col("prev_e").isNotNull)
+      .withColumn("delta", abs(col("energy") - col("prev_e")))
+      .withColumn("cut", col("delta") >= lit(CutDeltaPerByte * VadFrameBytes))
+    val counts = frames.groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+    val agg = deltas.groupBy(col("media_id"))
+      .agg(sum(when(col("cut"), 1L).otherwise(0L)).as("n_cuts"),
+        max(col("delta")).as("max_delta"),
+        min(when(col("cut"), col("frame_no"))).as("first_cut0"))
+    counts.join(agg, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+        coalesce(col("max_delta"), lit(0L)).as("max_delta"),
+        coalesce(col("first_cut0"), lit(-1L)).as("first_cut"))
+      .orderBy(col("media_id"))
+  }
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sceneCutsOf(Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), encode($"text", "UTF-8").as("media")))
+  }
+  private val q152Sql =
+    s"""WITH m AS (SELECT doc_id AS media_id, text AS media FROM documents),
+       |idx AS (
+       |  SELECT media_id, media,
+       |    unnest(generate_series(0, CAST((length(media) - 1) // $VadFrameBytes AS INT))) AS frame_no
+       |  FROM m WHERE length(media) > 0
+       |),
+       |fr AS (
+       |  SELECT media_id, frame_no,
+       |    substring(media, frame_no * $VadFrameBytes + 1, $VadFrameBytes) AS frame
+       |  FROM idx
+       |),
+       |en AS (
+       |  SELECT media_id, frame_no,
+       |    CAST(list_sum(list_transform(generate_series(1, CAST(length(frame) AS INT)),
+       |      i -> ascii(substring(frame, i, 1)))) AS BIGINT) AS energy
+       |  FROM fr WHERE length(frame) = $VadFrameBytes
+       |),
+       |d AS (
+       |  SELECT media_id, frame_no, energy,
+       |    lag(energy) OVER (PARTITION BY media_id ORDER BY frame_no) AS prev_e
+       |  FROM en
+       |),
+       |dd AS (
+       |  SELECT media_id, frame_no, abs(energy - prev_e) AS delta,
+       |    (abs(energy - prev_e) >= ${CutDeltaPerByte * VadFrameBytes}) AS cut
+       |  FROM d WHERE prev_e IS NOT NULL
+       |),
+       |counts AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames FROM en GROUP BY 1),
+       |agg AS (
+       |  SELECT media_id,
+       |    CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |    CAST(max(delta) AS BIGINT) AS max_delta,
+       |    CAST(min(CASE WHEN cut THEN frame_no END) AS BIGINT) AS first_cut0
+       |  FROM dd GROUP BY 1
+       |)
+       |SELECT counts.media_id, n_frames,
+       |  coalesce(n_cuts, 0) AS n_cuts,
+       |  coalesce(max_delta, 0) AS max_delta,
+       |  coalesce(first_cut0, -1) AS first_cut
+       |FROM counts LEFT JOIN agg USING (media_id)
+       |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_meta" -> q70,
     "q71_multimodal_frames" -> q71,
@@ -504,6 +595,7 @@ object MultimodalQueries extends QueryCatalog {
     "q113_audio_silence" -> q113,
     "q124_frame_neardup" -> q124,
     "q126_media_neardup_rollup" -> q126,
+    "q152_scene_cuts" -> q152,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -514,5 +606,6 @@ object MultimodalQueries extends QueryCatalog {
     "q113_audio_silence" -> q113Sql,
     "q124_frame_neardup" -> q124Sql,
     "q126_media_neardup_rollup" -> q126Sql,
+    "q152_scene_cuts" -> q152Sql,
   )
 }

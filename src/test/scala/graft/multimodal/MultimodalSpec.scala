@@ -205,4 +205,31 @@ class MultimodalSpec extends SparkTestBase {
       s"identical high-byte frames must pair at hamming 0: ${pairs.map(_.toSeq).toSeq}")
     graft.core.ScratchCache.drain()
   }
+
+  test("sceneCutsOf: a planted energy jump cuts once; steady media never cuts") {
+    import spark.implicits._
+    // 32-byte frames; threshold = 16·32 = 512 energy delta.
+    // media 30: two 'a' (97) frames then two 'z' (122) frames — the
+    //   jump is (122−97)·32 = 800 ≥ 512 → ONE cut at frame 2, the
+    //   z→z and a→a deltas are 0.
+    // media 31: constant → 0 cuts, first_cut −1.
+    // media 32: a ramp below threshold ('a'×32 then 'k'×32: Δ=320) →
+    //   0 cuts, max_delta 320 — the near-miss the threshold rejects.
+    // media 33: 40 bytes — the trailing 8-byte partial is DROPPED, so
+    //   one full frame, no deltas.
+    val rows = Seq(
+      30L -> ("a" * 64 + "z" * 64),
+      31L -> ("m" * 96),
+      32L -> ("a" * 32 + "k" * 32),
+      33L -> ("q" * 40))
+    val media = rows.toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("media"))
+    val got = MultimodalQueries.sceneCutsOf(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(30L) == ((4L, 1L, 800L, 2L)), s"got ${got(30L)}")
+    assert(got(31L) == ((3L, 0L, 0L, -1L)))
+    assert(got(32L) == ((2L, 0L, 320L, -1L)))
+    assert(got(33L) == ((1L, 0L, 0L, -1L)))
+    graft.core.ScratchCache.drain()
+  }
 }
