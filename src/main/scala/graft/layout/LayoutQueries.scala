@@ -400,6 +400,75 @@ object LayoutQueries extends QueryCatalog {
        |GROUP BY 1, 2
        |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+  /** Incremental aggregate maintenance — the materialized-view ETL
+    * pattern every warehouse runs nightly: a per-(day, event type)
+    * aggregate table holds PARTIAL aggregates (count + exact decimal
+    * sum — both mergeable by addition), built once up to a cutoff
+    * (first 28 days, the artifact); the query ingests only the DELTA
+    * (days after the cutoff, a ts range predicate pushed to the
+    * parquet scan), merges it with the artifact by re-aggregating the
+    * union, and emits the refreshed view. The DuckDB oracle computes
+    * the FULL aggregate from raw events — hash equality IS the
+    * incremental≡full proof, the invariant that licenses never
+    * re-scanning history. The sum is carried as DECIMAL end-to-end
+    * and rounded only at output, so merge order can't move an ULP.
+    *
+    * Scale shape: per-ingest cost is the delta scan (range-pruned at
+    * the reader) plus a |days × types|-row merge — independent of
+    * history length; the artifact build (one full scan) is the
+    * one-off Bench times separately (q153_aggstore_build), the q94
+    * sigstore discipline applied to aggregation. */
+  private val aggStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val AggCutoffDays = 27L // artifact covers min_date .. min_date+27
+
+  def ensureAggStore(s: SparkSession, dir: String): String = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    aggStores.computeIfAbsent(key, _ => {
+      import s.implicits._
+      val slug = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+      val path = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
+        .resolve(s"graft-aggstore-$slug").toString
+      val ev = Tables.events(s, dir)
+      val day0 = ev.agg(min(to_date($"ts"))).head.getDate(0) // 1-row planning probe
+      val hist = java.sql.Timestamp.valueOf(
+        day0.toLocalDate.plusDays(AggCutoffDays + 1).atStartOfDay)
+      ev.filter($"ts" < lit(hist)) // history side: everything before the cutoff midnight
+        .groupBy(to_date($"ts").as("event_date"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,6)")).as("sum_dec"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = s.read.parquet(ensureAggStore(s, dir))
+    // the cutoff is a property OF THE ARTIFACT (its max day) — a 1-row
+    // probe over the small aggregate table, never the raw events
+    val cutoff = base.agg(max($"event_date")).head.getDate(0)
+    val since = java.sql.Timestamp.valueOf(cutoff.toLocalDate.plusDays(1).atStartOfDay)
+    val delta = Tables.events(s, dir)
+      .filter($"ts" >= lit(since)) // plain ts range → parquet PushedFilters
+      .groupBy(to_date($"ts").as("event_date"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).as("sum_dec"))
+    base.unionByName(delta)
+      .groupBy($"event_date", $"event_type")
+      .agg(sum($"n").as("n"),
+        round(sum($"sum_dec").cast("double"), 4).as("sum_value"))
+      .orderBy($"event_date", $"event_type")
+  }
+  private val q153Sql =
+    s"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, event_type,
+       |  count(*) AS n, ${Det.sqlSum("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_date, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q149
   /** GROUPED histogram quantile sketch — q137 with a group key, the
     * form a warehouse actually serves ("p50/p90/p99 revenue per
@@ -637,6 +706,7 @@ object LayoutQueries extends QueryCatalog {
     "q137_hist_quantiles" -> q137,
     "q149_grouped_quantiles" -> q149,
     "q151_partition_pruning" -> q151,
+    "q153_incremental_agg" -> q153,
     "q141_cdc_upsert" -> q141,
     "q142_schema_evolution" -> q142,
   )
@@ -648,6 +718,7 @@ object LayoutQueries extends QueryCatalog {
     "q137_hist_quantiles" -> q137Sql,
     "q149_grouped_quantiles" -> q149Sql,
     "q151_partition_pruning" -> q151Sql,
+    "q153_incremental_agg" -> q153Sql,
     "q141_cdc_upsert" -> q141Sql,
     "q142_schema_evolution" -> q142Sql,
   )

@@ -229,4 +229,28 @@ class LayoutSpec extends SparkTestBase {
       .orderBy(col("event_type")).collect()
     assert(df.collect().map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
+
+  test("q153: artifact + delta merge equals the full recompute; delta filter reaches the scan") {
+    assume(fixture)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val df = LayoutQueries.queries("q153_incremental_agg")(spark, dir)
+    val got = df.collect()
+    val full = graft.core.Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.core.Det.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_date"), col("event_type")).collect()
+    assert(got.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      "incremental merge must equal the full recompute exactly")
+    // the view spans > the 28-day artifact window, so the delta is real
+    assert(got.map(_.getDate(0).toLocalDate).distinct.size > 28)
+    // the delta's ts range predicate must reach the events parquet scan
+    val scans = collectPlan(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    val evScan = scans.filter(_.metadata.get("Location").exists(_.contains("events.parquet")))
+    assert(evScan.nonEmpty, s"no events scan found in:\n${df.queryExecution.executedPlan}")
+    assert(evScan.exists(_.metadata.get("PushedFilters").exists(p =>
+        p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThanOrEqual(`ts`"))),
+      s"ts range must be a PushedFilter, got: ${evScan.map(_.metadata.get("PushedFilters"))}")
+  }
 }
