@@ -122,6 +122,64 @@ object UrlCanon {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q154
+  /** GROUP-AWARE train/val/test split — the leakage guard q125's
+    * per-doc split cannot give: near-duplicate pages from one site
+    * must not straddle train and eval, so the split is assigned per
+    * REGISTERED DOMAIN (the q129 extraction) and every doc inherits
+    * its domain's verdict. Same exact 16-bit integer thresholds as
+    * q125 (98/1/1 over domains), hashed on the domain alone — so
+    * ingesting, deduplicating, or re-crawling documents can never
+    * move a domain (or any of its pages) between splits, and eval
+    * stays frozen while the corpus evolves. A production pipeline
+    * runs this AFTER q129's canonicalization: group id = the entity
+    * that leaks, never the row.
+    *
+    * Scale shape: pure per-row projection — URL synthesis, domain
+    * extraction, hash, threshold — zero shuffles before the output
+    * sort; embarrassingly parallel at any corpus size (the q96
+    * map-side contract; UrlCanonSpec pins domain-atomicity, the
+    * 98/1/1 shares, and survivor stability under corpus halving). */
+  private val groupSplitHash = {
+    val h = "md5('gsplit|' || domain)"
+    (1 to 4).map(i => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+  }
+
+  def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$rawUrlSql AS raw_url")
+      .selectExpr("doc_id", s"${strippedSql("raw_url")} AS u")
+      .selectExpr("doc_id", s"${hostSql("u")} AS host")
+      .selectExpr("doc_id", s"${domainSql("host")} AS domain")
+      .selectExpr("doc_id", "domain", s"CAST($groupSplitHash AS BIGINT) AS u16")
+      .selectExpr("doc_id", "domain",
+        """CASE WHEN u16 < 64225 THEN 'train'
+          |     WHEN u16 < 64880 THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+      .orderBy($"doc_id")
+  }
+
+  val q154Sql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, $rawUrlSql AS raw_url FROM documents
+       |), s AS (
+       |  SELECT doc_id, ${strippedSql("raw_url")} AS u FROM raw
+       |), h AS (
+       |  SELECT doc_id, ${hostSql("u")} AS host FROM s
+       |), d AS (
+       |  SELECT doc_id, ${domainSql("host")} AS domain FROM h
+       |), u AS (
+       |  SELECT doc_id, domain, CAST($groupSplitHash AS BIGINT) AS u16 FROM d
+       |)
+       |SELECT doc_id, domain,
+       |  CASE WHEN u16 < 64225 THEN 'train'
+       |       WHEN u16 < 64880 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM u
+       |ORDER BY doc_id""".stripMargin
+
   val q129Sql: String =
     s"""WITH raw AS (
        |  SELECT doc_id, text, $rawUrlSql AS raw_url FROM documents

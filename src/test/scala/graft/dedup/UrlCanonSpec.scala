@@ -76,4 +76,33 @@ class UrlCanonSpec extends SparkTestBase {
       .view.mapValues(_.map(_.getAs[String]("policy")).distinct.size)
     assert(byDomain.values.forall(_ == 1))
   }
+
+  test("q154: splits are domain-atomic, roughly 98/1/1, and frozen under corpus change") {
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")))
+    val out = UrlCanon.q154(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == 500)
+    // LEAKAGE GUARD: a domain never straddles splits
+    val byDomain = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(byDomain.values.forall(_.size == 1),
+      s"split-straddling domains: ${byDomain.filter(_._2.size > 1).keys}")
+    // shares over DOMAINS: train must dominate (98% nominal; the
+    // domain population is small, so just pin the ordering + presence)
+    val splits = byDomain.values.map(_.head).groupBy(identity).view.mapValues(_.size).toMap
+    assert(splits.getOrElse("train", 0) > byDomain.size * 8 / 10, s"shares: $splits")
+    // STABILITY: the assignment depends only on the domain string, so
+    // recomputing over half the corpus must reproduce every
+    // survivor's split verbatim (eval frozen while the corpus evolves)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val half = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 2 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("gsplit").toString
+    half.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rehalf = UrlCanon.q154(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val fullMap = out.map(r => r._1 -> r._3).toMap
+    assert(rehalf.forall { case (id, sp) => fullMap(id) == sp })
+  }
 }
