@@ -212,15 +212,97 @@ object GraphQueries extends QueryCatalog {
        |       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
        |       (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** k-core peeling (k = 3, 8 fixed rounds) — the graph-curation
+    * density filter (spam/link-farm analysis, community seeding):
+    * repeatedly drop every node with fewer than k surviving undirected
+    * neighbors; what remains is the 3-core. Output is the peeling
+    * TRAJECTORY — (round, n_alive, n_edges) for rounds 0..8 — which
+    * shows both the core size and how fast the periphery cascades off
+    * (each dropped leaf can strand its parent below k, so long chains
+    * peel one round per hop — exactly this graph's i→i/2 tails).
+    * Fixed round count keeps both engines bit-identical; convergence
+    * is visible in the data (n_alive flat between rounds 7 and 8) and
+    * peeling is monotone, so equal consecutive counts ⇔ a fixpoint.
+    *
+    * Scale shape: the [[graft.dedup.ConnectedComponents]] loop
+    * discipline — every round is two id-keyed semi-joins (edges
+    * restricted to survivors) plus one degree aggregate, each round's
+    * survivor and edge frames PERSISTED before reuse (alive_i feeds
+    * three consumers per round; unpersisted, the recompute tree is
+    * 2^rounds) — and the per-round outputs are 1-row aggregates
+    * unioned lazily into a single job, no driver-side collect per
+    * round. */
+  private val CoreK = 3L
+  private val CoreRounds = 8
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = ScratchCache.persist(linksOf(s, dir)
+      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .distinct())
+    var alive = ScratchCache.persist(
+      und.select($"a".as("v")).unionAll(und.select($"b".as("v"))).distinct())
+    var edges = und
+    val rows = collection.mutable.Buffer.empty[DataFrame]
+    for (i <- 0 to CoreRounds) {
+      rows += alive.agg(count(lit(1)).as("n_alive"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(i.toLong).as("round"), $"n_alive", $"n_edges")
+      if (i < CoreRounds) {
+        val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+        alive = ScratchCache.persist(deg.filter($"deg" >= CoreK).select($"v"))
+        edges = ScratchCache.persist(und
+          .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select($"a", $"b"))
+      }
+    }
+    rows.reduce(_ unionAll _).orderBy($"round")
+  }
+  private val q155Sql = {
+    val rounds = (1 to CoreRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT v FROM (
+         |    SELECT v, count(*) AS deg
+         |    FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |    GROUP BY v
+         |  ) WHERE deg >= $CoreK
+         |),
+         |e$i AS (
+         |  SELECT a, b FROM und
+         |  WHERE a IN (SELECT v FROM d$i) AND b IN (SELECT v FROM d$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to CoreRounds).map { i =>
+      val (av, ev) = if (i == 0) ("a0", "e0") else (s"d$i", s"e$i")
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $av) AS n_alive,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $ev) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH links AS (
+       |$linksSql
+       |), und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM links
+       |), a0 AS (
+       |  SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+       |), e0 AS (SELECT a, b FROM und),
+       |$rounds
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_reverse_links" -> q132,
     "q133_pagerank" -> q133,
     "q143_triangle_count" -> q143,
+    "q155_kcore" -> q155,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q132_reverse_links" -> q132Sql,
     "q133_pagerank" -> q133Sql,
     "q143_triangle_count" -> q143Sql,
+    "q155_kcore" -> q155Sql,
   )
 }
