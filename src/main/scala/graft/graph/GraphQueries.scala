@@ -213,35 +213,65 @@ object GraphQueries extends QueryCatalog {
        |       (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles""".stripMargin
 
   // ---------------------------------------------------------------- q155
-  /** k-core peeling (k = 3, 8 fixed rounds) — the graph-curation
+  /** k-core peeling (k = 4, 8 fixed rounds) — the graph-curation
     * density filter (spam/link-farm analysis, community seeding):
     * repeatedly drop every node with fewer than k surviving undirected
-    * neighbors; what remains is the 3-core. Output is the peeling
-    * TRAJECTORY — (round, n_alive, n_edges) for rounds 0..8 — which
-    * shows both the core size and how fast the periphery cascades off
-    * (each dropped leaf can strand its parent below k, so long chains
-    * peel one round per hop — exactly this graph's i→i/2 tails).
-    * Fixed round count keeps both engines bit-identical; convergence
-    * is visible in the data (n_alive flat between rounds 7 and 8) and
-    * peeling is monotone, so equal consecutive counts ⇔ a fixpoint.
+    * neighbors; what remains is the 4-core. The synthesized link graph
+    * alone has min-degree 3 everywhere (every doc emits 3 out-links)
+    * and NO stable 4-core — its i→i/2 chains halve away round after
+    * round — so q155 additionally plants a 10-node CLIQUE on docs 0–9
+    * (the "link farm" the density filter exists to find; 45 edges,
+    * same deterministic expression in both engines). Output is the
+    * peeling TRAJECTORY — (round, n_alive, n_edges) for rounds 0..8 —
+    * which shows the periphery cascading off (each dropped node can
+    * strand its neighbors below k, so the chain tails peel one level
+    * per round: n_alive halves) until only the planted clique
+    * survives. Fixed round count keeps both engines bit-identical;
+    * peeling is monotone, so equal consecutive counts ⇔ a fixpoint
+    * (flat at (10 nodes, 45 edges) from round 6 on the sf0.001
+    * fixture).
     *
     * Scale shape: the [[graft.dedup.ConnectedComponents]] loop
     * discipline — every round is two id-keyed semi-joins (edges
-    * restricted to survivors) plus one degree aggregate, each round's
-    * survivor and edge frames PERSISTED before reuse (alive_i feeds
-    * three consumers per round; unpersisted, the recompute tree is
-    * 2^rounds) — and the per-round outputs are 1-row aggregates
-    * unioned lazily into a single job, no driver-side collect per
-    * round. */
-  private val CoreK = 3L
+    * restricted to survivors) plus one degree aggregate, and each
+    * round's survivor and edge frames are EAGERLY `localCheckpoint`ed
+    * before reuse. Lazy `persist()` is NOT enough here: it caches
+    * blocks but leaves the logical plan intact, and round i's edges
+    * plan embeds round i's alive plan twice (the two semi-joins) while
+    * alive embeds round i−1's edges — so the un-truncated plan nests
+    * ~2^rounds copies and the ANALYZER's clone walk hangs the driver
+    * before a single task launches (the round-12 failure: 300+ s of
+    * plan-clone CPU at construction). Checkpointing replaces each
+    * round's lineage with its materialized rows, so every plan built on
+    * top is constant-size — the scale-limiting resource in iterative
+    * DataFrame algorithms is the DRIVER's plan, which no cluster size
+    * fixes. The per-round outputs stay lazy 1-row aggregates over the
+    * checkpointed frames (9 constant-size plans unioned into one final
+    * job — no driver-side collect per round); construction therefore
+    * runs the peeling jobs eagerly, like every other artifact-building
+    * catalog query. */
+  private val CoreK = 4L
   private val CoreRounds = 8
+  private val CliqueN = 10
   private def q155(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the planted link farm: all 45 pairs over docs 0..9 — two 10-row
+    // range leaves, broadcast-joined; a constant-size frame at any SF
+    val clique = s.range(CliqueN).toDF("a")
+      .crossJoin(s.range(CliqueN).toDF("b")).filter($"a" < $"b")
     val und = ScratchCache.persist(linksOf(s, dir)
       .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .unionAll(clique)
       .distinct())
-    var alive = ScratchCache.persist(
-      und.select($"a".as("v")).unionAll(und.select($"b".as("v"))).distinct())
+    // localCheckpoint (EAGER) per round, never bare persist: see the
+    // scaladoc — persist caches blocks but the plan still nests
+    // 2^rounds deep and analysis hangs the driver. After each
+    // checkpoint the frame is a LogicalRDD leaf, so every downstream
+    // plan is constant-size. Checkpointed RDD blocks are freed by the
+    // ContextCleaner once the returned frame is dropped (same lifetime
+    // story as ConnectedComponents' rounds).
+    var alive = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
+      .distinct().localCheckpoint()
     var edges = und
     val rows = collection.mutable.Buffer.empty[DataFrame]
     for (i <- 0 to CoreRounds) {
@@ -251,25 +281,31 @@ object GraphQueries extends QueryCatalog {
       if (i < CoreRounds) {
         val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
           .groupBy($"v").agg(count(lit(1)).as("deg"))
-        alive = ScratchCache.persist(deg.filter($"deg" >= CoreK).select($"v"))
-        edges = ScratchCache.persist(und
+        alive = deg.filter($"deg" >= CoreK).select($"v").localCheckpoint()
+        edges = und
           .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .select($"a", $"b"))
+          .select($"a", $"b").localCheckpoint()
       }
     }
     rows.reduce(_ unionAll _).orderBy($"round")
   }
+  // Every recursive CTE level is MATERIALIZED: DuckDB inlines plain
+  // CTEs at each reference, and each level references the previous one
+  // 2–3 times, so the un-materialized plan nests ~2^rounds copies of
+  // `und` (measured: 8 rounds exhausts the fd limit opening the same
+  // parquet file thousands of times) — the exact blowup the Spark side
+  // solves with localCheckpoint, solved the DuckDB way.
   private val q155Sql = {
     val rounds = (1 to CoreRounds).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT v FROM (
          |    SELECT v, count(*) AS deg
          |    FROM (SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
          |    GROUP BY v
          |  ) WHERE deg >= $CoreK
          |),
-         |e$i AS (
+         |e$i AS MATERIALIZED (
          |  SELECT a, b FROM und
          |  WHERE a IN (SELECT v FROM d$i) AND b IN (SELECT v FROM d$i)
          |)""".stripMargin
@@ -282,11 +318,16 @@ object GraphQueries extends QueryCatalog {
     }.mkString("\nUNION ALL\n")
     s"""WITH links AS (
        |$linksSql
-       |), und AS (
-       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM links
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM links
+       |    UNION ALL
+       |    SELECT x.range AS a, y.range AS b
+       |    FROM range($CliqueN) x, range($CliqueN) y WHERE x.range < y.range
+       |  )
        |), a0 AS (
        |  SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
-       |), e0 AS (SELECT a, b FROM und),
+       |), e0 AS MATERIALIZED (SELECT a, b FROM und),
        |$rounds
        |$rows
        |ORDER BY round""".stripMargin

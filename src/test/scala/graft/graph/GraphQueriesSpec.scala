@@ -63,6 +63,51 @@ class GraphQueriesSpec extends SparkTestBase {
     assert(top.getAs[Long]("rank") > 2L * 150000L, "hub rank should clear the floor decisively")
   }
 
+  test("q155: k-core peeling trajectory matches a brute-force oracle; plan stays constant-size") {
+    assume(fixture)
+    val df = GraphQueries.queries("q155_kcore")(spark, dir)
+    // the round-12 regression this spec exists to prevent: without an
+    // eager localCheckpoint per peeling round the analyzed plan nests
+    // ~2^rounds copies of the graph pipeline and CONSTRUCTION alone
+    // hangs the driver. Checkpointed rounds leave LogicalRDD leaves, so
+    // the whole 9-round trajectory plan has ~18 leaves; the unbounded
+    // version has thousands (when it finishes analyzing at all).
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    assert(leaves.size <= 40, s"plan has ${leaves.size} leaves — lineage not truncated per round")
+    val out = df.collect()
+    graft.core.ScratchCache.drain()
+    // brute-force peel on the fixture graph (k = 4, 8 rounds, planted
+    // 10-clique "link farm" on docs 0..9 — q155's own addition)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val und = docs.flatMap(i => Seq(i / 2, i / 3, i % 7).filter(_ != i)
+      .map(j => (math.min(i, j), math.max(i, j)))).toSet ++
+      (for (a <- 0L until 10L; b <- a + 1 until 10L) yield (a, b))
+    var alive = und.flatMap { case (a, b) => Seq(a, b) }
+    var edges = und
+    val expected = (0 to 8).map { i =>
+      val row = (i.toLong, alive.size.toLong, edges.size.toLong)
+      if (i < 8) {
+        val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (v, vs) => v -> vs.size }
+        alive = deg.filter(_._2 >= 4).keySet.toSet
+        edges = edges.filter { case (a, b) => alive(a) && alive(b) }
+      }
+      row
+    }
+    val got = out.map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_alive"), r.getAs[Long]("n_edges"))).toSeq
+    assert(got == expected, s"trajectory mismatch:\n got $got\n exp $expected")
+    // peeling is monotone and this graph's periphery cascades per
+    // round until only the planted clique remains: the 4-core IS the
+    // link farm, found exactly
+    val aliveSeq = got.map(_._2)
+    assert(aliveSeq.zip(aliveSeq.tail).forall { case (x, y) => y <= x }, "n_alive must be non-increasing")
+    assert(aliveSeq.head > aliveSeq.last, "peeling should drop the sub-4-core periphery")
+    assert(aliveSeq(7) == aliveSeq(8), "trajectory should reach its fixpoint by round 7 on the fixture")
+    assert(got.last == ((8L, 10L, 45L)),
+      "the 4-core on the sf0.001 fixture is exactly the planted 10-clique")
+  }
+
   test("q143: triangle count matches a brute-force oracle; orientation bounds the wedges") {
     assume(fixture)
     val out = GraphQueries.queries("q143_triangle_count")(spark, dir).collect().head
