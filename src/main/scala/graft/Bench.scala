@@ -103,9 +103,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // NonFatal: a query failure is a per-query "failed" entry; a fatal
+    // error must abort the bench rather than keep timing in a broken JVM
     def runNoop(name: String): Boolean =
       try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       finally ScratchCache.drain()
 
     def timeOne(name: String): (Double, Boolean) = {
@@ -127,14 +130,19 @@ object Bench {
     // full analyzer+resolver pass without executing the query.
     val allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
-    // NonFatal only: a fatal error (OOM, linkage) during preflight must
-    // abort the run, not be recorded as a per-query analysis failure
-    // while the bench keeps timing queries in a corrupted JVM — the
-    // exact contamination the preflight exists to prevent.
+    // Preflight.bounded gives each construction+analysis a time budget
+    // (r12 lesson: a builder that never RETURNS — q155's un-checkpointed
+    // plan spun the analyzer — starved the whole bench; exceptions were
+    // already handled, hangs were not). A timed-out builder becomes a
+    // named preflight_failed entry and the sweep continues. NonFatal
+    // only (inside bounded): a fatal error (OOM, linkage) during
+    // preflight must abort the run, not be recorded as a per-query
+    // analysis failure while the bench keeps timing queries in a
+    // corrupted JVM — the exact contamination the preflight exists to
+    // prevent.
     def analyzeErr(name: String): Option[(String, String)] =
-      try { SparkEntry.queries(name)(spark, sfDir).schema; None }
-      catch { case scala.util.control.NonFatal(e) =>
-        Some(name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)) }
+      try graft.core.Preflight.bounded(name) { SparkEntry.queries(name)(spark, sfDir).schema; () }
+        .left.toOption.map(m => name -> m.take(300))
       finally ScratchCache.drain()
     // q94 constructs against the sigstore artifact (q75/q100 against
     // the cluster-label artifact) and triggers its lazy build —
@@ -269,7 +277,7 @@ object Bench {
             })
             .toSeq.sortBy(_._1).lastOption.map(_._2)
           finally stream.close()
-        } catch { case _: Throwable => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
       explicit.orElse(discovered).flatMap { p =>
         try {
           var root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
@@ -280,7 +288,7 @@ object Bench {
             None
           } else Option(root.get("queries")).map(_.properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble).filter(_._2 > 0).toMap)
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] prior bench unreadable ($p): ${e.getMessage}"); None }
       }.getOrElse(Map.empty)
     }

@@ -16,14 +16,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query time budget (construction + execution + write), r12
+    // lesson: one builder that never returns must become ONE failed
+    // entry, not zero the whole correctness artifact. On timeout the
+    // query's job group is cancelled so its half-run Spark jobs don't
+    // keep competing with the remaining sweep; NonFatal exceptions stay
+    // per-query failures, fatal errors abort the run (Preflight
+    // rethrows them).
+    val timeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "600").toLong * 1000L
+    val sc = spark.sparkContext
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally graft.core.ScratchCache.drain()
+      graft.core.Preflight.bounded(name, timeoutMs,
+          onTimeout = () => sc.cancelJobGroup(s"verify-$name")) {
+        sc.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally sc.clearJobGroup()
+      }.left.foreach(m => System.err.println(s"[verify] $name failed: $m"))
+      graft.core.ScratchCache.drain()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -75,11 +75,11 @@ object LayoutQueries extends QueryCatalog {
   def ensureBucketStore(s: SparkSession, dir: String): (String, String) = {
     val key = s"${System.identityHashCode(s)}|$dir"
     bucketStores.computeIfAbsent(key, _ => {
-      val slug = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val base = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
-        .resolve(s"graft-bktstore-$slug")
+      // path + table names unique per (process, session, corpus) via
+      // Scratch — the 32-bit dir-only slug let two concurrent runners
+      // (or two colliding dirs) overwrite a store mid-read
+      val slug = graft.core.Scratch.slug(key)
+      val base = java.nio.file.Paths.get(graft.core.Scratch.storePath("bktstore", key))
       java.nio.file.Files.createDirectories(base)
       val oTbl = s"graft_bkt_orders_$slug"
       val lTbl = s"graft_bkt_lineitem_$slug"
@@ -356,36 +356,43 @@ object LayoutQueries extends QueryCatalog {
     * scanning the corpus — pruning happens at file LISTING, before a
     * single row or footer is read, which is the difference between
     * touching 1/30th of the lake and touching all of it. The probe day
-    * is data-derived (min date + 14, a 1-row planning probe — the
-    * q107/q127 discipline) so the query scales with any fixture span;
+    * is data-derived (min date + 14) so the query scales with any
+    * fixture span, and it is computed once AT STORE-BUILD TIME and
+    * memoized alongside the path — min() over the store has no
+    * metadata-only path, so probing per query would re-scan every
+    * partition inside the very measurement meant to show a one-day
+    * read;
     * LayoutSpec pins the mechanics: the scan's PartitionFilters are
     * non-empty and it reads only the one day's files. Like q134, the
     * one-off partitioned ingest is memoized per (session, corpus) and
     * Bench times it separately (q151_partstore_build) — the write-time
     * cost a lake pays once for every later day-scoped read. */
-  private val partStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val partStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, java.sql.Date)]()
 
-  def ensurePartStore(s: SparkSession, dir: String): String = {
+  /** Returns (store path, probe day = min event date + 14). The probe
+    * day is computed ONCE at store-build time — it is a property of
+    * the ingested corpus, and deriving it inside q151 re-listed and
+    * min-scanned every partition of the store on every timed run
+    * (there is no metadata-only min() path), which diluted the
+    * "day-scoped read lists one directory" measurement the query
+    * exists to make. */
+  def ensurePartStore(s: SparkSession, dir: String): (String, java.sql.Date) = {
     val key = s"${System.identityHashCode(s)}|$dir"
     partStores.computeIfAbsent(key, _ => {
-      val slug = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val path = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
-        .resolve(s"graft-partstore-$slug").toString
-      Tables.events(s, dir)
-        .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(path)
-      path
+      import s.implicits._
+      val path = graft.core.Scratch.storePath("partstore", key)
+      val ev = Tables.events(s, dir).withColumn("event_date", to_date(col("ts")))
+      ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+      val day0 = ev.agg(min($"event_date")).head.getDate(0) // build-time, once
+      (path, java.sql.Date.valueOf(day0.toLocalDate.plusDays(14)))
     })
   }
 
   def q151(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = s.read.parquet(ensurePartStore(s, dir))
-    // 1-row planning probe over partition metadata only
-    val day0 = store.agg(min($"event_date")).head.getDate(0)
-    val day = java.sql.Date.valueOf(day0.toLocalDate.plusDays(14))
+    val (path, day) = ensurePartStore(s, dir)
+    val store = s.read.parquet(path)
     store.filter($"event_date" === lit(day))
       .groupBy($"event_date", $"event_type")
       .agg(count(lit(1)).as("n"), Det.moneySum($"value").as("sum_value"))
@@ -426,11 +433,7 @@ object LayoutQueries extends QueryCatalog {
     val key = s"${System.identityHashCode(s)}|$dir"
     aggStores.computeIfAbsent(key, _ => {
       import s.implicits._
-      val slug = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val path = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
-        .resolve(s"graft-aggstore-$slug").toString
+      val path = graft.core.Scratch.storePath("aggstore", key)
       val ev = Tables.events(s, dir)
       val day0 = ev.agg(min(to_date($"ts"))).head.getDate(0) // 1-row planning probe
       val hist = java.sql.Timestamp.valueOf(
@@ -652,11 +655,7 @@ object LayoutQueries extends QueryCatalog {
     val key = s"${System.identityHashCode(s)}|$dir"
     evoStores.computeIfAbsent(key, _ => {
       import s.implicits._
-      val slug = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-      val base = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
-        .resolve(s"graft-evostore-$slug")
+      val base = java.nio.file.Paths.get(graft.core.Scratch.storePath("evostore", key))
       java.nio.file.Files.createDirectories(base)
       val orders = Tables.orders(s, dir)
         .select($"o_orderkey", $"o_orderpriority",

@@ -37,12 +37,17 @@ class QueryCatalogContractSpec extends SparkTestBase {
 
   test("no catalog output column is array/map/struct typed (driver hashability)") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineitem.parquet")))
+    // bounded per query (r12: one never-returning builder hung this
+    // very test along with Bench/Verify) — a hang or error here is a
+    // NAMED offender, not a dead suite
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val schema: StructType = fn(spark, dir).schema // analysis only
-      schema.fields.collect {
-        case f if f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+      graft.core.Preflight.bounded(name) { fn(spark, dir).schema } match {
+        case Left(msg) => Seq(s"$name: builder failed preflight: $msg")
+        case Right(schema: StructType) => schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+        }.toSeq
       }
     }
     assert(offenders.isEmpty,

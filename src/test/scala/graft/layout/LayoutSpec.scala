@@ -209,7 +209,7 @@ class LayoutSpec extends SparkTestBase {
     val scan = scans.head
     assert(scan.partitionFilters.nonEmpty,
       s"event_date filter must be a PARTITION filter, got:\n${scan.metadata}")
-    val storePath = LayoutQueries.ensurePartStore(spark, dir)
+    val (storePath, _) = LayoutQueries.ensurePartStore(spark, dir)
     val totalDays = new java.io.File(storePath).listFiles()
       .count(_.getName.startsWith("event_date="))
     val scannedFiles = scan.metrics("numFiles").value

@@ -33,15 +33,33 @@ class NullAwareAntiJoinSpec extends SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/customer.parquet")))
     val df = RelQueries.queries("q147_not_in_null_aware")(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("nullaware") || plan.contains("LeftAnti"),
-      s"expected a null-aware anti join, plan:\n$plan")
-    // NOT IN must have been planned null-aware, not rewritten to a plain
-    // anti join: the join condition carries the isnull disjunct OR the
-    // physical node the flag (representation differs across plans)
-    val logical = df.queryExecution.optimizedPlan.toString
-    assert(logical.contains("isnull") || plan.contains(", true"),
-      s"expected null-aware handling in:\n$logical\n$plan")
+    // Pin the EXECUTED plan node itself, not a substring: the old
+    // `contains("LeftAnti") || contains(", true")` assertions were
+    // satisfied by the plain LeftAnti plan this spec exists to rule
+    // out. The NOT IN must plan as a BroadcastHashJoinExec with
+    // joinType LeftAnti AND isNullAwareAntiJoin = true — Spark's
+    // single-key null-aware anti-join strategy.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wrappers are leaves to TreeNode traversal — descend into the
+    // finalized plan and each query stage's wrapped plan explicitly
+    def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case _                        => p.children
+      }
+      p +: (kids ++ p.subqueries).flatMap(collectPlan)
+    }
+    df.collect() // materialize so AQE finalizes the physical plan
+    val joins = collectPlan(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.exists(j => j.joinType == LeftAnti && j.isNullAwareAntiJoin),
+      s"expected a null-aware LeftAnti BroadcastHashJoinExec, got: " +
+        joins.map(j => s"(${j.joinType}, nullAware=${j.isNullAwareAntiJoin})").mkString(", ") +
+        s"\n${df.queryExecution.executedPlan}")
     val got = df.collect().map(_.getLong(0)).toSeq
     val custs = spark.read.parquet(s"$dir/customer.parquet")
       .select("c_custkey").collect().map(_.getLong(0)).toSet
