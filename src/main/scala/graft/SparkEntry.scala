@@ -20,6 +20,7 @@ object SparkEntry {
     multimodal.MultimodalQueries,
     graph.GraphQueries,
     layout.LayoutQueries,
+    ingest.IngestQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -50,7 +50,7 @@ object UrlCanon {
   /** Deterministic raw-URL synthesis over (doc_id, source) — shared
     * verbatim by engine and oracle. Hex-digit comparisons against the
     * doc's md5 drive every noise dimension independently. */
-  private[dedup] val rawUrlSql: String = {
+  private[graft] val rawUrlSql: String = {
     val h = "md5('url|' || doc_id)"
     s"""(CASE WHEN substring($h, 1, 1) < '8' THEN 'https://' ELSE 'http://' END
        | || CASE WHEN substring($h, 2, 1) < '4' THEN 'WWW.' ELSE '' END
@@ -73,35 +73,35 @@ object UrlCanon {
 
   /** Scheme and fragment stripped — the working form the host/path/
     * param extractors below operate on. */
-  private[dedup] def strippedSql(raw: String): String =
+  private[graft] def strippedSql(raw: String): String =
     s"regexp_replace(regexp_replace($raw, '^[a-z]+://', ''), '#.*$$', '')"
 
   /** Canonical host from the stripped form: lowercased, `www.` and
     * explicit port removed. */
-  private[dedup] def hostSql(u: String): String =
+  private[graft] def hostSql(u: String): String =
     s"regexp_replace(regexp_replace(lower(regexp_extract($u, '^([^/?]+)', 1)), '^www[.]', ''), ':[0-9]+$$', '')"
 
   /** Canonical path: trailing slashes stripped (`/p/3/` ≡ `/p/3`,
     * bare `/` ≡ empty). */
-  private[dedup] def pathSql(u: String): String =
+  private[graft] def pathSql(u: String): String =
     s"regexp_replace(regexp_extract($u, '^[^/?]+([^?]*)', 1), '/+$$', '')"
 
   /** The meaningful query param, dropped-tracking and order-normalized:
     * only `id=<n>` survives canonicalization. */
-  private[dedup] def idParamSql(u: String): String =
+  private[graft] def idParamSql(u: String): String =
     s"regexp_extract($u, '[?&](id=[0-9]+)', 1)"
 
   /** Registered domain via the simplified public-suffix heuristic. */
-  private[dedup] def domainSql(host: String): String =
+  private[graft] def domainSql(host: String): String =
     s"""coalesce(nullif(regexp_extract($host, '([^.]+[.](?:co|com|net|org|ac|gov)[.][a-z]+)$$', 1), ''),
        | regexp_extract($host, '([^.]+[.][^.]+)$$', 1))""".stripMargin.replace("\n", "")
 
-  private def canonSql(host: String, path: String, idp: String): String =
+  private[graft] def canonSql(host: String, path: String, idp: String): String =
     s"($host || $path || CASE WHEN $idp <> '' THEN '?' || $idp ELSE '' END)"
 
-  private val policySql =
+  private[graft] val policySql =
     "CASE WHEN substring(md5('policy|' || domain), 1, 1) < '8' THEN 'by_url' ELSE 'by_text' END"
-  private val keySql =
+  private[graft] val keySql =
     "CASE WHEN policy = 'by_url' THEN canon_url ELSE md5(text) END"
 
   def q129(s: SparkSession, dir: String): DataFrame = {

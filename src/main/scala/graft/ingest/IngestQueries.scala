@@ -1,0 +1,248 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Det, QueryCatalog, Scratch, Tables}
+import graft.dedup.UrlCanon
+
+/** Raw crawl ingest — the one shape a 100 TB curation pipeline hits
+  * BEFORE every other stage in this catalog: semi-structured text
+  * dumps (WARC/WET-style JSON-lines, CSV exports) with real-world
+  * corruption (truncated records, type garbage), read tolerantly so
+  * one bad line quarantines ONE row instead of failing the scan.
+  * Heritage: the reference engine's only input format is raw text
+  * lines split across workers (`include/MapReduceMaster.h:182-213`,
+  * the per-worker file-chunk scan q30/O1 re-expresses); this module is
+  * that ingest path grown up — schema-on-read with PERMISSIVE
+  * corrupt-record capture (`columnNameOfCorruptRecord`), the
+  * Spark-native equivalent of the crawl loader every LLM data pipeline
+  * starts with.
+  *
+  * The raw store is DERIVED deterministically from the parquet corpus
+  * (documents → JSONL, orders → CSV) with corruption planted by
+  * md5-selector — both engines can therefore predict exactly which
+  * records are bad, so the DuckDB oracle recomputes every result from
+  * the base tables and the hash-match proves the parse ROUND-TRIPS:
+  * values survive render→corrupt→permissive-read bit-for-bit and the
+  * quarantine set is exactly the planted set.
+  *
+  * Scale shape: JSONL/CSV are line-splittable, so the scan
+  * parallelizes like any text source (no single-reader choke); parsing
+  * is map-side (corrupt capture included — no driver involvement, no
+  * exception churn); q156/q157 shuffle only final per-group partial
+  * aggregates, and column pruning reaches the PARSER (ReadSchema drops
+  * `text` when a query doesn't touch it — at 100 TB that is most of
+  * the bytes; IngestSpec pins it). q158 chains ingest into the q129
+  * canonicalization + per-(domain, key) dedup + quality gate: regex
+  * canon is map-side, then ONE exchange on (domain, key) and a
+  * domain-keyed roll-up — the key includes the url/content digest, so
+  * a single-domain flood spreads across tasks (q129's partitioning
+  * contract). */
+object IngestQueries extends QueryCatalog {
+
+  /** Planted-corruption selectors — shared verbatim with the oracle. */
+  private val jsonBadSql = "substring(md5('crlf|' || doc_id), 1, 1) = '0'"
+  private val csvBadSql = "substring(md5('csvbad|' || o_orderkey), 1, 1) = '0'"
+  /** q158's quality gate (chars), ~18% of the fixture below it. */
+  private val MinChars = 150L
+
+  /** One raw dump per (process, session, corpus): `jsonl/` renders each
+    * document as a JSON object line (truncated by one char — always
+    * the closing brace — for planted-bad docs, so the line is
+    * guaranteed malformed); `csv/` renders orders with type garbage
+    * ("N/A" in the DOUBLE price column) for planted-bad keys. */
+  private val rawStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def ensureRawStore(s: SparkSession, dir: String): (String, String) = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    rawStores.computeIfAbsent(key, _ => {
+      val base = java.nio.file.Paths.get(Scratch.storePath("rawstore", key))
+      val jsonlPath = base.resolve("jsonl").toString
+      val csvPath = base.resolve("csv").toString
+      val docs = Tables.documents(s, dir)
+        .selectExpr("doc_id", "text", "lang", "source", "n_chars",
+          s"${UrlCanon.rawUrlSql} AS url", s"$jsonBadSql AS bad")
+      // struct field order is the rendered field order; the reader
+      // binds by NAME, so order is presentation only
+      val lines = docs.withColumn("line", to_json(struct(
+          col("doc_id"), col("url"), col("lang"), col("source"),
+          col("n_chars"), col("text"))))
+        .select(when(col("bad"),
+            expr("substring(line, 1, length(line) - 1)")).otherwise(col("line"))
+          .as("value"))
+      lines.write.mode("overwrite").text(jsonlPath)
+      val orders = Tables.orders(s, dir)
+        .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority", s"$csvBadSql AS bad")
+      orders.select(concat_ws(",",
+          col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+          col("o_orderstatus"),
+          when(col("bad"), lit("N/A")).otherwise(col("o_totalprice").cast("string")),
+          col("o_orderpriority")).as("value"))
+        .write.mode("overwrite").text(csvPath)
+      (jsonlPath, csvPath)
+    })
+  }
+
+  private val jsonlSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("url", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType), StructField("text", StringType),
+    StructField("_corrupt", StringType)))
+
+  private def readJsonl(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(jsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(ensureRawStore(s, dir)._1)
+
+  private val csvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+    StructField("o_orderpriority", StringType), StructField("_corrupt", StringType)))
+
+  private def readCsv(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(csvSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(ensureRawStore(s, dir)._2)
+
+  // ---------------------------------------------------------------- q156
+  /** JSONL ingest roll-up: per-language doc counts + char volume over
+    * cleanly-parsed rows, with the quarantined (malformed) rows as one
+    * "(corrupt)" bucket. ONE pass — the corrupt branch rides the same
+    * scan as the parsed branch (a separate corrupt-only count would
+    * both rescan and trip Spark's corrupt-column-only restriction);
+    * the hash-match proves the quarantine set is exactly the planted
+    * set and every clean value round-tripped. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    readJsonl(s, dir)
+      .groupBy(when($"_corrupt".isNotNull, lit("(corrupt)"))
+        .otherwise($"lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"_corrupt".isNotNull, lit(0L)).otherwise($"n_chars")).as("sum_chars"))
+      .orderBy($"lang")
+  }
+  private val q156Sql =
+    s"""WITH sel AS (
+       |  SELECT lang, n_chars, $jsonBadSql AS bad FROM documents
+       |)
+       |SELECT CASE WHEN bad THEN '(corrupt)' ELSE lang END AS lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN bad THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q157
+  /** CSV ingest roll-up: per-priority order counts + exact-decimal
+    * revenue over cleanly-parsed rows, type-garbage rows ("N/A" where
+    * a DOUBLE belongs) quarantined into "(corrupt)". Proves the
+    * numeric round-trip: double → string render → schema'd CSV read →
+    * Det.moneySum matches the oracle's direct aggregation of the base
+    * table bit-for-bit. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    readCsv(s, dir)
+      .groupBy(when($"_corrupt".isNotNull, lit("(corrupt)"))
+        .otherwise($"o_orderpriority").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.moneySum(when($"_corrupt".isNotNull, lit(0.0)).otherwise($"o_totalprice"))
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q157Sql =
+    s"""WITH sel AS (
+       |  SELECT o_orderpriority, o_totalprice, $csvBadSql AS bad FROM orders
+       |)
+       |SELECT CASE WHEN bad THEN '(corrupt)' ELSE o_orderpriority END AS o_orderpriority,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlSum("CASE WHEN bad THEN 0.0 ELSE o_totalprice END")} AS revenue
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q158
+  /** End-to-end crawl admission: JSONL ingest → URL canonicalization
+    * (q129's exact fragments, applied to the INGESTED url string — the
+    * real pipeline order, parse first then canon) → per-(domain,
+    * policy-key) dedup keep-lowest → quality gate, rolled up per
+    * registered domain: admitted uniques, near-duplicate drops, and
+    * quality rejections. Corrupt lines never reach the chain (the
+    * quarantine IS the first filter). The oracle replays the whole
+    * chain from `documents` — hash equality proves parse + canon +
+    * dedup + gate all agree end to end. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chain = readJsonl(s, dir)
+      .filter($"_corrupt".isNull)
+      .selectExpr("doc_id", "text", "n_chars", s"${UrlCanon.strippedSql("url")} AS u")
+      .selectExpr("doc_id", "text", "n_chars",
+        s"${UrlCanon.hostSql("u")} AS host",
+        s"${UrlCanon.pathSql("u")} AS pathn",
+        s"${UrlCanon.idParamSql("u")} AS idp")
+      .selectExpr("doc_id", "text", "n_chars",
+        s"${UrlCanon.domainSql("host")} AS domain",
+        s"${UrlCanon.canonSql("host", "pathn", "idp")} AS canon_url")
+      .selectExpr("doc_id", "text", "n_chars", "domain", "canon_url",
+        s"${UrlCanon.policySql} AS policy")
+      .selectExpr("n_chars", "domain", s"${UrlCanon.keySql} AS key")
+      .withColumn("pass", $"n_chars" >= MinChars)
+    val perKey = chain.filter($"pass")
+      .groupBy($"domain", $"key").agg(count(lit(1)).as("cnt"))
+    val adm = perKey.groupBy($"domain")
+      .agg(count(lit(1)).as("n_admitted"), sum($"cnt" - 1).as("n_dup_dropped"))
+    val rej = chain.groupBy($"domain")
+      .agg(sum(when($"pass", 0L).otherwise(1L)).as("n_rejected"))
+    rej.join(adm, Seq("domain"), "left")
+      .na.fill(0L, Seq("n_admitted", "n_dup_dropped"))
+      .orderBy($"domain")
+  }
+  private val q158Sql = {
+    import UrlCanon._
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, n_chars FROM documents WHERE NOT ($jsonBadSql)
+       |), raw AS (
+       |  SELECT doc_id, text, n_chars, $rawUrlSql AS raw_url FROM docs
+       |), st AS (
+       |  SELECT doc_id, text, n_chars, ${strippedSql("raw_url")} AS u FROM raw
+       |), hp AS (
+       |  SELECT doc_id, text, n_chars, ${hostSql("u")} AS host,
+       |         ${pathSql("u")} AS pathn, ${idParamSql("u")} AS idp FROM st
+       |), cd AS (
+       |  SELECT doc_id, text, n_chars, ${domainSql("host")} AS domain,
+       |         ${canonSql("host", "pathn", "idp")} AS canon_url FROM hp
+       |), pol AS (
+       |  SELECT doc_id, text, n_chars, domain, canon_url, $policySql AS policy FROM cd
+       |), keyed AS (
+       |  SELECT n_chars, domain, $keySql AS key FROM pol
+       |), flags AS (
+       |  SELECT domain, key, n_chars >= $MinChars AS pass FROM keyed
+       |), perkey AS (
+       |  SELECT domain, key, count(*) AS cnt FROM flags WHERE pass GROUP BY domain, key
+       |), adm AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_admitted,
+       |         CAST(sum(cnt - 1) AS BIGINT) AS n_dup_dropped
+       |  FROM perkey GROUP BY domain
+       |), rej AS (
+       |  SELECT domain,
+       |         CAST(count(*) FILTER (WHERE NOT pass) AS BIGINT) AS n_rejected
+       |  FROM flags GROUP BY domain
+       |)
+       |SELECT rej.domain, CAST(coalesce(n_admitted, 0) AS BIGINT) AS n_admitted,
+       |  CAST(coalesce(n_dup_dropped, 0) AS BIGINT) AS n_dup_dropped, n_rejected
+       |FROM rej LEFT JOIN adm ON rej.domain = adm.domain
+       |ORDER BY rej.domain""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_jsonl_ingest" -> q156,
+    "q157_csv_ingest" -> q157,
+    "q158_crawl_admission" -> q158,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q156_jsonl_ingest" -> q156Sql,
+    "q157_csv_ingest" -> q157Sql,
+    "q158_crawl_admission" -> q158Sql,
+  )
+}
