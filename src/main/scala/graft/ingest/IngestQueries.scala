@@ -44,13 +44,23 @@ object IngestQueries extends QueryCatalog {
   /** Planted-corruption selectors — shared verbatim with the oracle. */
   private val jsonBadSql = "substring(md5('crlf|' || doc_id), 1, 1) = '0'"
   private val csvBadSql = "substring(md5('csvbad|' || o_orderkey), 1, 1) = '0'"
+  /** Planted-RECRAWL selector: ~1/16 of clean docs get a second JSONL
+    * line whose url differs only by a `#dup` fragment — the real-world
+    * duplicate shape (the same page fetched twice with URL noise).
+    * Canonicalization strips fragments, so both lines collapse to one
+    * (domain, key) — without this the fixture's doc_id arithmetic
+    * (collision needs agreement mod lcm(7,41,5)=1435, > corpus size)
+    * makes q158's dedup stage structurally vacuous at test SFs. */
+  private val dupSelSql = "substring(md5('dup|' || doc_id), 1, 1) = '0'"
   /** q158's quality gate (chars), ~18% of the fixture below it. */
   private val MinChars = 150L
 
   /** One raw dump per (process, session, corpus): `jsonl/` renders each
     * document as a JSON object line (truncated by one char — always
     * the closing brace — for planted-bad docs, so the line is
-    * guaranteed malformed); `csv/` renders orders with type garbage
+    * guaranteed malformed), plus one RECRAWL line per planted-dup doc
+    * (url + '#dup', exercising fragment-stripping canonicalization and
+    * q158's dedup stage); `csv/` renders orders with type garbage
     * ("N/A" in the DOUBLE price column) for planted-bad keys. */
   private val rawStores =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
@@ -63,19 +73,38 @@ object IngestQueries extends QueryCatalog {
       val csvPath = base.resolve("csv").toString
       val docs = Tables.documents(s, dir)
         .selectExpr("doc_id", "text", "lang", "source", "n_chars",
-          s"${UrlCanon.rawUrlSql} AS url", s"$jsonBadSql AS bad")
+          s"${UrlCanon.rawUrlSql} AS url", s"$jsonBadSql AS bad",
+          s"$dupSelSql AS dup")
       // struct field order is the rendered field order; the reader
       // binds by NAME, so order is presentation only
-      val lines = docs.withColumn("line", to_json(struct(
-          col("doc_id"), col("url"), col("lang"), col("source"),
-          col("n_chars"), col("text"))))
+      def render(d: DataFrame) = d.withColumn("line", to_json(struct(
+        col("doc_id"), col("url"), col("lang"), col("source"),
+        col("n_chars"), col("text"))))
+      val originals = render(docs)
         .select(when(col("bad"),
             expr("substring(line, 1, length(line) - 1)")).otherwise(col("line"))
           .as("value"))
-      lines.write.mode("overwrite").text(jsonlPath)
+      // recrawls: a clean second fetch of the same page, raw url noisier
+      // by one fragment (stripped by canonicalization → same dedup key)
+      val recrawls = render(docs.filter(!col("bad") && col("dup"))
+          .withColumn("url", concat(col("url"), lit("#dup"))))
+        .select(col("line").as("value"))
+      originals.unionAll(recrawls).write.mode("overwrite").text(jsonlPath)
       val orders = Tables.orders(s, dir)
         .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice", "o_orderpriority", s"$csvBadSql AS bad")
+      // render guard (r13 advice): concat_ws silently SKIPS null
+      // columns — a null would shift fields left and mis-parse the row
+      // into unplanned quarantine — and the unquoted render breaks on
+      // embedded commas. Fail loudly at build time instead.
+      val badRender = orders.filter(
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority").map(col(_).isNull).reduce(_ || _) ||
+          col("o_orderstatus").contains(",") || col("o_orderpriority").contains(","))
+        .count()
+      require(badRender == 0,
+        s"$badRender orders rows have null or comma-bearing render columns — " +
+          "the unquoted CSV render would silently mis-parse them")
       orders.select(concat_ws(",",
           col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
           col("o_orderstatus"),
@@ -129,6 +158,9 @@ object IngestQueries extends QueryCatalog {
   private val q156Sql =
     s"""WITH sel AS (
        |  SELECT lang, n_chars, $jsonBadSql AS bad FROM documents
+       |  UNION ALL
+       |  SELECT lang, n_chars, FALSE AS bad FROM documents
+       |  WHERE NOT ($jsonBadSql) AND $dupSelSql
        |)
        |SELECT CASE WHEN bad THEN '(corrupt)' ELSE lang END AS lang,
        |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -195,12 +227,19 @@ object IngestQueries extends QueryCatalog {
       .agg(sum(when($"pass", 0L).otherwise(1L)).as("n_rejected"))
     rej.join(adm, Seq("domain"), "left")
       .na.fill(0L, Seq("n_admitted", "n_dup_dropped"))
+      // explicit final projection so engine and oracle agree positionally
+      .select($"domain", $"n_admitted", $"n_dup_dropped", $"n_rejected")
       .orderBy($"domain")
   }
   private val q158Sql = {
     import UrlCanon._
     s"""WITH docs AS (
-       |  SELECT doc_id, text, n_chars FROM documents WHERE NOT ($jsonBadSql)
+       |  SELECT doc_id, text, n_chars, source FROM documents WHERE NOT ($jsonBadSql)
+       |  UNION ALL
+       |  -- planted recrawls: same page, url differs only by a fragment
+       |  -- the canon strips, so the replay can reuse the base raw_url
+       |  SELECT doc_id, text, n_chars, source FROM documents
+       |  WHERE NOT ($jsonBadSql) AND $dupSelSql
        |), raw AS (
        |  SELECT doc_id, text, n_chars, $rawUrlSql AS raw_url FROM docs
        |), st AS (

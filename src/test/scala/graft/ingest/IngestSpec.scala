@@ -20,6 +20,7 @@ class IngestSpec extends SparkTestBase {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   private def jsonBad(docId: Long) = md5hex(s"crlf|$docId").head == '0'
   private def csvBad(okey: Long) = md5hex(s"csvbad|$okey").head == '0'
+  private def dupSel(docId: Long) = md5hex(s"dup|$docId").head == '0'
 
   test("jsonl quarantine is exactly the planted corrupt set; clean docs all parse") {
     assume(fixture)
@@ -32,10 +33,18 @@ class IngestSpec extends SparkTestBase {
     assert(corrupt.count() == planted.size.toLong)
     // a malformed line parses NO fields — the whole row is quarantined
     assert(corrupt.filter(col("doc_id").isNotNull).count() == 0)
-    val goodIds = parsed.filter(col("_corrupt").isNull)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(goodIds == allIds -- planted,
+    val good = parsed.filter(col("_corrupt").isNull)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(good.toSet == allIds -- planted,
       "every non-planted doc must parse cleanly; every planted one must not")
+    // planted recrawls parse cleanly too: exactly one extra row per
+    // clean dup-planted doc, none for planted-corrupt docs
+    val dups = (allIds -- planted).filter(dupSel)
+    assert(dups.nonEmpty, "fixture must plant at least one recrawl")
+    assert(good.length.toLong == (allIds -- planted).size.toLong + dups.size,
+      "row count must be clean originals + one recrawl per dup-planted doc")
+    assert(good.groupBy(identity).collect { case (id, rs) if rs.length > 1 => id }
+      .toSet == dups, "doubly-parsed ids must be exactly the planted recrawls")
     parsed.unpersist()
   }
 
@@ -52,9 +61,15 @@ class IngestSpec extends SparkTestBase {
       val b = base(r.getAs[Long]("doc_id"))
       assert(r.getAs[String]("text") == b.getAs[String]("text"))
       assert(r.getAs[String]("lang") == b.getAs[String]("lang"))
-      assert(r.getAs[String]("url") == b.getAs[String]("url"))
+      // a recrawl line's raw url carries one extra '#dup' fragment
+      val u = r.getAs[String]("url")
+      assert(u == b.getAs[String]("url") || u == b.getAs[String]("url") + "#dup")
       assert(r.getAs[Long]("n_chars") == b.getAs[Long]("n_chars"))
     }
+    val dupUrls = good.filter(_.getAs[String]("url").endsWith("#dup"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(dupUrls == base.keySet.filter(id => !jsonBad(id) && dupSel(id)),
+      "'#dup' urls must be exactly the planted recrawl set")
   }
 
   test("csv type-garbage rows quarantine whole-row; clean rows keep exact doubles") {
@@ -112,12 +127,15 @@ class IngestSpec extends SparkTestBase {
       r.getAs[Long]("n_dup_dropped") + r.getAs[Long]("n_rejected")).sum
     val allIds = graft.core.Tables.documents(spark, dir)
       .select("doc_id").collect().map(_.getLong(0))
-    val goodDocs = allIds.count(id => !jsonBad(id)).toLong
-    assert(total == goodDocs,
-      s"accounting ($total) must tile the ${goodDocs} cleanly-parsed docs")
-    // at least one domain actually deduplicates and one rejects, or the
-    // chain is vacuous on the fixture
-    assert(out.map(_.getAs[Long]("n_dup_dropped")).sum > 0)
+    // parsed rows = clean originals + one planted recrawl per dup doc
+    val goodRows = allIds.count(id => !jsonBad(id)).toLong +
+      allIds.count(id => !jsonBad(id) && dupSel(id)).toLong
+    assert(total == goodRows,
+      s"accounting ($total) must tile the ${goodRows} cleanly-parsed rows")
+    // the dedup stage must actually fire: every planted recrawl that
+    // passes the gate collapses onto its original's (domain, key)
+    assert(out.map(_.getAs[Long]("n_dup_dropped")).sum > 0,
+      "planted recrawls must produce at least one dedup drop")
     assert(out.map(_.getAs[Long]("n_rejected")).sum > 0)
     assert(out.forall(r => r.getAs[Long]("n_admitted") >= 0))
   }
