@@ -140,9 +140,18 @@ object Bench {
     // analysis failure while the bench keeps timing queries in a
     // corrupted JVM — the exact contamination the preflight exists to
     // prevent.
+    // On timeout the builder's in-flight Spark jobs are cancelled via
+    // job group (as Verify does) — eager builders run real jobs at
+    // construction, and a timed-out build left running would compete
+    // with every subsequent timed sweep.
+    val sc = spark.sparkContext
     def analyzeErr(name: String): Option[(String, String)] =
-      try graft.core.Preflight.bounded(name) { SparkEntry.queries(name)(spark, sfDir).schema; () }
-        .left.toOption.map(m => name -> m.take(300))
+      try graft.core.Preflight.bounded(name,
+          onTimeout = () => sc.cancelJobGroup(s"bench-preflight-$name")) {
+          sc.setJobGroup(s"bench-preflight-$name", name, interruptOnCancel = true)
+          try { SparkEntry.queries(name)(spark, sfDir).schema; () }
+          finally sc.clearJobGroup()
+        }.left.toOption.map(m => name -> m.take(300))
       finally ScratchCache.drain()
     // q94 constructs against the sigstore artifact (q75/q100 against
     // the cluster-label artifact) and triggers its lazy build —
@@ -165,14 +174,24 @@ object Bench {
     // the artifact build marks q94 preflight-failed (visible in
     // BENCH_DETAIL) instead of crashing the whole bench before any
     // record is written.
+    // Builds get the same hang guard as the analysis preflight (r13
+    // advice: an unbounded artifact build that hangs starves the whole
+    // bench — the exact r12 failure mode). Budget is build-scale (these
+    // legitimately run sf-sized jobs), the body runs under a job group
+    // cancelled on timeout, and the dependent queries become named
+    // preflight_failed entries either way.
+    val buildTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_BUILD_TIMEOUT_SEC", "600").toLong * 1000L
     def timedBuild(markFailed: Seq[String], what: String)(build: => Unit): Double = {
       val t0 = System.nanoTime()
-      try build
-      catch { case scala.util.control.NonFatal(e) =>
-        markFailed.foreach(q => preflightFailed += (q ->
-          (s"$what build failed: " +
-            Option(e.getMessage).getOrElse(e.getClass.getName)).take(300))) }
-      finally ScratchCache.drain()
+      try {
+        graft.core.Preflight.bounded(s"build-$what", timeoutMs = buildTimeoutMs,
+            onTimeout = () => sc.cancelJobGroup(s"bench-build-$what")) {
+          sc.setJobGroup(s"bench-build-$what", what, interruptOnCancel = true)
+          try build finally sc.clearJobGroup()
+        }.left.foreach(m => markFailed.foreach(q => preflightFailed += (q ->
+          s"$what build failed: $m".take(300))))
+      } finally ScratchCache.drain()
       (System.nanoTime() - t0) / 1e9
     }
     val sigStoreBuildSec = timedBuild(Seq("q94_incremental_dedup"), "sigstore") {

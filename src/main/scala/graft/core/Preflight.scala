@@ -41,18 +41,45 @@ object Preflight {
   def defaultTimeoutMs: Long =
     sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_TIMEOUT_SEC", "120").toLong * 1000L
 
+  /** A fatal error (OOM, LinkageError) a body threw AFTER its caller
+    * gave up waiting — the caller can no longer rethrow it inline, so
+    * it is parked here and rethrown by the NEXT [[bounded]] call: the
+    * run aborts one query later instead of benching on indefinitely in
+    * a corrupted JVM (r13 advice — previously such an error was
+    * recorded in the never-re-read outcome and silently swallowed). */
+  private val escapedFatal =
+    new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+
+  /** Test hook only: clear a parked fatal so one spec's planted error
+    * cannot poison later suites in the same JVM. */
+  private[core] def resetEscapedFatal(): Unit = escapedFatal.set(null)
+
   def bounded[T](what: String, timeoutMs: Long = defaultTimeoutMs,
                  onTimeout: () => Unit = () => ())(body: => T): Either[String, T] = {
+    Option(escapedFatal.get()).foreach(throw _)
     @volatile var outcome: Option[Either[Throwable, T]] = None
     val t = new Thread(
-      { () => outcome = Some(try Right(body) catch { case e: Throwable => Left(e) }) }: Runnable,
+      { () =>
+        // JVM-corrupting errors are ALWAYS parked first (race-free vs
+        // the caller's timeout path); the inline rethrow below un-parks
+        // the one it delivers, so only a timed-out body's fatal stays
+        // parked. Only VirtualMachineError/LinkageError qualify — an
+        // InterruptedException here is the EXPECTED result of our own
+        // post-timeout interrupt, not contamination.
+        outcome = Some(try Right(body) catch { case e: Throwable =>
+          if (e.isInstanceOf[VirtualMachineError] || e.isInstanceOf[LinkageError])
+            escapedFatal.compareAndSet(null, e)
+          Left(e)
+        })
+      }: Runnable,
       s"graft-preflight-$what")
     t.setDaemon(true)
     t.start()
     t.join(timeoutMs)
     outcome match {
       case Some(Right(v))                 => Right(v)
-      case Some(Left(e)) if !NonFatal(e)  => throw e
+      case Some(Left(e)) if !NonFatal(e)  =>
+        escapedFatal.compareAndSet(e, null); throw e
       case Some(Left(e))                  =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName))
       case None =>

@@ -18,7 +18,12 @@ package graft.core
   *    murmur slug).
   * Cost: one store copy per (process, key) under the scratch root
   * (SPARK_GRAFT_SCRATCH, default java.io.tmpdir) instead of one per
-  * corpus — sf-scale artifacts in an ephemeral dir. */
+  * corpus — sf-scale artifacts in an ephemeral dir. Per-pid paths
+  * made the stores unreclaimable by name alone (the old fixed paths
+  * were at least reused), so reclamation is explicit (r13 advice):
+  * a shutdown hook deletes THIS process's trees, and the first
+  * storePath call sweeps trees whose embedded pid is dead — repeated
+  * rounds can't accumulate orphans from crashed or kill -9'd runs. */
 object Scratch {
   /** 16 hex chars of md5(memoKey) — also safe inside catalog table
     * names (letters/digits only). */
@@ -26,8 +31,56 @@ object Scratch {
     java.security.MessageDigest.getInstance("MD5")
       .digest(memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
 
-  def storePath(kind: String, memoKey: String): String =
-    java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
+  private def root: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", System.getProperty("java.io.tmpdir")))
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        val stream = java.nio.file.Files.walk(p)
+        try stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f =>
+            try java.nio.file.Files.deleteIfExists(f)
+            catch { case scala.util.control.NonFatal(_) => () })
+        finally stream.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Every path this process handed out — deleted at JVM exit. */
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Best-effort sweep of `graft-*-p<pid>-*` trees whose pid is no
+    * longer alive (a crashed/killed run never reaches its shutdown
+    * hook). Live pids — concurrent runners — are untouched. */
+  private[core] def sweepDeadNow(): Unit = {
+    val pidPat = java.util.regex.Pattern.compile("graft-[a-z]+-p(\\d+)-[0-9a-f]+")
+    try {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.list(root)
+      try stream.iterator().asScala.foreach { p =>
+        val m = pidPat.matcher(p.getFileName.toString)
+        if (m.matches() && m.group(1).toLong != ProcessHandle.current().pid() &&
+            !ProcessHandle.of(m.group(1).toLong).map[Boolean](_.isAlive).orElse(false))
+          deleteTree(p)
+      } finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Once per JVM: sweep orphans, then register the exit cleanup of
+    * this process's own trees. */
+  private lazy val sweepDead: Unit = {
+    sweepDeadNow()
+    Runtime.getRuntime.addShutdownHook(new Thread({ () =>
+      created.forEach(s => deleteTree(java.nio.file.Paths.get(s)))
+    }: Runnable, "graft-scratch-cleanup"))
+  }
+
+  def storePath(kind: String, memoKey: String): String = {
+    sweepDead
+    val p = root
       .resolve(s"graft-$kind-p${ProcessHandle.current().pid()}-${slug(memoKey)}").toString
+    created.add(p)
+    p
+  }
 }

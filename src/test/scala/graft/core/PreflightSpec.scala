@@ -38,6 +38,27 @@ class PreflightSpec extends SparkTestBase {
     assert(elapsedMs < 10000L, s"guard returned after ${elapsedMs}ms — not bounded")
   }
 
+  test("a fatal thrown AFTER the caller timed out aborts the NEXT bounded call") {
+    // r13 advice: an OOM/LinkageError landing on the daemon thread
+    // after join() expired used to vanish into the never-re-read
+    // outcome — the run kept benching in a corrupted JVM. Now it is
+    // parked and rethrown by the next call.
+    try {
+      val r = Preflight.bounded("late-fatal", 300L) {
+        // outlive the timeout, ignoring the guard's interrupt, then die
+        val deadline = System.nanoTime() + 800L * 1000000L
+        while (System.nanoTime() < deadline)
+          try Thread.sleep(50L) catch { case _: InterruptedException => () }
+        throw new LinkageError("late planted fatal"); ()
+      }
+      assert(r.isLeft && r.swap.exists(_.contains("timed out")))
+      // give the daemon thread time to reach its throw
+      Thread.sleep(1500L)
+      val e = intercept[LinkageError] { Preflight.bounded("next", 30000L) { 1 } }
+      assert(e.getMessage == "late planted fatal")
+    } finally Preflight.resetEscapedFatal()
+  }
+
   test("a deliberately-pathological exponential self-join query yields a failed entry, not a dead run") {
     // The r12 q155 failure mode, reproduced as a fixture: each round
     // self-joins the frame, so construction-time analysis clones a
