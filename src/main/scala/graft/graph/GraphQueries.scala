@@ -253,43 +253,71 @@ object GraphQueries extends QueryCatalog {
   private val CoreK = 4L
   private val CoreRounds = 8
   private val CliqueN = 10
-  private def q155(s: SparkSession, dir: String): DataFrame = {
+
+  /** The k-core peeling, parameterized by lineage-truncation mechanism
+    * exactly like [[graft.dedup.ConnectedComponents.components]]:
+    * `checkpointDir = None` → `localCheckpoint` (executor-local blocks
+    * — right for local mode, but an executor loss mid-peel kills the
+    * job because the blocks have no lineage to recompute from);
+    * `Some(dir)` → reliable `checkpoint()` to `dir` (HDFS/object store
+    * on a cluster) — each round's survivor/edge frames persist to
+    * storage that survives executor loss, the production-grade mode
+    * for an 8-round peel over a 100 TB link graph. Same storage and
+    * concurrency caveats as ConnectedComponents (Spark never unsets a
+    * context checkpoint dir; concurrent reliable-checkpoint callers
+    * must share one dir set at session creation). */
+  def kcoreTrajectory(s: SparkSession, dir: String,
+                      checkpointDir: Option[String] = None): DataFrame = {
     import s.implicits._
-    // the planted link farm: all 45 pairs over docs 0..9 — two 10-row
-    // range leaves, broadcast-joined; a constant-size frame at any SF
-    val clique = s.range(CliqueN).toDF("a")
-      .crossJoin(s.range(CliqueN).toDF("b")).filter($"a" < $"b")
-    val und = ScratchCache.persist(linksOf(s, dir)
-      .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
-      .unionAll(clique)
-      .distinct())
-    // localCheckpoint (EAGER) per round, never bare persist: see the
-    // scaladoc — persist caches blocks but the plan still nests
-    // 2^rounds deep and analysis hangs the driver. After each
-    // checkpoint the frame is a LogicalRDD leaf, so every downstream
-    // plan is constant-size. Checkpointed RDD blocks are freed by the
-    // ContextCleaner once the returned frame is dropped (same lifetime
-    // story as ConnectedComponents' rounds).
-    var alive = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
-      .distinct().localCheckpoint()
-    var edges = und
-    val rows = collection.mutable.Buffer.empty[DataFrame]
-    for (i <- 0 to CoreRounds) {
-      rows += alive.agg(count(lit(1)).as("n_alive"))
-        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-        .select(lit(i.toLong).as("round"), $"n_alive", $"n_edges")
-      if (i < CoreRounds) {
-        val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
-          .groupBy($"v").agg(count(lit(1)).as("deg"))
-        alive = deg.filter($"deg" >= CoreK).select($"v").localCheckpoint()
-        edges = und
-          .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-          .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .select($"a", $"b").localCheckpoint()
+    val sc = s.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    // both variants are EAGER: lineage must be cut before the next
+    // round's plan is built on top
+    val truncate: DataFrame => DataFrame =
+      if (checkpointDir.isDefined) _.checkpoint() else _.localCheckpoint()
+    try {
+      // the planted link farm: all 45 pairs over docs 0..9 — two 10-row
+      // range leaves, broadcast-joined; a constant-size frame at any SF
+      val clique = s.range(CliqueN).toDF("a")
+        .crossJoin(s.range(CliqueN).toDF("b")).filter($"a" < $"b")
+      val und = ScratchCache.persist(linksOf(s, dir)
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .unionAll(clique)
+        .distinct())
+      // EAGER truncation per round, never bare persist: see the
+      // scaladoc — persist caches blocks but the plan still nests
+      // 2^rounds deep and analysis hangs the driver. After each
+      // checkpoint the frame is a leaf, so every downstream plan is
+      // constant-size. localCheckpoint blocks are freed by the
+      // ContextCleaner once the returned frame is dropped (same
+      // lifetime story as ConnectedComponents' rounds).
+      var alive = truncate(und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
+        .distinct())
+      var edges = und
+      val rows = collection.mutable.Buffer.empty[DataFrame]
+      for (i <- 0 to CoreRounds) {
+        rows += alive.agg(count(lit(1)).as("n_alive"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .select(lit(i.toLong).as("round"), $"n_alive", $"n_edges")
+        if (i < CoreRounds) {
+          val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
+            .groupBy($"v").agg(count(lit(1)).as("deg"))
+          alive = truncate(deg.filter($"deg" >= CoreK).select($"v"))
+          edges = truncate(und
+            .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+            .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+            .select($"a", $"b"))
+        }
       }
+      rows.reduce(_ unionAll _).orderBy($"round")
+    } finally {
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
     }
-    rows.reduce(_ unionAll _).orderBy($"round")
   }
+
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    kcoreTrajectory(s, dir)
   // Every recursive CTE level is MATERIALIZED: DuckDB inlines plain
   // CTEs at each reference, and each level references the previous one
   // 2–3 times, so the un-materialized plan nests ~2^rounds copies of

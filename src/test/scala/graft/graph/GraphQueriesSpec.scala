@@ -108,6 +108,39 @@ class GraphQueriesSpec extends SparkTestBase {
       "the 4-core on the sf0.001 fixture is exactly the planted 10-clique")
   }
 
+  test("q155: reliable-checkpoint mode peels the same trajectory and writes real checkpoints") {
+    assume(fixture)
+    // the cluster-grade variant (r13 advice): localCheckpoint blocks
+    // die with a lost executor mid-peel; checkpoint(dir) survives.
+    // Same flag contract as ConnectedComponents.components.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-kcore-ck")
+    try {
+      val local = GraphQueries.kcoreTrajectory(spark, dir).collect()
+      graft.core.ScratchCache.drain()
+      val reliable = GraphQueries.kcoreTrajectory(spark, dir,
+        checkpointDir = Some(ckDir.toString)).collect()
+      graft.core.ScratchCache.drain()
+      def traj(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(traj(reliable) == traj(local),
+        "reliable-checkpoint peel must produce the identical trajectory")
+      // the rounds actually checkpointed to the reliable dir
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(ckDir)
+      val nFiles = try stream.iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+        finally stream.close()
+      assert(nFiles > 0, "reliable mode must write checkpoint files to the given dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(ckDir)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case scala.util.control.NonFatal(_) => () })
+      finally stream.close()
+    }
+  }
+
   test("q143: triangle count matches a brute-force oracle; orientation bounds the wedges") {
     assume(fixture)
     val out = GraphQueries.queries("q143_triangle_count")(spark, dir).collect().head
