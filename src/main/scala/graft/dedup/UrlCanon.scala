@@ -140,7 +140,7 @@ object UrlCanon {
     * sort; embarrassingly parallel at any corpus size (the q96
     * map-side contract; UrlCanonSpec pins domain-atomicity, the
     * 98/1/1 shares, and survivor stability under corpus halving). */
-  private val groupSplitHash = {
+  private[graft] val groupSplitHash = {
     val h = "md5('gsplit|' || domain)"
     (1 to 4).map(i => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)")
       .reduceLeft((acc, d) => s"($acc * 16 + $d)")

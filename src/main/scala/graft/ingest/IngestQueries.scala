@@ -205,16 +205,7 @@ object IngestQueries extends QueryCatalog {
     * dedup + gate all agree end to end. */
   private def q158(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chain = readJsonl(s, dir)
-      .filter($"_corrupt".isNull)
-      .selectExpr("doc_id", "text", "n_chars", s"${UrlCanon.strippedSql("url")} AS u")
-      .selectExpr("doc_id", "text", "n_chars",
-        s"${UrlCanon.hostSql("u")} AS host",
-        s"${UrlCanon.pathSql("u")} AS pathn",
-        s"${UrlCanon.idParamSql("u")} AS idp")
-      .selectExpr("doc_id", "text", "n_chars",
-        s"${UrlCanon.domainSql("host")} AS domain",
-        s"${UrlCanon.canonSql("host", "pathn", "idp")} AS canon_url")
+    val chain = fetches(s, dir)
       .selectExpr("doc_id", "text", "n_chars", "domain", "canon_url",
         s"${UrlCanon.policySql} AS policy")
       .selectExpr("n_chars", "domain", s"${UrlCanon.keySql} AS key")
@@ -273,15 +264,180 @@ object IngestQueries extends QueryCatalog {
        |ORDER BY rej.domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q160
+  /** Crawl-policy admission — the reference's O2 input filter
+    * (`include/MapReduceMaster.h`: each worker is handed only its
+    * assigned input slice) generalized to POLICY: a per-domain
+    * blocklist + robots-style path rules decide which fetched pages
+    * enter the pipeline at all. The policy dim (one row per distinct
+    * registered domain: blocked flag + optional disallowed path
+    * prefix, both md5-carved so the oracle replays membership) is tiny
+    * relative to the corpus at any scale — it is BROADCAST to the
+    * fetch stream, so policy enforcement is map-side with zero
+    * exchanges on the 100 TB side; the only shuffle is the final
+    * per-domain roll-up. Verdict precedence: blocked domain >
+    * robots-disallowed path > admitted. */
+  private val blockSelSql = "substring(md5('block|' || domain), 1, 1) < '2'"
+  private val robotsSelSql = "substring(md5('robots|' || domain), 1, 1) < '4'"
+  private val RobotsPrefix = "/p/1"
+
+  /** Shared ingest→canon prefix: cleanly-parsed fetches (recrawls
+    * included — they are fetches) with registered domain + canonical
+    * path/url components. */
+  private def fetches(s: SparkSession, dir: String): DataFrame =
+    readJsonl(s, dir)
+      .filter(col("_corrupt").isNull)
+      .selectExpr("doc_id", "text", "n_chars", s"${UrlCanon.strippedSql("url")} AS u")
+      .selectExpr("doc_id", "text", "n_chars",
+        s"${UrlCanon.hostSql("u")} AS host",
+        s"${UrlCanon.pathSql("u")} AS pathn",
+        s"${UrlCanon.idParamSql("u")} AS idp")
+      .selectExpr("doc_id", "text", "n_chars", "pathn",
+        s"${UrlCanon.domainSql("host")} AS domain",
+        s"${UrlCanon.canonSql("host", "pathn", "idp")} AS canon_url")
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = fetches(s, dir)
+    // the policy dim: one row per distinct domain. Derived here from
+    // the corpus for determinism; a real pipeline reads it as an
+    // external table — either way it is domain-cardinality-sized and
+    // broadcast, never shuffled against the fetch stream.
+    val policyDim = f.select($"domain").distinct()
+      .selectExpr("domain", s"$blockSelSql AS is_blocked",
+        s"CASE WHEN $robotsSelSql THEN '$RobotsPrefix' END AS robots_prefix")
+    f.join(broadcast(policyDim), Seq("domain"))
+      .withColumn("verdict",
+        when($"is_blocked", lit("blocked_domain"))
+          .when($"robots_prefix".isNotNull && $"pathn".startsWith(RobotsPrefix),
+            lit("robots"))
+          .otherwise(lit("admitted")))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_fetched"),
+        sum(when($"verdict" === "blocked_domain", 1L).otherwise(0L)).as("n_blocked"),
+        sum(when($"verdict" === "robots", 1L).otherwise(0L)).as("n_robots"),
+        sum(when($"verdict" === "admitted", 1L).otherwise(0L)).as("n_admitted"))
+      .orderBy($"domain")
+  }
+  private val q160Sql = {
+    import UrlCanon._
+    s"""WITH docs AS (
+       |  SELECT doc_id, source FROM documents WHERE NOT ($jsonBadSql)
+       |  UNION ALL
+       |  SELECT doc_id, source FROM documents
+       |  WHERE NOT ($jsonBadSql) AND $dupSelSql
+       |), raw AS (
+       |  SELECT doc_id, $rawUrlSql AS raw_url FROM docs
+       |), st AS (
+       |  SELECT doc_id, ${strippedSql("raw_url")} AS u FROM raw
+       |), hp AS (
+       |  SELECT doc_id, ${hostSql("u")} AS host, ${pathSql("u")} AS pathn FROM st
+       |), dm AS (
+       |  SELECT doc_id, pathn, ${domainSql("host")} AS domain FROM hp
+       |), v AS (
+       |  SELECT domain,
+       |    CASE WHEN $blockSelSql THEN 'blocked_domain'
+       |         WHEN $robotsSelSql AND pathn LIKE '$RobotsPrefix%' THEN 'robots'
+       |         ELSE 'admitted' END AS verdict
+       |  FROM dm
+       |)
+       |SELECT domain, CAST(count(*) AS BIGINT) AS n_fetched,
+       |  CAST(count(*) FILTER (WHERE verdict = 'blocked_domain') AS BIGINT) AS n_blocked,
+       |  CAST(count(*) FILTER (WHERE verdict = 'robots') AS BIGINT) AS n_robots,
+       |  CAST(count(*) FILTER (WHERE verdict = 'admitted') AS BIGINT) AS n_admitted
+       |FROM v GROUP BY domain ORDER BY domain""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q159
+  /** The ONE corpus-build number a platform team quotes: the full
+    * admission chain run END TO END as a single measured query —
+    * permissive ingest (quarantine) → URL canonicalization → per-
+    * (domain, policy-key) dedup KEEP-LOWEST (survivor identity kept,
+    * not just counts) → quality gate → group-aware 98/1/1 domain split
+    * (q154's exact thresholds — near-dup pages can never straddle
+    * train/eval) → packing plan: per split, surviving docs, whitespace
+    * tokens, and the 2048-token sequence count those tokens pack into.
+    *
+    * Scale shape: everything through the gate is map-side on the scan;
+    * then ONE exchange on (domain, key) for the keep-lowest (min_by —
+    * never a self-join), the split is a map-side hash of the group key
+    * already in hand, and the final roll-up is a 3-group partial
+    * aggregate. Two shuffles total at any corpus size, and the second
+    * moves 3 rows per task. */
+  private val SeqTokens = 2048L
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val surv = fetches(s, dir)
+      .selectExpr("doc_id", "text", "n_chars", "domain", "canon_url",
+        s"${UrlCanon.policySql} AS policy")
+      .selectExpr("doc_id", "text", "n_chars", "domain", s"${UrlCanon.keySql} AS key")
+      .filter($"n_chars" >= MinChars)
+      .groupBy($"domain", $"key")
+      .agg(expr("min_by(text, doc_id)").as("text"))
+    surv
+      .selectExpr("text", s"CAST(${UrlCanon.groupSplitHash} AS BIGINT) AS u16")
+      .selectExpr("text",
+        """CASE WHEN u16 < 64225 THEN 'train'
+          |     WHEN u16 < 64880 THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+      .select($"split",
+        size(expr(graft.text.TextQueries.toksExpr)).cast("long").as("n_toks"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        expr(s"(sum(n_toks) + ${SeqTokens - 1}) DIV $SeqTokens").as("n_seqs"))
+      .orderBy($"split")
+  }
+  private val q159Sql = {
+    import UrlCanon._
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, n_chars, source FROM documents WHERE NOT ($jsonBadSql)
+       |  UNION ALL
+       |  SELECT doc_id, text, n_chars, source FROM documents
+       |  WHERE NOT ($jsonBadSql) AND $dupSelSql
+       |), raw AS (
+       |  SELECT doc_id, text, n_chars, $rawUrlSql AS raw_url FROM docs
+       |), st AS (
+       |  SELECT doc_id, text, n_chars, ${strippedSql("raw_url")} AS u FROM raw
+       |), hp AS (
+       |  SELECT doc_id, text, n_chars, ${hostSql("u")} AS host,
+       |         ${pathSql("u")} AS pathn, ${idParamSql("u")} AS idp FROM st
+       |), cd AS (
+       |  SELECT doc_id, text, n_chars, ${domainSql("host")} AS domain,
+       |         ${canonSql("host", "pathn", "idp")} AS canon_url FROM hp
+       |), pol AS (
+       |  SELECT doc_id, text, n_chars, domain, canon_url, $policySql AS policy FROM cd
+       |), keyed AS (
+       |  SELECT doc_id, text, n_chars, domain, $keySql AS key FROM pol
+       |), surv AS (
+       |  SELECT domain, key, arg_min(text, doc_id) AS text
+       |  FROM keyed WHERE n_chars >= $MinChars GROUP BY domain, key
+       |), sp AS (
+       |  SELECT CASE WHEN u16 < 64225 THEN 'train'
+       |              WHEN u16 < 64880 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         CAST(len(${graft.text.TextQueries.toksSql}) AS BIGINT) AS n_toks
+       |  FROM (SELECT text, CAST($groupSplitHash AS BIGINT) AS u16 FROM surv)
+       |)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST((sum(n_toks) + ${SeqTokens - 1}) // $SeqTokens AS BIGINT) AS n_seqs
+       |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_jsonl_ingest" -> q156,
     "q157_csv_ingest" -> q157,
     "q158_crawl_admission" -> q158,
+    "q159_corpus_build" -> q159,
+    "q160_policy_admission" -> q160,
   )
 
   val oracleSql: Map[String, String] = Map(
     "q156_jsonl_ingest" -> q156Sql,
     "q157_csv_ingest" -> q157Sql,
     "q158_crawl_admission" -> q158Sql,
+    "q159_corpus_build" -> q159Sql,
+    "q160_policy_admission" -> q160Sql,
   )
 }

@@ -21,6 +21,8 @@ class IngestSpec extends SparkTestBase {
   private def jsonBad(docId: Long) = md5hex(s"crlf|$docId").head == '0'
   private def csvBad(okey: Long) = md5hex(s"csvbad|$okey").head == '0'
   private def dupSel(docId: Long) = md5hex(s"dup|$docId").head == '0'
+  private def blockSel(domain: String) = md5hex(s"block|$domain").head < '2'
+  private def robotsSel(domain: String) = md5hex(s"robots|$domain").head < '4'
 
   test("jsonl quarantine is exactly the planted corrupt set; clean docs all parse") {
     assume(fixture)
@@ -138,6 +140,64 @@ class IngestSpec extends SparkTestBase {
       "planted recrawls must produce at least one dedup drop")
     assert(out.map(_.getAs[Long]("n_rejected")).sum > 0)
     assert(out.forall(r => r.getAs[Long]("n_admitted") >= 0))
+  }
+
+  test("q160 policy verdicts tile the fetches; blocklist wins over robots; dim is broadcast") {
+    assume(fixture)
+    val df = IngestQueries.queries("q160_policy_admission")(spark, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // every fetch gets exactly one verdict
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_fetched") == r.getAs[Long]("n_blocked") +
+        r.getAs[Long]("n_robots") + r.getAs[Long]("n_admitted"),
+        s"verdicts must tile n_fetched for ${r.getAs[String]("domain")}")
+    }
+    // the md5-carved policy membership, re-derived JVM-side
+    out.foreach { r =>
+      val d = r.getAs[String]("domain")
+      if (blockSel(d))
+        assert(r.getAs[Long]("n_blocked") == r.getAs[Long]("n_fetched") &&
+          r.getAs[Long]("n_robots") == 0L,
+          s"blocked domain $d must block ALL fetches — blocklist outranks robots")
+      else {
+        assert(r.getAs[Long]("n_blocked") == 0L)
+        if (!robotsSel(d)) assert(r.getAs[Long]("n_robots") == 0L,
+          s"domain $d has no robots rule but robots rejections")
+      }
+    }
+    // the fixture must exercise all three verdicts
+    assert(out.map(_.getAs[Long]("n_blocked")).sum > 0)
+    assert(out.map(_.getAs[Long]("n_robots")).sum > 0)
+    assert(out.map(_.getAs[Long]("n_admitted")).sum > 0)
+    // the policy dim joins BROADCAST — the 100 TB fetch side is never
+    // shuffled for policy enforcement
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"policy dim must broadcast-join the fetch stream:\n$plan")
+  }
+
+  test("q159 corpus build: splits partition q158's admitted survivors; packing arithmetic exact") {
+    assume(fixture)
+    val out = IngestQueries.queries("q159_corpus_build")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // the end-to-end doc count must equal the admission chain's
+    // admitted-unique total — same ingest, canon, dedup, gate
+    val admitted = IngestQueries.queries("q158_crawl_admission")(spark, dir)
+      .collect().map(_.getAs[Long]("n_admitted")).sum
+    assert(out.map(_.getAs[Long]("n_docs")).sum == admitted,
+      "q159 survivors must be exactly q158's admitted uniques")
+    out.foreach { r =>
+      val toks = r.getAs[Long]("n_tokens")
+      assert(toks > 0L)
+      assert(r.getAs[Long]("n_seqs") == (toks + 2047L) / 2048L,
+        "n_seqs must be ceil(n_tokens / 2048) exactly")
+    }
+    // 98/1/1 over domains: train dominates on any non-trivial fixture
+    val bySplit = out.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L) &&
+      bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
   }
 }
 
