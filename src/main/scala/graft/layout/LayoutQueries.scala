@@ -488,10 +488,21 @@ object LayoutQueries extends QueryCatalog {
     * selection discipline applied per group. */
   def q149(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val cents = ScratchCache.persist(Tables.orders(s, dir)
       .select($"o_orderkey", $"o_orderpriority".as("g"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("c")))
+    groupedQuantileCore(cents)
+  }
+
+  /** q149's algorithm over any (o_orderkey, g, c) frame — split out so
+    * SkewStressSpec can drive it with a ~10⁶-group key: every window
+    * here partitions by g (≤256 rows per partition) and the exact
+    * calibration ranks only covering-bucket slices, so per-task memory
+    * is bounded by the BUCKET width, never the group count or group
+    * size. */
+  private[graft] def groupedQuantileCore(cents: DataFrame): DataFrame = {
+    import cents.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val bounds = cents.groupBy($"g").agg(
       min($"c").as("minc"), max($"c").as("maxc"), count(lit(1)).as("n"))
       .withColumn("w", expr("greatest(1L, (maxc - minc) DIV 256 + 1)"))

@@ -320,4 +320,36 @@ class SkewStressSpec extends SparkTestBase {
       s"structure-identical frames must score hamming 0: ${cl.take(3).toSeq}")
     graft.core.ScratchCache.drain()
   }
+
+  test("q137/q149 grouped-quantile core survives a ~10^6-group key with exact answers") {
+    // the per-group-histogram memory claim (CATALOG q149): the sketch
+    // is |groups|·≤256 rows, every window partitions by group, and the
+    // exact calibration ranks only covering-bucket slices — so a group
+    // key six orders of magnitude above q149's modal 5-value key must
+    // complete with bounded task memory, and the answers stay EXACT.
+    // A per-group sort-based form would be fine here (groups are tiny)
+    // but dies on modal keys; the sketch form must be safe at BOTH
+    // extremes — this pins the many-groups end.
+    import spark.implicits._
+    val nGroups = 1000000L
+    val perGroup = 3L
+    // group g holds c = 100 + 7g + 13k for k = 0,1,2 — per-group
+    // medians and maxima are closed-form, so correctness is checkable
+    // without a driver-side million-group sort
+    val cents = spark.range(nGroups * perGroup)
+      .select($"id".as("o_orderkey"),
+        ($"id" % nGroups).cast("string").as("g"),
+        expr(s"100L + (id % $nGroups) * 7L + (id DIV $nGroups) * 13L").as("c"))
+    val out = graft.layout.LayoutQueries.groupedQuantileCore(cents)
+    assert(out.count() == nGroups * 3L,
+      "every group must emit exactly its 3 quantile rows")
+    // n=3 per group: p50 rank 2, p90/p99 rank 3 — exact values closed-form
+    val bad = out
+      .withColumn("gl", $"priority".cast("long"))
+      .filter(
+        ($"qppm" === 500000L && $"exact_cents" =!= lit(113L) + $"gl" * 7L) ||
+        ($"qppm" =!= 500000L && $"exact_cents" =!= lit(126L) + $"gl" * 7L))
+      .count()
+    assert(bad == 0L, s"$bad grouped-quantile rows have wrong exact ranks")
+  }
 }
