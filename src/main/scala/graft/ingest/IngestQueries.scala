@@ -127,6 +127,20 @@ object IngestQueries extends QueryCatalog {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .json(ensureRawStore(s, dir)._1)
 
+  /** Streaming twin of [[readJsonl]]: the same schema'd permissive
+    * parse over a FILE-SOURCE stream — the continuous crawl loader
+    * (new dump files appear in the directory; each micro-batch parses
+    * only the new files, quarantine riding the same scan).
+    * `maxFilesPerTrigger=1` forces one file per micro-batch so the
+    * spec proves multi-batch incremental aggregation, not a single
+    * batch in disguise. */
+  def readJsonlStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(jsonlSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", 1)
+      .json(ensureRawStore(s, dir)._1)
+
   private val csvSchema = StructType(Seq(
     StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
     StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
@@ -425,12 +439,55 @@ object IngestQueries extends QueryCatalog {
        |FROM sp GROUP BY split ORDER BY split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q161
+  /** Per-SOURCE ingest accounting — the dashboard a crawl operator
+    * watches while dumps land: docs, char volume, and language spread
+    * per source feed, with malformed lines as one "(corrupt)" feed.
+    * The transform is MODE-AGNOSTIC (plain groupBy/agg, no event
+    * time), so the identical function runs batch for the DuckDB
+    * oracle AND over the file-source stream ([[readJsonlStream]]) —
+    * IngestStreamSpec proves a one-file-per-micro-batch streaming run
+    * converges to this batch answer bit-for-bit, which is the same
+    * batch≡stream strategy the q60-family uses. Scale: parse is
+    * map-side per micro-batch, state is one row per source — bounded
+    * regardless of corpus size or stream length. */
+  def sourceRollup(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(when(col("_corrupt").isNotNull, lit("(corrupt)"))
+        .otherwise(col("source")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_corrupt").isNotNull, lit(0L)).otherwise(col("n_chars")))
+          .as("sum_chars"),
+        // size(collect_set) not countDistinct: distinct aggregates are
+        // unsupported on streaming frames, the set is lang-cardinality
+        // bounded, and the values are identical in batch
+        size(collect_set(when(col("_corrupt").isNull, col("lang"))))
+          .cast("long").as("n_langs"))
+
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sourceRollup(readJsonl(s, dir)).orderBy($"source")
+  }
+  private val q161Sql =
+    s"""WITH sel AS (
+       |  SELECT source, lang, n_chars, $jsonBadSql AS bad FROM documents
+       |  UNION ALL
+       |  SELECT source, lang, n_chars, FALSE AS bad FROM documents
+       |  WHERE NOT ($jsonBadSql) AND $dupSelSql
+       |)
+       |SELECT CASE WHEN bad THEN '(corrupt)' ELSE source END AS source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN bad THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars,
+       |  CAST(count(DISTINCT CASE WHEN bad THEN NULL ELSE lang END) AS BIGINT) AS n_langs
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_jsonl_ingest" -> q156,
     "q157_csv_ingest" -> q157,
     "q158_crawl_admission" -> q158,
     "q159_corpus_build" -> q159,
     "q160_policy_admission" -> q160,
+    "q161_stream_raw_ingest" -> q161,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -439,5 +496,6 @@ object IngestQueries extends QueryCatalog {
     "q158_crawl_admission" -> q158Sql,
     "q159_corpus_build" -> q159Sql,
     "q160_policy_admission" -> q160Sql,
+    "q161_stream_raw_ingest" -> q161Sql,
   )
 }
