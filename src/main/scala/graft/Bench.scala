@@ -160,7 +160,9 @@ object Bench {
     val lazyBuilds = Set("q94_incremental_dedup",
       "q75_dedup_clusters", "q100_canonical_docs", "q134_bucketed_join",
       "q151_partition_pruning", "q153_incremental_agg",
-      "q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission")
+      "q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission",
+      "q159_corpus_build", "q160_policy_admission", "q161_stream_raw_ingest",
+      "q162_snapshot_diff")
     val preflightFailed = collection.mutable.LinkedHashMap.empty[String, String]
     allNames.filterNot(lazyBuilds).foreach(n => analyzeErr(n).foreach(preflightFailed += _))
 
@@ -223,8 +225,15 @@ object Bench {
     // scaffolding (a real pipeline receives the raw files), so its cost
     // must not land on the timed ingest queries
     val rawStoreBuildSec = timedBuild(
-      Seq("q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission"), "rawstore") {
+      Seq("q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission",
+        "q159_corpus_build", "q160_policy_admission", "q161_stream_raw_ingest"),
+      "rawstore") {
       graft.ingest.IngestQueries.ensureRawStore(spark, sfDir); ()
+    }
+    // q162's previous-crawl digest artifact — snapshot N-1's one-off
+    // output; timed q162 runs measure the DIFF join only
+    val prevStoreBuildSec = timedBuild(Seq("q162_snapshot_diff"), "prevcrawl") {
+      graft.ingest.IngestQueries.ensurePrevStore(spark, sfDir); ()
     }
     allNames.filter(lazyBuilds).filterNot(preflightFailed.keySet)
       .foreach(n => analyzeErr(n).foreach(preflightFailed += _))
@@ -376,7 +385,7 @@ object Bench {
     val preflightDetail = preflightFailed.toSeq.sortBy(_._1)
       .map { case (k, m) => s"${qstr(k)}:${qstr(m)}" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"q75_labelstore_build":${fmt(labelStoreBuildSec)},"q134_bucketstore_build":${fmt(bucketStoreBuildSec)},"q151_partstore_build":${fmt(partStoreBuildSec)},"q153_aggstore_build":${fmt(aggStoreBuildSec)},"q156_rawstore_build":${fmt(rawStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"preflight_failed":$preflightDetail,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"q75_labelstore_build":${fmt(labelStoreBuildSec)},"q134_bucketstore_build":${fmt(bucketStoreBuildSec)},"q151_partstore_build":${fmt(partStoreBuildSec)},"q153_aggstore_build":${fmt(aggStoreBuildSec)},"q156_rawstore_build":${fmt(rawStoreBuildSec)},"q162_prevstore_build":${fmt(prevStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"preflight_failed":$preflightDetail,"failed":$failed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))

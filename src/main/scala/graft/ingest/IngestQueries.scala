@@ -481,6 +481,92 @@ object IngestQueries extends QueryCatalog {
        |  CAST(count(DISTINCT CASE WHEN bad THEN NULL ELSE lang END) AS BIGINT) AS n_langs
        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Crawl SNAPSHOT DIFF — the re-crawl delta a CommonCrawl-style
+    * pipeline computes before touching the heavy dedup stages: which
+    * pages were added, which disappeared, which changed content, which
+    * are byte-identical since the previous crawl. The previous crawl
+    * lives as a PERSISTED digest artifact (doc_id, source, 32-hex
+    * digest — q94's signature-store discipline: 16 bytes/page at any
+    * corpus size, built once per snapshot, replayed by every diff),
+    * and the query is ONE full-outer join of the current scan against
+    * it on doc_id plus a source-keyed roll-up. Membership and change
+    * are md5-carved (prev ~15/16, cur ~15/16 independent → added and
+    * removed both non-empty; ~3/16 of carried pages changed, their
+    * previous digest replayed as md5('old|'||text)), so the DuckDB
+    * oracle reconstructs both snapshots from `documents` and the
+    * hash-match proves the whole diff.
+    *
+    * Scale shape: both sides shuffle once on the high-cardinality
+    * doc_id (sort-merge; bucketing the artifact co-locates the next
+    * diff), the roll-up is source-cardinality rows. Never a
+    * broadcast: at 100 TB BOTH sides are corpus-sized. */
+  private val prevSelSql = "substring(md5('prev|' || doc_id), 1, 1) <> 'f'"
+  private val curSelSql = "substring(md5('cur|' || doc_id), 1, 1) <> 'e'"
+  private val chgSelSql = "substring(md5('chg|' || doc_id), 1, 1) < '3'"
+  private val prevDigestSql =
+    s"CASE WHEN $chgSelSql THEN md5('old|' || text) ELSE md5(text) END"
+
+  private val prevStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The previous-crawl digest artifact, memoized per (session,
+    * corpus) and written once — the persisted state a daily re-crawl
+    * diffs against. */
+  def ensurePrevStore(s: SparkSession, dir: String): String = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    prevStores.computeIfAbsent(key, _ => {
+      val path = Scratch.storePath("prevcrawl", key)
+      Tables.documents(s, dir)
+        .filter(expr(prevSelSql))
+        .selectExpr("doc_id", "source", s"$prevDigestSql AS digest")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+  }
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prev = s.read.parquet(ensurePrevStore(s, dir))
+      .select($"doc_id".as("p_id"), $"source".as("p_source"), $"digest".as("p_digest"))
+    val cur = Tables.documents(s, dir)
+      .filter(expr(curSelSql))
+      .selectExpr("doc_id AS c_id", "source AS c_source", "md5(text) AS c_digest")
+    cur.join(prev, $"c_id" === $"p_id", "full_outer")
+      .select(coalesce($"c_source", $"p_source").as("source"),
+        when($"p_id".isNull, "added")
+          .when($"c_id".isNull, "removed")
+          .when($"c_digest" =!= $"p_digest", "changed")
+          .otherwise("unchanged").as("verdict"))
+      .groupBy($"source")
+      .agg(sum(when($"verdict" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"verdict" === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"verdict" === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when($"verdict" === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy($"source")
+  }
+  private val q162Sql =
+    s"""WITH prev AS (
+       |  SELECT doc_id AS p_id, source AS p_source, $prevDigestSql AS p_digest
+       |  FROM documents WHERE $prevSelSql
+       |), cur AS (
+       |  SELECT doc_id AS c_id, source AS c_source, md5(text) AS c_digest
+       |  FROM documents WHERE $curSelSql
+       |), v AS (
+       |  SELECT coalesce(c_source, p_source) AS source,
+       |    CASE WHEN p_id IS NULL THEN 'added'
+       |         WHEN c_id IS NULL THEN 'removed'
+       |         WHEN c_digest <> p_digest THEN 'changed'
+       |         ELSE 'unchanged' END AS verdict
+       |  FROM cur FULL OUTER JOIN prev ON c_id = p_id
+       |)
+       |SELECT source,
+       |  CAST(count(*) FILTER (WHERE verdict = 'added') AS BIGINT) AS n_added,
+       |  CAST(count(*) FILTER (WHERE verdict = 'removed') AS BIGINT) AS n_removed,
+       |  CAST(count(*) FILTER (WHERE verdict = 'changed') AS BIGINT) AS n_changed,
+       |  CAST(count(*) FILTER (WHERE verdict = 'unchanged') AS BIGINT) AS n_unchanged
+       |FROM v GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_jsonl_ingest" -> q156,
     "q157_csv_ingest" -> q157,
@@ -488,6 +574,7 @@ object IngestQueries extends QueryCatalog {
     "q159_corpus_build" -> q159,
     "q160_policy_admission" -> q160,
     "q161_stream_raw_ingest" -> q161,
+    "q162_snapshot_diff" -> q162,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -497,5 +584,6 @@ object IngestQueries extends QueryCatalog {
     "q159_corpus_build" -> q159Sql,
     "q160_policy_admission" -> q160Sql,
     "q161_stream_raw_ingest" -> q161Sql,
+    "q162_snapshot_diff" -> q162Sql,
   )
 }

@@ -199,6 +199,31 @@ class IngestSpec extends SparkTestBase {
     assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L) &&
       bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
   }
+
+  test("q162 snapshot diff: verdict sets replay the planted membership exactly; diff tiles the union") {
+    assume(fixture)
+    def prevSel(id: Long) = md5hex(s"prev|$id").head != 'f'
+    def curSel(id: Long) = md5hex(s"cur|$id").head != 'e'
+    def chgSel(id: Long) = md5hex(s"chg|$id").head < '3'
+    val allIds = graft.core.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val prev = allIds.filter(prevSel)
+    val cur = allIds.filter(curSel)
+    val expAdded = (cur -- prev).size.toLong
+    val expRemoved = (prev -- cur).size.toLong
+    val expChanged = (cur & prev).count(chgSel).toLong
+    val expUnchanged = (cur & prev).count(!chgSel(_)).toLong
+    // every verdict class must be non-empty or the diff is vacuous
+    assert(expAdded > 0 && expRemoved > 0 && expChanged > 0 && expUnchanged > 0)
+    val out = IngestQueries.queries("q162_snapshot_diff")(spark, dir).collect()
+    def tot(c: String) = out.map(_.getAs[Long](c)).sum
+    assert(tot("n_added") == expAdded, s"added ${tot("n_added")} != $expAdded")
+    assert(tot("n_removed") == expRemoved)
+    assert(tot("n_changed") == expChanged)
+    assert(tot("n_unchanged") == expUnchanged)
+    assert(tot("n_added") + tot("n_removed") + tot("n_changed") + tot("n_unchanged")
+      == (cur ++ prev).size.toLong, "diff must tile the snapshot union")
+  }
 }
 
 object IngestSpec {
