@@ -203,4 +203,82 @@ object UrlCanon {
        |  CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY domain, key) THEN 1 ELSE 0 END AS BIGINT) AS is_kept
        |FROM keyed
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q163
+  /** DOMAIN REPUTATION — the per-site quality prior a curation
+    * pipeline feeds back into sampling (C4/RefinedWeb-style domain
+    * downweighting): every doc scored by the q96 hashing-trick
+    * classifier (exact integer sum — order-independent), rolled up per
+    * registered domain, each domain's mean compared to the CORPUS mean
+    * by cross-multiplied DECIMAL(38,0) integer products (never a
+    * division — scores can be negative and Spark DIV truncates where
+    * DuckDB // floors) to flag the downweight set. All arithmetic is
+    * exact, so the verdict is deterministic under any partitioning.
+    *
+    * Scale shape: scoring + domain extraction are map-side on the
+    * scan; ONE exchange on domain for the roll-up; the corpus mean is
+    * a 1-row aggregate broadcast back by crossJoin (the q101 scalar
+    * pattern). No global sort, no window over the domain universe —
+    * a quantile-tier variant would rank all ~10⁸ domains through one
+    * task; the corpus-mean gate is the rank-free form. */
+  def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{broadcast, count, lit, sum}
+    val scored = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", s"$rawUrlSql AS raw_url")
+      .selectExpr("doc_id", "text", s"${strippedSql("raw_url")} AS u")
+      .selectExpr("doc_id", "text", s"${hostSql("u")} AS host")
+      .selectExpr("text", s"${domainSql("host")} AS domain")
+      .selectExpr("domain", s"${graft.text.TextQueries.toksExpr} AS toks")
+      .filter("size(toks) >= 1")
+      .selectExpr("domain", "CAST(size(toks) AS BIGINT) AS n_toks",
+        s"${graft.text.TextQueries.scoreExpr} AS score")
+    val perDomain = scored.groupBy($"domain")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+        sum($"score").as("sum_score"))
+    val corpus = scored.agg(sum($"score").as("c_sum"), count(lit(1)).as("c_docs"))
+    // the verdict is a CROSS-MULTIPLIED integer comparison, never a
+    // division: scores can be negative (Spark DIV truncates, DuckDB //
+    // floors — divided means would hash-mismatch on negative sums),
+    // and DECIMAL(38,0) products cannot overflow at corpus scale
+    perDomain.crossJoin(broadcast(corpus))
+      .selectExpr("domain", "n_docs", "n_tokens", "sum_score",
+        """CAST(CASE WHEN CAST(sum_score AS DECIMAL(38,0)) * c_docs
+          |        < CAST(c_sum AS DECIMAL(38,0)) * n_docs
+          |   THEN 1 ELSE 0 END AS BIGINT) AS downweight""".stripMargin)
+      .orderBy($"domain")
+  }
+  val q163Sql: String = {
+    val toks = graft.text.TextQueries.toksSql
+    val score = graft.text.TextQueries.scoreSql
+    s"""WITH raw AS (
+       |  SELECT doc_id, text, $rawUrlSql AS raw_url FROM documents
+       |), st AS (
+       |  SELECT doc_id, text, ${strippedSql("raw_url")} AS u FROM raw
+       |), h AS (
+       |  SELECT doc_id, text, ${hostSql("u")} AS host FROM st
+       |), d AS (
+       |  SELECT text, ${domainSql("host")} AS domain FROM h
+       |), t AS (
+       |  SELECT domain, $toks AS toks FROM d
+       |), sc AS (
+       |  SELECT domain, CAST(len(toks) AS BIGINT) AS n_toks, $score AS score
+       |  FROM t WHERE len(toks) >= 1
+       |), per AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(sum(score) AS BIGINT) AS sum_score
+       |  FROM sc GROUP BY domain
+       |), corpus AS (
+       |  SELECT CAST(sum(score) AS BIGINT) AS c_sum,
+       |    CAST(count(*) AS BIGINT) AS c_docs
+       |  FROM sc
+       |)
+       |SELECT domain, n_docs, n_tokens, sum_score,
+       |  CAST(CASE WHEN CAST(sum_score AS HUGEINT) * c_docs
+       |           < CAST(c_sum AS HUGEINT) * n_docs
+       |       THEN 1 ELSE 0 END AS BIGINT) AS downweight
+       |FROM per CROSS JOIN corpus
+       |ORDER BY domain""".stripMargin
+  }
 }

@@ -105,4 +105,32 @@ class UrlCanonSpec extends SparkTestBase {
     val fullMap = out.map(r => r._1 -> r._3).toMap
     assert(rehalf.forall { case (id, sp) => fullMap(id) == sp })
   }
+
+  test("q163: downweight verdict is the cross-multiplied corpus-mean gate, non-degenerate") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/documents.parquet")))
+    val out = UrlCanon.q163(spark, dir).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_score"),
+        r.getAs[Long]("downweight")))
+    assert(out.nonEmpty)
+    // the gate must split the domain universe, not collapse it
+    assert(out.exists(_._5 == 1L) && out.exists(_._5 == 0L),
+      "both downweighted and kept domains must exist on the fixture")
+    // verdict self-consistency: recompute the corpus totals from the
+    // output itself and re-derive every flag by cross-multiplication
+    val cSum = BigInt(out.map(_._4).sum)
+    val cDocs = BigInt(out.map(_._2).sum)
+    out.foreach { case (d, nDocs, _, sScore, dw) =>
+      val expected = if (BigInt(sScore) * cDocs < cSum * BigInt(nDocs)) 1L else 0L
+      assert(dw == expected, s"domain $d verdict $dw, expected $expected")
+    }
+    // doc accounting: every doc with >= 1 whitespace token is scored
+    val scoredDocs = graft.core.Tables.documents(spark, dir)
+      .select("text").collect()
+      .count(r => r.getString(0).split("\\s+").exists(_.nonEmpty)).toLong
+    assert(out.map(_._2).sum == scoredDocs,
+      "per-domain doc counts must tile the scored corpus")
+  }
 }
