@@ -147,6 +147,103 @@ object GraphQueries extends QueryCatalog {
        |SELECT page_id, rank FROM r$Iters ORDER BY page_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q164
+  /** HITS hubs & authorities over the link graph — the third classic
+    * link-analysis signal beside reverse-links (q132) and PageRank
+    * (q133): auth(v) = Σ hub(u) over in-links, hub(u) = Σ auth(v)
+    * over out-links, L1-normalized each round. A crawl pipeline reads
+    * authorities as "pages worth keeping" and hubs as "directory/spam
+    * pages linking broadly".
+    *
+    * Determinism: all sums are exact integers; per-round
+    * normalization is `(score · 10⁶) DIV total` — scores are
+    * NON-NEGATIVE, so Spark's truncating DIV and DuckDB's flooring
+    * `//` agree (the sign caveat that forces q163 into
+    * cross-multiplication doesn't bite here).
+    *
+    * Scale shape: the q133 loop discipline with one twist — HITS
+    * joins the edge set on BOTH endpoints (hub pass keys on dst, auth
+    * pass on src), so the edge frame is persisted TWICE, pre-
+    * partitioned each way; 2× edge storage buys zero edge exchanges
+    * in all 2·Iters joins, and only node-sized score frames move per
+    * round. Normalization totals are 1-row aggregates broadcast back
+    * by crossJoin — which references the round's raw frame TWICE, so
+    * each raw frame is EAGERLY localCheckpoint'ed first (the q155
+    * discipline): without the cut, the double reference doubles the
+    * plan per half-round and the analyzer walk is 4^Iters by round 8
+    * — the exact r12 driver hang. Cost is 2·Iters node-sized
+    * checkpoint jobs, the price every iterative-with-normalization
+    * DataFrame algorithm pays. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = ScratchCache.persist(linksOf(s, dir))
+    val bySrc = ScratchCache.persist(links.repartition($"src"))
+    val byDst = ScratchCache.persist(links.repartition($"dst"))
+    val nodes = ScratchCache.persist(
+      Tables.documents(s, dir).select($"doc_id".as("page_id")))
+    var hub = nodes.withColumn("hub", lit(Scale))
+    var auth = nodes.withColumn("auth", lit(Scale))
+    for (_ <- 1 to Iters) {
+      val aRaw = nodes.join(
+          bySrc.join(hub.withColumnRenamed("page_id", "src"), "src")
+            .groupBy($"dst".as("page_id")).agg(sum($"hub").as("a")),
+          Seq("page_id"), "left")
+        .select($"page_id", coalesce($"a", lit(0L)).as("a"))
+        .localCheckpoint()
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(sum($"a").as("t"))))
+        .selectExpr("page_id", s"CAST((a * $Scale) DIV t AS BIGINT) AS auth")
+      val hRaw = nodes.join(
+          byDst.join(auth.withColumnRenamed("page_id", "dst"), "dst")
+            .groupBy($"src".as("page_id")).agg(sum($"auth").as("h")),
+          Seq("page_id"), "left")
+        .select($"page_id", coalesce($"h", lit(0L)).as("h"))
+        .localCheckpoint()
+      hub = hRaw.crossJoin(broadcast(hRaw.agg(sum($"h").as("t"))))
+        .selectExpr("page_id", s"CAST((h * $Scale) DIV t AS BIGINT) AS hub")
+    }
+    auth.join(hub, "page_id")
+      .select($"page_id", $"auth", $"hub")
+      .orderBy($"page_id")
+  }
+  private val q164Sql = {
+    val rounds = (1 to Iters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT n.page_id, coalesce(x.a, 0) AS a
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT l.dst AS page_id, CAST(sum(h.hub) AS BIGINT) AS a
+         |    FROM links l JOIN h${i - 1} h ON l.src = h.page_id
+         |    GROUP BY l.dst
+         |  ) x USING (page_id)
+         |), a$i AS MATERIALIZED (
+         |  SELECT page_id,
+         |    CAST((a * $Scale) // (SELECT sum(a) FROM ar$i) AS BIGINT) AS auth
+         |  FROM ar$i
+         |), hr$i AS MATERIALIZED (
+         |  SELECT n.page_id, coalesce(x.h, 0) AS h
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT l.src AS page_id, CAST(sum(a.auth) AS BIGINT) AS h
+         |    FROM links l JOIN a$i a ON l.dst = a.page_id
+         |    GROUP BY l.src
+         |  ) x USING (page_id)
+         |), h$i AS MATERIALIZED (
+         |  SELECT page_id,
+         |    CAST((h * $Scale) // (SELECT sum(h) FROM hr$i) AS BIGINT) AS hub
+         |  FROM hr$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH links AS MATERIALIZED (
+       |$linksSql
+       |), nodes AS MATERIALIZED (
+       |  SELECT doc_id AS page_id FROM documents
+       |), h0 AS (
+       |  SELECT page_id, CAST($Scale AS BIGINT) AS hub FROM nodes
+       |),
+       |$rounds
+       |SELECT a.page_id, a.auth, h.hub
+       |FROM a$Iters a JOIN h$Iters h USING (page_id)
+       |ORDER BY a.page_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q143
   /** Triangle count with DEGREE-ORDERED orientation — the
     * Schank–Wagner / classic MapReduce trick that makes triangle
@@ -366,6 +463,7 @@ object GraphQueries extends QueryCatalog {
     "q133_pagerank" -> q133,
     "q143_triangle_count" -> q143,
     "q155_kcore" -> q155,
+    "q164_hits" -> q164,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -373,5 +471,6 @@ object GraphQueries extends QueryCatalog {
     "q133_pagerank" -> q133Sql,
     "q143_triangle_count" -> q143Sql,
     "q155_kcore" -> q155Sql,
+    "q164_hits" -> q164Sql,
   )
 }

@@ -141,6 +141,45 @@ class GraphQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q164: HITS matches a brute-force oracle; plan bounded; mod-7 hubs dominate authority") {
+    assume(fixture)
+    val df = GraphQueries.queries("q164_hits")(spark, dir)
+    // the normalization crossJoin references each round's raw frame
+    // twice — without the per-half-round checkpoint the plan would be
+    // 4^8 × base (the q155 analyzer hang); checkpointed, it stays flat
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    assert(leaves.size <= 40, s"plan has ${leaves.size} leaves — lineage not truncated")
+    val out = df.collect().map(r =>
+      (r.getAs[Long]("page_id"), r.getAs[Long]("auth"), r.getAs[Long]("hub")))
+    graft.core.ScratchCache.drain()
+    // brute-force HITS on the same synthesized graph
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val edges = docs.flatMap(i => Seq(i / 2, i / 3, i % 7).filter(_ != i)
+      .map(j => (i, j))).distinct
+    val scale = 1000000L
+    var hub = docs.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 8) {
+      val aRaw = docs.map(v => v ->
+        edges.collect { case (u, w) if w == v => hub(u) }.sum).toMap
+      val aTot = aRaw.values.sum
+      auth = aRaw.map { case (v, a) => v -> (a * scale) / aTot }
+      val hRaw = docs.map(u => u ->
+        edges.collect { case (x, v) if x == u => auth(v) }.sum).toMap
+      val hTot = hRaw.values.sum
+      hub = hRaw.map { case (u, h) => u -> (h * scale) / hTot }
+    }
+    val expected = docs.sorted.map(v => (v, auth(v), hub(v)))
+    assert(out.toSeq == expected.toSeq,
+      s"HITS mismatch; first diff: ${out.zip(expected).find(p => p._1 != p._2)}")
+    // the planted structure: every doc links to doc_id % 7, so the
+    // seven mod-7 pages hold ~N/7 in-links — they must dominate auth
+    val topAuth = out.sortBy(-_._2).take(5).map(_._1).toSet
+    assert(topAuth.forall(_ < 7L),
+      s"top authorities must be the mod-7 hub pages, got $topAuth")
+  }
+
   test("q143: triangle count matches a brute-force oracle; orientation bounds the wedges") {
     assume(fixture)
     val out = GraphQueries.queries("q143_triangle_count")(spark, dir).collect().head
