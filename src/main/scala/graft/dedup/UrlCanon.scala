@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{ScratchCache, Tables}
 
 /** q129 — URL/domain canonicalization + per-domain dedup policy: the
   * CCNet-style pre-step that runs BEFORE content dedup in a web-scale
@@ -281,4 +281,86 @@ object UrlCanon {
        |FROM per CROSS JOIN corpus
        |ORDER BY domain""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q165
+  /** CRAWL BUDGET apportionment — "what do we fetch next cycle":
+    * the derived budget (⅓ of the reputation-weighted corpus volume)
+    * allocated across domains EXACTLY by largest-remainder (Hamilton)
+    * apportionment, the q110 mixture discipline applied to the domain
+    * universe. Weights: a domain's doc count, halved when q163 flags
+    * it downweighted. Everything is exact integers — quotas are
+    * `(B·w) div W` on DECIMAL(38,0) products (quotient ≤ B always
+    * fits int64, where Spark's div and DuckDB's // agree on
+    * non-negatives; the raw product would overflow int64 at corpus
+    * scale), and the Σquota = B guarantee comes from awarding the
+    * leftover units to the largest remainders.
+    *
+    * Scale shape: the classic largest-remainder needs a GLOBAL rank
+    * of remainders — a corpus-wide sort through one task at 10⁸
+    * domains. Here it is the q137/q149 covering-bucket selection
+    * instead: remainders bucket into 1024 equal-width cells of
+    * [0, W), a 1024-row cumulative names every bucket's global offset
+    * (buckets are strict remainder ranges, so bucket order IS
+    * remainder order), and ranking happens only WITHIN buckets
+    * (~N/1024 rows per window partition — never the domain universe).
+    * The DuckDB oracle runs the naive global rank; hash equality
+    * proves the bucketed selection picks the identical award set,
+    * ties broken (remainder DESC, domain ASC) both sides. */
+  def q165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{broadcast, coalesce, count, lit, max, sum}
+    import org.apache.spark.sql.expressions.Window
+    val weighted = ScratchCache.persist(q163(s, dir)
+      .selectExpr("domain",
+        "CASE WHEN downweight = 1 THEN n_docs DIV 2 ELSE n_docs END AS w"))
+    val tot = weighted.agg(sum($"w").as("wtot"))
+      .selectExpr("wtot", "wtot DIV 3 AS budget")
+    val quoted = ScratchCache.persist(weighted.crossJoin(broadcast(tot))
+      .selectExpr("domain", "w", "budget", "wtot",
+        "CAST(CAST(budget AS DECIMAL(38,0)) * w div wtot AS BIGINT) AS q",
+        "CAST(CAST(budget AS DECIMAL(38,0)) * w % wtot AS BIGINT) AS rem")
+      .selectExpr("domain", "w", "budget", "q", "rem",
+        "CAST(CAST(rem AS DECIMAL(38,0)) * 1024 div wtot AS BIGINT) AS bucket"))
+    val leftover = quoted.agg((max($"budget") - sum($"q")).as("leftn"))
+    // 1024-row frame: per-bucket counts + how many domains sit in
+    // strictly HIGHER buckets (bucket ranges are disjoint remainder
+    // intervals, so "higher bucket" ⇔ "strictly larger remainder")
+    val bcounts = quoted.groupBy($"bucket").agg(count(lit(1)).as("c"))
+      .withColumn("above", coalesce(sum($"c").over(
+        Window.orderBy($"bucket".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    quoted
+      .join(broadcast(bcounts.select($"bucket", $"above")), "bucket")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"bucket").orderBy($"rem".desc, $"domain".asc)))
+      .crossJoin(broadcast(leftover))
+      .selectExpr("domain", "w",
+        "CAST(q + CASE WHEN above + rk <= leftn THEN 1 ELSE 0 END AS BIGINT) AS quota")
+      .orderBy($"domain")
+  }
+  val q165Sql: String =
+    s"""WITH rep AS (
+       |  SELECT * FROM ($q163Sql)
+       |), w AS (
+       |  SELECT domain, CASE WHEN downweight = 1 THEN n_docs // 2 ELSE n_docs END AS w
+       |  FROM rep
+       |), tot AS (
+       |  SELECT CAST(sum(w) AS BIGINT) AS wtot,
+       |         CAST(sum(w) // 3 AS BIGINT) AS budget
+       |  FROM w
+       |), qd AS (
+       |  SELECT domain, w, budget,
+       |    CAST(CAST(budget AS HUGEINT) * w // wtot AS BIGINT) AS q,
+       |    CAST(CAST(budget AS HUGEINT) * w % wtot AS BIGINT) AS rem
+       |  FROM w CROSS JOIN tot
+       |), lv AS (
+       |  SELECT CAST(max(budget) - sum(q) AS BIGINT) AS leftn FROM qd
+       |), rk AS (
+       |  SELECT domain, w, q,
+       |    row_number() OVER (ORDER BY rem DESC, domain ASC) AS r
+       |  FROM qd
+       |)
+       |SELECT domain, w,
+       |  CAST(q + CASE WHEN r <= (SELECT leftn FROM lv) THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM rk ORDER BY domain""".stripMargin
 }

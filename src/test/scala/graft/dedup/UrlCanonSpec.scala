@@ -133,4 +133,37 @@ class UrlCanonSpec extends SparkTestBase {
     assert(out.map(_._2).sum == scoredDocs,
       "per-domain doc counts must tile the scored corpus")
   }
+
+  test("q165: quotas sum EXACTLY to the derived budget; awards are the largest remainders") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/documents.parquet")))
+    val out = UrlCanon.q165(spark, dir).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("w"), r.getAs[Long]("quota")))
+    graft.core.ScratchCache.drain()
+    assert(out.nonEmpty)
+    val wTot = out.map(_._2).sum
+    val budget = wTot / 3
+    // THE apportionment guarantee: exact sum, never off-by-rounding
+    assert(out.map(_._3).sum == budget,
+      s"quotas sum ${out.map(_._3).sum}, budget $budget — largest-remainder must tile exactly")
+    // every quota is floor or floor+1 of the proportional share
+    out.foreach { case (d, w, quota) =>
+      val floorQ = (BigInt(budget) * w / wTot).toLong
+      assert(quota == floorQ || quota == floorQ + 1,
+        s"domain $d quota $quota outside [$floorQ, ${floorQ + 1}]")
+    }
+    // the award set must be exactly the leftover count and go to the
+    // globally-largest remainders (ties: domain asc) — the naive rank
+    // recomputed driver-side against the bucketed selection
+    val leftover = budget - out.map { case (_, w, _) => (BigInt(budget) * w / wTot).toLong }.sum
+    val awarded = out.filter { case (_, w, q) => q == (BigInt(budget) * w / wTot).toLong + 1 }
+      .map(_._1).toSet
+    assert(awarded.size.toLong == leftover)
+    val expectedAwards = out.map { case (d, w, _) =>
+      (d, (BigInt(budget) * w % wTot).toLong)
+    }.sortBy { case (d, rem) => (-rem, d) }.take(leftover.toInt).map(_._1).toSet
+    assert(awarded == expectedAwards,
+      "bucketed selection must pick the identical award set as the global rank")
+  }
 }
