@@ -709,6 +709,45 @@ object LayoutQueries extends QueryCatalog {
       |  round(CAST(sum(price) AS DOUBLE), 2) AS revenue
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  /** ORC lake interop — the second columnar format a lakehouse
+    * actually holds (Hive-era tables are overwhelmingly ORC): orders
+    * written ONCE to an ORC store (memoized + Bench-timed separately
+    * as q166_orcstore_build), then a selective aggregate reads it
+    * back. The query proves the full storage round-trip — doubles
+    * survive ORC encode/decode bit-for-bit into the same exact-
+    * decimal sums the parquet path produces (oracle recomputes from
+    * the base table) — and LayoutSpec pins the scan-side contract:
+    * the price predicate reaches the ORC reader (PushedFilters) and
+    * ReadSchema carries only the three touched columns, the same
+    * pruning discipline the parquet scans are held to. */
+  private val orcStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureOrcStore(s: SparkSession, dir: String): String = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    orcStores.computeIfAbsent(key, _ => {
+      val path = graft.core.Scratch.storePath("orcstore", key)
+      Tables.orders(s, dir).write.mode("overwrite").orc(path)
+      path
+    })
+  }
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.orc(ensureOrcStore(s, dir))
+      .filter($"o_totalprice" > 150000.0)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.moneySum($"o_totalprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q166Sql =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${Det.sqlSum("o_totalprice")} AS revenue
+       |FROM orders WHERE o_totalprice > 150000.0
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bucketed_join" -> q134,
     "q135_zorder_layout" -> q135,
@@ -719,6 +758,7 @@ object LayoutQueries extends QueryCatalog {
     "q153_incremental_agg" -> q153,
     "q141_cdc_upsert" -> q141,
     "q142_schema_evolution" -> q142,
+    "q166_orc_roundtrip" -> q166,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -731,5 +771,6 @@ object LayoutQueries extends QueryCatalog {
     "q153_incremental_agg" -> q153Sql,
     "q141_cdc_upsert" -> q141Sql,
     "q142_schema_evolution" -> q142Sql,
+    "q166_orc_roundtrip" -> q166Sql,
   )
 }

@@ -253,4 +253,22 @@ class LayoutSpec extends SparkTestBase {
         p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThanOrEqual(`ts`"))),
       s"ts range must be a PushedFilter, got: ${evScan.map(_.metadata.get("PushedFilters"))}")
   }
+
+  test("q166: ORC scan gets the price pushdown and prunes to the three touched columns") {
+    assume(fixture)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = LayoutQueries.queries("q166_orc_roundtrip")(spark, dir)
+    df.collect()
+    val scans = collectPlan(df.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    val orcScan = scans.filter(_.metadata.get("Location").exists(_.contains("orcstore")))
+    assert(orcScan.nonEmpty, s"no ORC store scan in:\n${df.queryExecution.executedPlan}")
+    assert(orcScan.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("GreaterThan(o_totalprice"))),
+      s"price filter must reach the ORC reader, got: ${orcScan.map(_.metadata.get("PushedFilters"))}")
+    val readCols = orcScan.head.requiredSchema.fieldNames.toSet
+    assert(readCols == Set("o_orderpriority", "o_totalprice"),
+      s"ORC ReadSchema must carry only the touched columns, got $readCols")
+    graft.core.ScratchCache.drain()
+  }
 }
