@@ -23,9 +23,14 @@ object SparkEntry {
     ingest.IngestQueries,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q159 is the engine's thesis in one query: permissive
+    * crawl ingest → URL canonicalization → per-(domain, key) dedup →
+    * quality gate → leakage-safe domain split → packing plan, two
+    * shuffles end to end (the raw-store render is memoized and
+    * sf0.001-sized here). */
   def entry(spark: SparkSession): DataFrame =
-    rel.RelQueries.queries("q03_join_star_revenue")(spark, "/root/testdata/sf0.001")
+    ingest.IngestQueries.queries("q159_corpus_build")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

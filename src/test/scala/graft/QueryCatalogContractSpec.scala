@@ -53,4 +53,12 @@ class QueryCatalogContractSpec extends SparkTestBase {
     assert(offenders.isEmpty,
       s"serialize these with array_join/to_json for the driver harness: $offenders")
   }
+
+  test("entry() — the driver's smoke flagship — returns rows on the sf0.001 fixture") {
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet")))
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty, "driver smoke-checks rows>0 — entry must never return empty")
+    graft.core.ScratchCache.drain()
+  }
 }
