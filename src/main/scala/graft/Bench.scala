@@ -162,7 +162,7 @@ object Bench {
       "q151_partition_pruning", "q153_incremental_agg",
       "q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission",
       "q159_corpus_build", "q160_policy_admission", "q161_stream_raw_ingest",
-      "q162_snapshot_diff", "q166_orc_roundtrip")
+      "q162_snapshot_diff", "q166_orc_roundtrip", "q167_robots_parse")
     val preflightFailed = collection.mutable.LinkedHashMap.empty[String, String]
     allNames.filterNot(lazyBuilds).foreach(n => analyzeErr(n).foreach(preflightFailed += _))
 
@@ -234,6 +234,11 @@ object Bench {
     // output; timed q162 runs measure the DIFF join only
     val prevStoreBuildSec = timedBuild(Seq("q162_snapshot_diff"), "prevcrawl") {
       graft.ingest.IngestQueries.ensurePrevStore(spark, sfDir); ()
+    }
+    // q167's fetched-robots store — a crawl fetches robots.txt bodies
+    // once per domain; timed q167 runs measure the PARSE
+    val robotsStoreBuildSec = timedBuild(Seq("q167_robots_parse"), "robots") {
+      graft.ingest.IngestQueries.ensureRobotsStore(spark, sfDir); ()
     }
     // q166's ORC lake table — the write-once format conversion; timed
     // q166 runs measure the selective ORC read
@@ -390,7 +395,7 @@ object Bench {
     val preflightDetail = preflightFailed.toSeq.sortBy(_._1)
       .map { case (k, m) => s"${qstr(k)}:${qstr(m)}" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"q75_labelstore_build":${fmt(labelStoreBuildSec)},"q134_bucketstore_build":${fmt(bucketStoreBuildSec)},"q151_partstore_build":${fmt(partStoreBuildSec)},"q153_aggstore_build":${fmt(aggStoreBuildSec)},"q156_rawstore_build":${fmt(rawStoreBuildSec)},"q162_prevstore_build":${fmt(prevStoreBuildSec)},"q166_orcstore_build":${fmt(orcStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"preflight_failed":$preflightDetail,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"q75_labelstore_build":${fmt(labelStoreBuildSec)},"q134_bucketstore_build":${fmt(bucketStoreBuildSec)},"q151_partstore_build":${fmt(partStoreBuildSec)},"q153_aggstore_build":${fmt(aggStoreBuildSec)},"q156_rawstore_build":${fmt(rawStoreBuildSec)},"q162_prevstore_build":${fmt(prevStoreBuildSec)},"q166_orcstore_build":${fmt(orcStoreBuildSec)},"q167_robotsstore_build":${fmt(robotsStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"preflight_failed":$preflightDetail,"failed":$failed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))

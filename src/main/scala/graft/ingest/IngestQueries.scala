@@ -567,6 +567,99 @@ object IngestQueries extends QueryCatalog {
        |  CAST(count(*) FILTER (WHERE verdict = 'unchanged') AS BIGINT) AS n_unchanged
        |FROM v GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** robots.txt PARSING — q160 consumes per-domain policy rules; this
+    * is where they come from in a real crawler: fetched robots.txt
+    * BODIES parsed into rules. The store renders one record per
+    * domain ({domain, body}) with the shapes a parser must survive —
+    * comment lines, a wildcard `User-agent: *` block (planted
+    * `Disallow: /p/1` for the q160 robots domains, `Allow: /`
+    * otherwise, an optional `Crawl-delay`), a blank line, and a
+    * second `User-agent: badbot` block whose `Disallow: /` must NOT
+    * leak into the wildcard rules. The parse: explode body lines with
+    * positions, classify map-side by regex, attribute each line to
+    * its governing User-agent via a last-ignoreNulls window
+    * PARTITIONED BY DOMAIN (one robots file ≈ a handful of lines —
+    * the window partition is file-sized, never corpus-sized), then
+    * one per-domain roll-up. The oracle recomputes the planted rules
+    * DIRECTLY from the md5 selectors — hash equality proves the
+    * parser extracts exactly the rules the generator planted,
+    * block-attribution included. */
+  private val delaySelSql = "substring(md5('delay|' || domain), 1, 1) < '8'"
+  private val delayValSql =
+    "(instr('0123456789abcdef', substring(md5('delay|' || domain), 2, 1)))"
+
+  private val robotsStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureRobotsStore(s: SparkSession, dir: String): String = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    robotsStores.computeIfAbsent(key, _ => {
+      val path = Scratch.storePath("robots", key)
+      Tables.documents(s, dir)
+        .selectExpr(s"${UrlCanon.rawUrlSql} AS raw_url")
+        .selectExpr(s"${UrlCanon.strippedSql("raw_url")} AS u")
+        .selectExpr(s"${UrlCanon.hostSql("u")} AS host")
+        .selectExpr(s"${UrlCanon.domainSql("host")} AS domain")
+        .distinct()
+        // concat_ws's null-skip is INTENTIONAL here: the absent
+        // Crawl-delay line simply doesn't render (unlike the CSV
+        // store, where a skipped field would shift columns)
+        .selectExpr("domain", s"""concat_ws('\\n',
+          |  '# robots.txt for ' || domain,
+          |  'User-agent: *',
+          |  CASE WHEN $robotsSelSql THEN 'Disallow: $RobotsPrefix' ELSE 'Allow: /' END,
+          |  CASE WHEN $delaySelSql THEN 'Crawl-delay: ' || $delayValSql END,
+          |  '',
+          |  'User-agent: badbot',
+          |  'Disallow: /') AS body""".stripMargin)
+        .select(to_json(struct(col("domain"), col("body"))).as("value"))
+        .write.mode("overwrite").text(path)
+      path
+    })
+  }
+
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rob = s.read.schema(StructType(Seq(
+        StructField("domain", StringType), StructField("body", StringType))))
+      .json(ensureRobotsStore(s, dir))
+    val attributed = rob
+      .select($"domain", posexplode(split($"body", "\n")).as(Seq("ln", "line")))
+      .selectExpr("domain", "ln",
+        "regexp_extract(line, '^User-agent: (.+)$', 1) AS agent0",
+        "regexp_extract(line, '^Disallow: (.+)$', 1) AS dis",
+        "regexp_extract(line, '^Crawl-delay: ([0-9]+)$', 1) AS cd")
+      .withColumn("agent", last(when($"agent0" =!= "", $"agent0"), ignoreNulls = true)
+        .over(Window.partitionBy($"domain").orderBy($"ln")))
+    attributed.groupBy($"domain")
+      .agg(
+        coalesce(max(when($"agent" === "*" && $"dis" =!= "", $"dis")), lit("(none)"))
+          .as("wildcard_disallow"),
+        coalesce(max(when($"agent" === "*" && $"cd" =!= "", $"cd".cast("long"))), lit(0L))
+          .as("crawl_delay"),
+        sum(when($"dis" =!= "", 1L).otherwise(0L)).as("n_disallow_rules"))
+      .orderBy($"domain")
+  }
+  private val q167Sql = {
+    import UrlCanon._
+    s"""WITH raw AS (
+       |  SELECT $rawUrlSql AS raw_url FROM documents
+       |), st AS (
+       |  SELECT ${strippedSql("raw_url")} AS u FROM raw
+       |), h AS (
+       |  SELECT ${hostSql("u")} AS host FROM st
+       |), d AS (
+       |  SELECT DISTINCT ${domainSql("host")} AS domain FROM h
+       |)
+       |SELECT domain,
+       |  CASE WHEN $robotsSelSql THEN '$RobotsPrefix' ELSE '(none)' END AS wildcard_disallow,
+       |  CAST(CASE WHEN $delaySelSql THEN $delayValSql ELSE 0 END AS BIGINT) AS crawl_delay,
+       |  CAST(1 + CASE WHEN $robotsSelSql THEN 1 ELSE 0 END AS BIGINT) AS n_disallow_rules
+       |FROM d ORDER BY domain""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_jsonl_ingest" -> q156,
     "q157_csv_ingest" -> q157,
@@ -575,6 +668,7 @@ object IngestQueries extends QueryCatalog {
     "q160_policy_admission" -> q160,
     "q161_stream_raw_ingest" -> q161,
     "q162_snapshot_diff" -> q162,
+    "q167_robots_parse" -> q167,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -585,5 +679,6 @@ object IngestQueries extends QueryCatalog {
     "q160_policy_admission" -> q160Sql,
     "q161_stream_raw_ingest" -> q161Sql,
     "q162_snapshot_diff" -> q162Sql,
+    "q167_robots_parse" -> q167Sql,
   )
 }

@@ -224,6 +224,30 @@ class IngestSpec extends SparkTestBase {
     assert(tot("n_added") + tot("n_removed") + tot("n_changed") + tot("n_unchanged")
       == (cur ++ prev).size.toLong, "diff must tile the snapshot union")
   }
+
+  test("q167 robots parse: block attribution exact — badbot's Disallow never leaks into wildcard rules") {
+    assume(fixture)
+    def delayVal(domain: String) =
+      ("0123456789abcdef".indexOf(md5hex(s"delay|$domain").charAt(1)) + 1).toLong
+    def delaySel(domain: String) = md5hex(s"delay|$domain").head < '8'
+    val out = IngestQueries.queries("q167_robots_parse")(spark, dir).collect()
+    assert(out.nonEmpty)
+    var sawRule = 0; var sawNone = 0; var sawDelay = 0
+    out.foreach { r =>
+      val d = r.getAs[String]("domain")
+      val wd = r.getAs[String]("wildcard_disallow")
+      val cd = r.getAs[Long]("crawl_delay")
+      val n = r.getAs[Long]("n_disallow_rules")
+      if (robotsSel(d)) { assert(wd == "/p/1", s"$d: parsed '$wd'"); sawRule += 1 }
+      else { assert(wd == "(none)", s"$d: badbot's 'Disallow: /' leaked into wildcard: '$wd'"); sawNone += 1 }
+      if (delaySel(d)) { assert(cd == delayVal(d), s"$d delay $cd != ${delayVal(d)}"); sawDelay += 1 }
+      else assert(cd == 0L)
+      assert(n == 1L + (if (robotsSel(d)) 1L else 0L),
+        s"$d must count badbot's rule plus the wildcard one: $n")
+    }
+    // the fixture must exercise all branches of the parser
+    assert(sawRule > 0 && sawNone > 0 && sawDelay > 0)
+  }
 }
 
 object IngestSpec {
