@@ -538,11 +538,14 @@ object LayoutQueries extends QueryCatalog {
         expr("abs(est_cents - c) * 1000000 DIV greatest(1L, c)").as("err_ppm"))
       .orderBy($"priority", $"qppm")
   }
-  private val q149Sql =
-    """WITH cents AS (
-      |  SELECT o_orderkey, o_orderpriority AS g,
-      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-      |  FROM orders
+  /** q149's DuckDB twin parameterized by the (o_orderkey, g, c) input
+    * CTE and the output aliases — so any grouped value distribution
+    * gets the same sketch-and-calibrate oracle (q149 over order
+    * prices, q168 over document lengths). */
+  private def groupedQuantileSqlFrom(centsSql: String, gName: String,
+                                     valName: String): String =
+    s"""WITH cents AS (
+      |$centsSql
       |), bounds AS (
       |  SELECT g, min(c) AS minc, max(c) AS maxc, CAST(count(*) AS BIGINT) AS n,
       |    greatest(1, (max(c) - min(c)) // 256 + 1) AS w
@@ -569,10 +572,16 @@ object LayoutQueries extends QueryCatalog {
       |  FROM cents JOIN bounds ON cents.g = bounds.g
       |  JOIN est e ON cents.g = e.g AND least(255, (c - minc) // w) = e.b
       |)
-      |SELECT e.g AS priority, e.qppm, est_cents, s.c AS exact_cents,
+      |SELECT e.g AS $gName, e.qppm, est_cents AS est_$valName,
+      |  s.c AS exact_$valName,
       |  abs(est_cents - s.c) * 1000000 // greatest(1, s.c) AS err_ppm
       |FROM est e JOIN sel s ON e.g = s.g AND e.qppm = s.qppm AND s.rkb = s.tgt
-      |ORDER BY priority, e.qppm""".stripMargin
+      |ORDER BY $gName, e.qppm""".stripMargin
+
+  private val q149Sql = groupedQuantileSqlFrom(
+    """  SELECT o_orderkey, o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders""".stripMargin, "priority", "cents")
 
   // ---------------------------------------------------------------- q141
   /** CDC merge-on-read upsert view — the lakehouse write-path
@@ -748,6 +757,29 @@ object LayoutQueries extends QueryCatalog {
        |FROM orders WHERE o_totalprice > 150000.0
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Per-SOURCE document-length quantiles — the corpus-datasheet stat
+    * every data card publishes (how long are this feed's documents at
+    * p50/p90/p99), served by the SAME grouped sketch-and-calibrate
+    * core as q149: per-source 256-bucket mergeable histograms, exact
+    * nearest-rank calibration by distributed selection. One
+    * parameterization of [[groupedQuantileCore]] /
+    * [[groupedQuantileSqlFrom]] — the point is that the sketch is a
+    * reusable OPERATOR, not a one-off query (SkewStressSpec already
+    * pins its ~10⁶-group end). */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = ScratchCache.persist(Tables.documents(s, dir)
+      .selectExpr("doc_id AS o_orderkey", "source AS g", "n_chars AS c"))
+    groupedQuantileCore(cents)
+      .withColumnRenamed("priority", "source")
+      .withColumnRenamed("est_cents", "est_chars")
+      .withColumnRenamed("exact_cents", "exact_chars")
+  }
+  private val q168Sql = groupedQuantileSqlFrom(
+    "  SELECT doc_id AS o_orderkey, source AS g, n_chars AS c FROM documents",
+    "source", "chars")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bucketed_join" -> q134,
     "q135_zorder_layout" -> q135,
@@ -759,6 +791,7 @@ object LayoutQueries extends QueryCatalog {
     "q141_cdc_upsert" -> q141,
     "q142_schema_evolution" -> q142,
     "q166_orc_roundtrip" -> q166,
+    "q168_source_length_quantiles" -> q168,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -772,5 +805,6 @@ object LayoutQueries extends QueryCatalog {
     "q141_cdc_upsert" -> q141Sql,
     "q142_schema_evolution" -> q142Sql,
     "q166_orc_roundtrip" -> q166Sql,
+    "q168_source_length_quantiles" -> q168Sql,
   )
 }
