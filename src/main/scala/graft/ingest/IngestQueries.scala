@@ -506,6 +506,15 @@ object IngestQueries extends QueryCatalog {
   private val chgSelSql = "substring(md5('chg|' || doc_id), 1, 1) < '3'"
   private val prevDigestSql =
     s"CASE WHEN $chgSelSql THEN md5('old|' || text) ELSE md5(text) END"
+  /** Planted MOVES: ~half the docs absent from the previous snapshot
+    * BY ID carried their content under a DIFFERENT id there (a page
+    * that moved URLs between crawls) — a ghost (doc_id + 10⁹, source,
+    * md5(text)) row in the previous-crawl store. q162 counts the
+    * ghost as removed (the old URL did disappear); q169 re-connects
+    * the pair by content digest. */
+  private val moveSelSql =
+    s"NOT ($prevSelSql) AND substring(md5('move|' || doc_id), 1, 1) < '8'"
+  private val GhostOffset = 1000000000L
 
   private val prevStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -517,9 +526,12 @@ object IngestQueries extends QueryCatalog {
     val key = s"${System.identityHashCode(s)}|$dir"
     prevStores.computeIfAbsent(key, _ => {
       val path = Scratch.storePath("prevcrawl", key)
-      Tables.documents(s, dir)
-        .filter(expr(prevSelSql))
+      val docs = Tables.documents(s, dir)
+      docs.filter(expr(prevSelSql))
         .selectExpr("doc_id", "source", s"$prevDigestSql AS digest")
+        .unionAll(docs.filter(expr(moveSelSql))
+          .selectExpr(s"doc_id + ${GhostOffset}L AS doc_id", "source",
+            "md5(text) AS digest"))
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -549,6 +561,11 @@ object IngestQueries extends QueryCatalog {
     s"""WITH prev AS (
        |  SELECT doc_id AS p_id, source AS p_source, $prevDigestSql AS p_digest
        |  FROM documents WHERE $prevSelSql
+       |  UNION ALL
+       |  -- planted moved-away ghosts: the content lived at another id
+       |  SELECT doc_id + $GhostOffset AS p_id, source AS p_source,
+       |    md5(text) AS p_digest
+       |  FROM documents WHERE $moveSelSql
        |), cur AS (
        |  SELECT doc_id AS c_id, source AS c_source, md5(text) AS c_digest
        |  FROM documents WHERE $curSelSql
@@ -566,6 +583,54 @@ object IngestQueries extends QueryCatalog {
        |  CAST(count(*) FILTER (WHERE verdict = 'changed') AS BIGINT) AS n_changed,
        |  CAST(count(*) FILTER (WHERE verdict = 'unchanged') AS BIGINT) AS n_unchanged
        |FROM v GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  /** MOVED-PAGE detection — the refinement q162's id-keyed diff
+    * cannot see: an "added" page whose CONTENT already existed in the
+    * previous snapshot under a different id is a URL move, not new
+    * data, and double-counting it inflates every growth metric (and
+    * re-trains on it). Added docs (current minus previous BY ID) are
+    * re-joined against the previous snapshot's digest set BY CONTENT:
+    * digest hit ⇒ moved, miss ⇒ truly new. Rolled up per source.
+    *
+    * Scale shape: one anti-join on doc_id (both sides shuffle once,
+    * high-cardinality key) then one left join on digest against the
+    * DISTINCT digest set — digests are unique per content, so this
+    * key is also high-cardinality and skew-free; the artifact side is
+    * 16 bytes/page. Never a broadcast: both sides corpus-sized at
+    * 100 TB. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prev = s.read.parquet(ensurePrevStore(s, dir))
+    val added = Tables.documents(s, dir)
+      .filter(expr(curSelSql))
+      .selectExpr("doc_id", "source", "md5(text) AS digest")
+      .join(prev.select($"doc_id".as("p_id")), $"doc_id" === $"p_id", "left_anti")
+    added
+      .join(prev.select($"digest".as("p_digest")).distinct(),
+        $"digest" === $"p_digest", "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_added"),
+        sum(when($"p_digest".isNotNull, 1L).otherwise(0L)).as("n_moved"),
+        sum(when($"p_digest".isNull, 1L).otherwise(0L)).as("n_new"))
+      .orderBy($"source")
+  }
+  private val q169Sql =
+    s"""WITH prev AS (
+       |  SELECT doc_id AS p_id, $prevDigestSql AS p_digest
+       |  FROM documents WHERE $prevSelSql
+       |  UNION ALL
+       |  SELECT doc_id + $GhostOffset AS p_id, md5(text) AS p_digest
+       |  FROM documents WHERE $moveSelSql
+       |), added AS (
+       |  SELECT doc_id, source, md5(text) AS digest
+       |  FROM documents d WHERE $curSelSql
+       |    AND NOT EXISTS (SELECT 1 FROM prev WHERE p_id = d.doc_id)
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_added,
+       |  CAST(count(*) FILTER (WHERE digest IN (SELECT p_digest FROM prev)) AS BIGINT) AS n_moved,
+       |  CAST(count(*) FILTER (WHERE digest NOT IN (SELECT p_digest FROM prev)) AS BIGINT) AS n_new
+       |FROM added GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q167
   /** robots.txt PARSING — q160 consumes per-domain policy rules; this
@@ -669,6 +734,7 @@ object IngestQueries extends QueryCatalog {
     "q161_stream_raw_ingest" -> q161,
     "q162_snapshot_diff" -> q162,
     "q167_robots_parse" -> q167,
+    "q169_moved_pages" -> q169,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -680,5 +746,6 @@ object IngestQueries extends QueryCatalog {
     "q161_stream_raw_ingest" -> q161Sql,
     "q162_snapshot_diff" -> q162Sql,
     "q167_robots_parse" -> q167Sql,
+    "q169_moved_pages" -> q169Sql,
   )
 }

@@ -200,17 +200,22 @@ class IngestSpec extends SparkTestBase {
       bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
   }
 
+  private def prevSel(id: Long) = md5hex(s"prev|$id").head != 'f'
+  private def curSel(id: Long) = md5hex(s"cur|$id").head != 'e'
+  private def chgSel(id: Long) = md5hex(s"chg|$id").head < '3'
+  private def moveSel(id: Long) = !prevSel(id) && md5hex(s"move|$id").head < '8'
+
   test("q162 snapshot diff: verdict sets replay the planted membership exactly; diff tiles the union") {
     assume(fixture)
-    def prevSel(id: Long) = md5hex(s"prev|$id").head != 'f'
-    def curSel(id: Long) = md5hex(s"cur|$id").head != 'e'
-    def chgSel(id: Long) = md5hex(s"chg|$id").head < '3'
     val allIds = graft.core.Tables.documents(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val prev = allIds.filter(prevSel)
     val cur = allIds.filter(curSel)
+    // moved-away ghosts live in prev under offset ids, never in cur —
+    // each is one extra 'removed' (the old URL did disappear)
+    val ghosts = allIds.count(moveSel).toLong
     val expAdded = (cur -- prev).size.toLong
-    val expRemoved = (prev -- cur).size.toLong
+    val expRemoved = (prev -- cur).size.toLong + ghosts
     val expChanged = (cur & prev).count(chgSel).toLong
     val expUnchanged = (cur & prev).count(!chgSel(_)).toLong
     // every verdict class must be non-empty or the diff is vacuous
@@ -222,7 +227,25 @@ class IngestSpec extends SparkTestBase {
     assert(tot("n_changed") == expChanged)
     assert(tot("n_unchanged") == expUnchanged)
     assert(tot("n_added") + tot("n_removed") + tot("n_changed") + tot("n_unchanged")
-      == (cur ++ prev).size.toLong, "diff must tile the snapshot union")
+      == (cur ++ prev).size.toLong + ghosts, "diff must tile the snapshot union")
+  }
+
+  test("q169 moved pages: the digest re-join finds exactly the planted moves among the added") {
+    assume(fixture)
+    val allIds = graft.core.Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val added = allIds.filter(id => curSel(id) && !prevSel(id))
+    val expMoved = added.count(moveSel).toLong
+    val expNew = added.count(!moveSel(_)).toLong
+    assert(expMoved > 0 && expNew > 0, "fixture must plant both moves and truly-new pages")
+    val out = IngestQueries.queries("q169_moved_pages")(spark, dir).collect()
+    def tot(c: String) = out.map(_.getAs[Long](c)).sum
+    assert(tot("n_added") == added.size.toLong)
+    assert(tot("n_moved") == expMoved,
+      s"moved ${tot("n_moved")} != $expMoved — digest re-join must find exactly the planted moves")
+    assert(tot("n_new") == expNew)
+    out.foreach(r => assert(r.getAs[Long]("n_added") ==
+      r.getAs[Long]("n_moved") + r.getAs[Long]("n_new")))
   }
 
   test("q167 robots parse: block attribution exact — badbot's Disallow never leaks into wildcard rules") {
