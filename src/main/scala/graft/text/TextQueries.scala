@@ -2204,6 +2204,65 @@ object TextQueries extends QueryCatalog {
        |WHERE n_ab >= 5
        |ORDER BY lift DESC, t1, t2 LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** Quality-threshold YIELD CURVE per source — the "where do we set
+    * the cutoff" decision table a data team reads before gating a
+    * corpus: for every candidate score threshold, how many documents
+    * and how many tokens survive, per source. One pass scores every
+    * doc with the q96 classifier ([[scoreExpr]]), scores histogram
+    * into 32 equi-width buckets against data-derived bounds (q137's
+    * exact-integer bucketing — non-negative numerators, so Spark DIV
+    * and DuckDB // agree), and the curve is a SUFFIX sum per source
+    * over descending buckets: row b answers "admit everything scoring
+    * ≥ this bucket's floor".
+    *
+    * Scale shape: scoring is the q96 map-side scan; the histogram is
+    * one (source, bucket) exchange with O(1) aggregate state per
+    * group (count + sum — a flooded source concentrates work, never
+    * memory); the suffix-sum window partitions are ≤ 32 rows per
+    * source at ANY corpus size. The bounds frame is the 1-row scalar
+    * broadcast idiom. Nothing here grows with the corpus except the
+    * scan. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = ScratchCache.persist(Tables.documents(s, dir)
+      .select($"source", expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 1)
+      .select($"source", size($"toks").cast("long").as("n_toks"),
+        expr(scoreExpr).as("score")))
+    val bounds = scored.agg(min($"score").as("mins"), max($"score").as("maxs"))
+      .withColumn("w", expr("greatest(1L, (maxs - mins) DIV 32 + 1)"))
+    val suffix = Window.partitionBy($"source").orderBy($"b".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.crossJoin(broadcast(bounds))
+      .groupBy($"source", expr("least(31L, (score - mins) DIV w)").as("b"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("toks"))
+      .crossJoin(broadcast(bounds))
+      .select($"source", $"b", expr("mins + b * w").as("threshold_lo"),
+        sum($"n_docs").over(suffix).as("n_docs_ge"),
+        sum($"toks").over(suffix).as("n_toks_ge"))
+      .orderBy($"source", $"b")
+  }
+  private val q170Sql =
+    s"""WITH scored AS (
+       |  SELECT source, CAST(len(toks) AS BIGINT) AS n_toks, $scoreSql AS score
+       |  FROM (SELECT source, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 1
+       |), bounds AS (
+       |  SELECT min(score) AS mins, max(score) AS maxs,
+       |    greatest(1, (max(score) - min(score)) // 32 + 1) AS w
+       |  FROM scored
+       |), h AS (
+       |  SELECT source, CAST(least(31, (score - mins) // w) AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS toks
+       |  FROM scored, bounds GROUP BY 1, 2
+       |)
+       |SELECT source, b, CAST(mins + b * w AS BIGINT) AS threshold_lo,
+       |  CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY b DESC) AS BIGINT) AS n_docs_ge,
+       |  CAST(sum(toks) OVER (PARTITION BY source ORDER BY b DESC) AS BIGINT) AS n_toks_ge
+       |FROM h, bounds ORDER BY source, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -2245,6 +2304,7 @@ object TextQueries extends QueryCatalog {
     "q125_split_assign" -> q125,
     "q131_heavy_hitters_cms" -> (HeavyHitters.q131 _),
     "q140_collocations" -> q140,
+    "q170_threshold_yield" -> q170,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2288,5 +2348,6 @@ object TextQueries extends QueryCatalog {
     "q125_split_assign" -> q125Sql,
     "q131_heavy_hitters_cms" -> HeavyHitters.q131Sql,
     "q140_collocations" -> q140Sql,
+    "q170_threshold_yield" -> q170Sql,
   )
 }

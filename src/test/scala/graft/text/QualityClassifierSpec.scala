@@ -41,6 +41,46 @@ class QualityClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("q170 yield curve equals the brute-force suffix sums; curve monotone, floor row covers the source") {
+    assume(ready)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+      .map { case (src, toks) => (src, toks.length.toLong, toks.map(weight).sum) }
+    val mins = docs.map(_._3).min
+    val maxs = docs.map(_._3).max
+    val w = math.max(1L, (maxs - mins) / 32 + 1)
+    val byBucket = docs
+      .groupBy(d => (d._1, math.min(31L, (d._3 - mins) / w)))
+      .map { case ((src, b), ds) => (src, b, ds.length.toLong, ds.map(_._2).sum) }
+    val expected = byBucket.groupBy(_._1).flatMap { case (src, rows) =>
+      rows.map { case (_, b, _, _) =>
+        val ge = rows.filter(_._2 >= b)
+        (src, b, mins + b * w, ge.map(_._3).sum, ge.map(_._4).sum)
+      }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val got = TextQueries.queries("q170_threshold_yield")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // contract: within each source the curve is strictly cumulative —
+    // non-increasing in b, and the lowest present bucket admits every
+    // scored doc of that source
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(lo, hi) =>
+          assert(lo._4 >= hi._4 && lo._5 >= hi._5, s"$src curve not monotone")
+        case _ =>
+      }
+      val srcDocs = docs.filter(_._1 == src)
+      assert(sorted.head._4 == srcDocs.length.toLong &&
+        sorted.head._5 == srcDocs.map(_._2).sum,
+        s"$src floor row must admit the whole source")
+    }
+  }
+
   test("q96 plan is map-side only: no shuffle before the output sort") {
     assume(ready)
     val p = TextQueries.queries("q96_quality_classifier")(spark, dir)
