@@ -725,6 +725,78 @@ object IngestQueries extends QueryCatalog {
        |FROM d ORDER BY domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q171
+  /** HTML MAIN-TEXT EXTRACTION — the WET-extraction step between raw
+    * fetch and every text stage in this catalog: crawled pages arrive
+    * as markup, and the corpus the pipeline actually trains on is the
+    * visible text plus a text-to-markup density signal (boilerplate-
+    * heavy pages are low-quality before a single token is scored —
+    * the jusText/trafilatura decision, distilled to its scalable
+    * core). Pages are rendered deterministically from `documents`
+    * (title, a script block carrying an md5 payload, nav/footer chrome
+    * around the body text — both engines replay the render
+    * bit-for-bit), then parsed back: script blocks stripped FIRST
+    * (their content is text-invisible but tag-free regex would leak
+    * it), then all tags, then whitespace normalized. Per-source
+    * roll-up: chars in vs visible chars out, density in exact ppm, and
+    * the count of boilerplate-heavy pages (< 70% visible).
+    *
+    * Scale shape: pure map-side regex per page (the q79/q129 regex
+    * discipline — no UDF, codegen'd `RegExpReplace`), then ONE
+    * source-keyed exchange with O(1) aggregate state per group. A
+    * flooded source concentrates counts, never memory. IngestSpec pins
+    * the contract the roll-up hides: per-page round-trip (stripping
+    * recovers exactly title + chrome + body text), title extraction,
+    * and a non-vacuous density split. */
+  private def q171Render(cast: String): String =
+    "'<html><head><title>Doc ' || " + cast + " || ' - ' || source || '</title>' || " +
+      "'<script>var f=\"' || md5(text) || '\";</script>' || " +
+      "'</head><body><nav>Home | About | ' || source || '</nav>' || " +
+      "'<p>' || text || '</p>' || " +
+      "'<footer>(c) crawl of ' || source || '</footer></body></html>'"
+  /** Script blocks first ([^<] is safe: the planted payload is
+    * tag-free), then tags, then whitespace runs. */
+  private def q171Strip(ws: String, flags: String): String =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(html, " +
+      s"'<script>[^<]*</script>', ' '$flags), '<[^>]*>', ' '$flags), '$ws', ' '$flags))"
+  private[graft] def q171Docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "source",
+        s"${q171Render("CAST(doc_id AS STRING)")} AS html")
+      .selectExpr("doc_id", "source", "html",
+        "regexp_extract(html, '<title>([^<]*)</title>', 1) AS title",
+        s"${q171Strip("\\\\s+", "")} AS text_only")
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q171Docs(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"html")).as("n_html_chars"),
+        sum(length($"text_only")).as("n_text_chars"),
+        sum(when(length($"text_only").cast("long") * 1000000L <
+          lit(700000L) * length($"html").cast("long"), 1L).otherwise(0L))
+          .as("n_low_text"))
+      .select($"source", $"n_docs", $"n_html_chars", $"n_text_chars",
+        expr("(n_text_chars * 1000000) DIV n_html_chars").as("text_ratio_ppm"),
+        $"n_low_text")
+      .orderBy($"source")
+  }
+  private val q171Sql =
+    s"""WITH h AS (
+       |  SELECT doc_id, source, ${q171Render("CAST(doc_id AS VARCHAR)")} AS html
+       |  FROM documents
+       |), p AS (
+       |  SELECT source, length(html) AS hl,
+       |    length(${q171Strip(raw"\s+", ", 'g'")}) AS tl
+       |  FROM h
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(hl) AS BIGINT) AS n_html_chars,
+       |  CAST(sum(tl) AS BIGINT) AS n_text_chars,
+       |  CAST((CAST(sum(tl) AS HUGEINT) * 1000000) // sum(hl) AS BIGINT) AS text_ratio_ppm,
+       |  CAST(count(*) FILTER (WHERE CAST(tl AS BIGINT) * 1000000 < 700000 * CAST(hl AS BIGINT)) AS BIGINT) AS n_low_text
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_jsonl_ingest" -> q156,
     "q157_csv_ingest" -> q157,
@@ -735,6 +807,7 @@ object IngestQueries extends QueryCatalog {
     "q162_snapshot_diff" -> q162,
     "q167_robots_parse" -> q167,
     "q169_moved_pages" -> q169,
+    "q171_html_extract" -> q171,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -747,5 +820,6 @@ object IngestQueries extends QueryCatalog {
     "q162_snapshot_diff" -> q162Sql,
     "q167_robots_parse" -> q167Sql,
     "q169_moved_pages" -> q169Sql,
+    "q171_html_extract" -> q171Sql,
   )
 }

@@ -248,6 +248,35 @@ class IngestSpec extends SparkTestBase {
       r.getAs[Long]("n_moved") + r.getAs[Long]("n_new")))
   }
 
+  test("q171 html extract: stripping round-trips every page to exactly title + chrome + body text") {
+    assume(fixture)
+    val got = IngestQueries.q171Docs(spark, dir)
+      .select("doc_id", "source", "title", "text_only").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, src, text) =>
+      val (gs, title, stripped) = got(id)
+      assert(gs == src)
+      assert(title == s"Doc $id - $src", s"doc $id title extraction broke: $title")
+      // independent Scala-side construction of the expected visible
+      // text — the regex pipeline must recover exactly this, with the
+      // script payload GONE (an md5 hex leak would land here)
+      val expected = (s"Doc $id - $src Home | About | $src " +
+        text.trim.replaceAll("\\s+", " ") + s" (c) crawl of $src")
+      assert(stripped == expected, s"doc $id round-trip: <$stripped> != <$expected>")
+      assert(!stripped.contains("var f="), s"doc $id leaked script content")
+    }
+    // density gate must be non-vacuous at this fixture: both classes
+    val out = IngestQueries.queries("q171_html_extract")(spark, dir).collect()
+    val low = out.map(_.getAs[Long]("n_low_text")).sum
+    val all = out.map(_.getAs[Long]("n_docs")).sum
+    assert(low > 0 && low < all,
+      s"70% density split must separate pages at this fixture ($low/$all)")
+  }
+
   test("q167 robots parse: block attribution exact — badbot's Disallow never leaks into wildcard rules") {
     assume(fixture)
     def delayVal(domain: String) =
