@@ -163,7 +163,7 @@ object Bench {
       "q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission",
       "q159_corpus_build", "q160_policy_admission", "q161_stream_raw_ingest",
       "q162_snapshot_diff", "q166_orc_roundtrip", "q167_robots_parse",
-      "q169_moved_pages")
+      "q169_moved_pages", "q172_crawl_frontier")
     val preflightFailed = collection.mutable.LinkedHashMap.empty[String, String]
     allNames.filterNot(lazyBuilds).foreach(n => analyzeErr(n).foreach(preflightFailed += _))
 
@@ -233,7 +233,7 @@ object Bench {
     }
     // q162's previous-crawl digest artifact — snapshot N-1's one-off
     // output; timed q162 runs measure the DIFF join only
-    val prevStoreBuildSec = timedBuild(Seq("q162_snapshot_diff", "q169_moved_pages"), "prevcrawl") {
+    val prevStoreBuildSec = timedBuild(Seq("q162_snapshot_diff", "q169_moved_pages", "q172_crawl_frontier"), "prevcrawl") {
       graft.ingest.IngestQueries.ensurePrevStore(spark, sfDir); ()
     }
     // q167's fetched-robots store — a crawl fetches robots.txt bodies

@@ -632,6 +632,126 @@ object IngestQueries extends QueryCatalog {
        |  CAST(count(*) FILTER (WHERE digest NOT IN (SELECT p_digest FROM prev)) AS BIGINT) AS n_new
        |FROM added GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** CRAWL FRONTIER scheduling — the step after q162's diff and
+    * before the next fetch: given per-page re-crawl classes
+    * (changed=0 > new=1 > unchanged=2) and a per-feed fetch budget,
+    * pick the budget-many highest-priority pages and report the
+    * selection per feed: class counts plus the exact boundary page
+    * (`last_selected_id`). The ORACLE does it the obvious way — rank
+    * every page per feed by (priority, doc_id) and keep rank ≤ budget.
+    * The ENGINE never ranks the corpus: class COUNTS fix each class's
+    * exact quota by arithmetic (least/greatest over the running class
+    * total), and only the boundary page needs an order statistic —
+    * the r-th smallest id within ONE (feed, class), found by q137's
+    * covering-bucket selection (256-cell id histogram names the
+    * covering cell; only that ~N/256 slice ranks). Hash equality
+    * proves count-arithmetic + distributed selection ≡ the naive
+    * priority sort.
+    *
+    * Scale shape: one id-keyed join against the digest artifact
+    * (q162's exchange), one (feed, class, cell) aggregate with O(1)
+    * state, windows over ≤3 class rows / ≤256 cell rows per feed, and
+    * a final rank over one covering slice. A flooded feed's slice is
+    * flood/256 — bounded the same way q149's grouped selection is.
+    * Budgets here are md5-carved per feed (deterministic stand-in);
+    * production budgets come from q165's apportionment and join in
+    * identically. */
+  private val budgetValSql =
+    "instr('0123456789abcdef', substring(md5('budget|' || source), 1, 1))"
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val prev = s.read.parquet(ensurePrevStore(s, dir))
+    val cls = graft.core.ScratchCache.persist(Tables.documents(s, dir)
+      .filter(expr(curSelSql))
+      .selectExpr("doc_id", "source", "md5(text) AS digest")
+      .join(prev.selectExpr("doc_id AS p_id", "digest AS p_digest"),
+        $"doc_id" === $"p_id", "left")
+      .select($"source", $"doc_id",
+        when($"p_id".isNull, 1L)
+          .when($"p_digest" =!= $"digest", 0L).otherwise(2L).as("prio")))
+    val bounds = cls.agg(min($"doc_id").as("mind"), max($"doc_id").as("maxd"))
+      .withColumn("w", expr("greatest(1L, (maxd - mind) DIV 256 + 1)"))
+    val cells = graft.core.ScratchCache.persist(
+      cls.crossJoin(broadcast(bounds))
+        .groupBy($"source", $"prio",
+          expr("least(255L, (doc_id - mind) DIV w)").as("cell"))
+        .agg(count(lit(1)).as("cnt")))
+    val classes = cells.groupBy($"source", $"prio").agg(sum($"cnt").as("n_class"))
+    val bud = classes.groupBy($"source").agg(sum($"n_class").as("n_pages"))
+      .selectExpr("source", "n_pages",
+        s"greatest(1L, (n_pages * $budgetValSql) DIV 12) AS budget")
+    val classWin = Window.partitionBy($"source").orderBy($"prio")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quota = classes
+      .withColumn("cum", sum($"n_class").over(classWin))
+      .join(bud, "source")
+      .withColumn("n_sel",
+        greatest(lit(0L), least($"n_class", $"budget" - ($"cum" - $"n_class"))))
+    // the boundary (feed, class): highest-priority-number class that
+    // still selects anything — its n_sel is the within-class rank r
+    val boundary = quota.filter($"n_sel" > 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"prio".desc)))
+      .filter($"rk" === 1)
+      .select($"source".as("b_source"), $"prio".as("b_prio"), $"n_sel".as("r"))
+    val cellWin = Window.partitionBy($"source", $"prio").orderBy($"cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cover = cells
+      .withColumn("bcum", sum($"cnt").over(cellWin))
+      .join(boundary, $"source" === $"b_source" && $"prio" === $"b_prio")
+      .filter($"bcum" >= $"r" && $"bcum" - $"cnt" < $"r")
+      .select($"b_source", $"b_prio", $"cell".as("b_cell"),
+        $"r", ($"bcum" - $"cnt").as("bcum_before"))
+    val lastId = cls.crossJoin(broadcast(bounds))
+      .withColumn("cell", expr("least(255L, (doc_id - mind) DIV w)"))
+      .join(cover, $"source" === $"b_source" && $"prio" === $"b_prio" &&
+        $"cell" === $"b_cell")
+      .withColumn("rkc", row_number().over(
+        Window.partitionBy($"source").orderBy($"doc_id")))
+      .filter($"rkc" === $"r" - $"bcum_before")
+      .select($"source".as("l_source"), $"doc_id".as("last_selected_id"))
+    quota.groupBy($"source", $"budget")
+      .agg(sum(when($"prio" === 0L, $"n_sel").otherwise(0L)).as("n_sel_changed"),
+        sum(when($"prio" === 1L, $"n_sel").otherwise(0L)).as("n_sel_new"),
+        sum(when($"prio" === 2L, $"n_sel").otherwise(0L)).as("n_sel_unchanged"))
+      .join(lastId, $"source" === $"l_source")
+      .select($"source", $"budget", $"n_sel_changed", $"n_sel_new",
+        $"n_sel_unchanged", $"last_selected_id")
+      .orderBy($"source")
+  }
+  private val q172Sql =
+    s"""WITH prev AS (
+       |  SELECT doc_id AS p_id, $prevDigestSql AS p_digest
+       |  FROM documents WHERE $prevSelSql
+       |  UNION ALL
+       |  SELECT doc_id + $GhostOffset AS p_id, md5(text) AS p_digest
+       |  FROM documents WHERE $moveSelSql
+       |), cls AS (
+       |  SELECT d.source, d.doc_id,
+       |    CASE WHEN p.p_id IS NULL THEN 1
+       |         WHEN p.p_digest <> md5(d.text) THEN 0 ELSE 2 END AS prio
+       |  FROM documents d LEFT JOIN prev p ON p.p_id = d.doc_id
+       |  WHERE $curSelSql
+       |), bud AS (
+       |  SELECT source, greatest(1, (CAST(count(*) AS BIGINT) * $budgetValSql) // 12) AS budget
+       |  FROM cls GROUP BY source
+       |), rk AS (
+       |  SELECT source, prio, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn
+       |  FROM cls
+       |), sel AS (
+       |  SELECT rk.source, prio, doc_id, rn, budget
+       |  FROM rk JOIN bud USING (source) WHERE rn <= budget
+       |)
+       |SELECT source, CAST(budget AS BIGINT) AS budget,
+       |  CAST(count(*) FILTER (WHERE prio = 0) AS BIGINT) AS n_sel_changed,
+       |  CAST(count(*) FILTER (WHERE prio = 1) AS BIGINT) AS n_sel_new,
+       |  CAST(count(*) FILTER (WHERE prio = 2) AS BIGINT) AS n_sel_unchanged,
+       |  CAST(max_by(doc_id, rn) AS BIGINT) AS last_selected_id
+       |FROM sel GROUP BY source, budget ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q167
   /** robots.txt PARSING — q160 consumes per-domain policy rules; this
     * is where they come from in a real crawler: fetched robots.txt
@@ -808,6 +928,7 @@ object IngestQueries extends QueryCatalog {
     "q167_robots_parse" -> q167,
     "q169_moved_pages" -> q169,
     "q171_html_extract" -> q171,
+    "q172_crawl_frontier" -> q172,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -821,5 +942,6 @@ object IngestQueries extends QueryCatalog {
     "q167_robots_parse" -> q167Sql,
     "q169_moved_pages" -> q169Sql,
     "q171_html_extract" -> q171Sql,
+    "q172_crawl_frontier" -> q172Sql,
   )
 }

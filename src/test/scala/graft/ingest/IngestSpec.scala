@@ -277,6 +277,50 @@ class IngestSpec extends SparkTestBase {
       s"70% density split must separate pages at this fixture ($low/$all)")
   }
 
+  test("q172 crawl frontier: count-arithmetic + covering-bucket cut replays the brute-force priority selection") {
+    assume(fixture)
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => curSel(id) }
+    // brute force: class per page, rank by (prio, id), keep rank<=budget
+    val byFeed = docs.groupBy(_._2).map { case (src, pages) =>
+      val classed = pages.map { case (id, _) =>
+        val prio = if (!prevSel(id)) 1L else if (chgSel(id)) 0L else 2L
+        (prio, id)
+      }.sortBy(identity)
+      val v = "0123456789abcdef".indexOf(md5hex(s"budget|$src").head) + 1
+      val budget = math.max(1L, pages.length.toLong * v / 12)
+      val sel = classed.take(budget.toInt)
+      (src, (budget, sel.count(_._1 == 0L).toLong, sel.count(_._1 == 1L).toLong,
+        sel.count(_._1 == 2L).toLong, sel.last._2))
+    }
+    val out = IngestQueries.queries("q172_crawl_frontier")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == byFeed.keySet)
+    byFeed.foreach { case (src, exp) =>
+      assert(out(src) == exp, s"$src: ${out(src)} != $exp")
+    }
+    // non-vacuity: the fixture must exercise both a budget CUT and a
+    // fully-selected feed, and every class must be selected somewhere
+    val cut = byFeed.count { case (src, (b, c, n, u, _)) => c + n + u == b }
+    val full = byFeed.count { case (src, (b, c, n, u, _)) => c + n + u < b }
+    assert(cut > 0, "no feed hit its budget — boundary cut untested")
+    assert(byFeed.values.map(_._2).sum > 0 && byFeed.values.map(_._3).sum > 0 &&
+      byFeed.values.map(_._4).sum > 0, "all three priority classes must select somewhere")
+    // priority monotonicity: selecting any unchanged page implies the
+    // feed's changed and new pages were all taken first
+    out.foreach { case (src, (_, c, n, u, _)) =>
+      if (u > 0) {
+        val pages = docs.filter(_._2 == src).map(_._1)
+        assert(c == pages.count(id => prevSel(id) && chgSel(id)).toLong &&
+          n == pages.count(id => !prevSel(id)).toLong,
+          s"$src selected unchanged pages before exhausting higher classes")
+      }
+    }
+  }
+
   test("q167 robots parse: block attribution exact — badbot's Disallow never leaks into wildcard rules") {
     assume(fixture)
     def delayVal(domain: String) =
