@@ -2263,6 +2263,77 @@ object TextQueries extends QueryCatalog {
        |  CAST(sum(toks) OVER (PARTITION BY source ORDER BY b DESC) AS BIGINT) AS n_toks_ge
        |FROM h, bounds ORDER BY source, b""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Vocabulary COVERAGE CURVE — the tokenizer-sizing stat: what
+    * fraction of all corpus tokens do the top-N most frequent types
+    * cover, at N ∈ {10, 100, 1000, 10000}? (The data-card companion to
+    * q95's merge ranking: it decides how large a vocabulary has to be
+    * before the long tail stops mattering.)
+    *
+    * The scale insight that makes this rank-free: coverage at rank N
+    * is TIEBREAK-INDEPENDENT — every type inside one frequency class
+    * contributes the same count, so coverage = (class-prefix tokens) +
+    * (N − types-before-class) × class-frequency, computable from the
+    * FREQUENCY-OF-FREQUENCIES frame alone. The engine therefore never
+    * ranks the vocabulary: one corpus token exchange (the LM shuffle
+    * every vocab stat pays), one distinct-frequency-sized aggregate,
+    * and ONE unpartitioned window over that tiny frame (distinct
+    * frequency values, Zipf-bounded — the same distinct-key-sized
+    * exception PrefixSum's key-total window documents). The DuckDB
+    * oracle does the opposite — naive row_number over (cnt DESC,
+    * token) — so hash equality proves the frequency-class arithmetic
+    * against the explicit global rank. Division is cross-multiplied
+    * through DECIMAL(38,0)/HUGEINT: covered × 10⁶ overflows int64 at
+    * real corpus sizes. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(expr(toksExpr)).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val ff = tf.groupBy($"cnt").agg(count(lit(1)).as("n_types"))
+    val w = Window.orderBy($"cnt".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ScratchCache.persist(ff
+      .withColumn("cum_types", sum($"n_types").over(w))
+      .withColumn("cum_tokens", sum($"cnt" * $"n_types").over(w)))
+    val tot = cum.agg(max($"cum_types").as("total_types"),
+      max($"cum_tokens").as("total_tokens"))
+    s.range(1)
+      .selectExpr("explode(array(10L, 100L, 1000L, 10000L)) AS n_top")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_eff", least($"n_top", $"total_types"))
+      .join(broadcast(cum),
+        $"cum_types" >= $"n_eff" && $"cum_types" - $"n_types" < $"n_eff")
+      .withColumn("covered_tokens",
+        $"cum_tokens" - $"cnt" * ($"cum_types" - $"n_eff"))
+      .select($"n_top", $"n_eff".as("n_types_used"), $"covered_tokens",
+        $"total_tokens",
+        expr("CAST((CAST(covered_tokens AS DECIMAL(38,0)) * 1000000) DIV total_tokens AS BIGINT)")
+          .as("coverage_ppm"))
+      .orderBy($"n_top")
+  }
+  private val q173Sql =
+    s"""WITH tf AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents) GROUP BY 1
+       |), rk AS (
+       |  SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, tok) AS rn,
+       |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS cum
+       |  FROM tf
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total_types,
+       |    CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tf
+       |)
+       |SELECT CAST(n_top AS BIGINT) AS n_top,
+       |  CAST(least(n_top, total_types) AS BIGINT) AS n_types_used,
+       |  cum AS covered_tokens, total_tokens,
+       |  CAST((CAST(cum AS HUGEINT) * 1000000) // total_tokens AS BIGINT) AS coverage_ppm
+       |FROM (SELECT unnest([10, 100, 1000, 10000]) AS n_top), tot
+       |JOIN rk ON rn = least(n_top, total_types)
+       |ORDER BY n_top""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -2305,6 +2376,7 @@ object TextQueries extends QueryCatalog {
     "q131_heavy_hitters_cms" -> (HeavyHitters.q131 _),
     "q140_collocations" -> q140,
     "q170_threshold_yield" -> q170,
+    "q173_vocab_coverage" -> q173,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2349,5 +2421,6 @@ object TextQueries extends QueryCatalog {
     "q131_heavy_hitters_cms" -> HeavyHitters.q131Sql,
     "q140_collocations" -> q140Sql,
     "q170_threshold_yield" -> q170Sql,
+    "q173_vocab_coverage" -> q173Sql,
   )
 }
