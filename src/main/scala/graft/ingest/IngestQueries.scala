@@ -632,6 +632,85 @@ object IngestQueries extends QueryCatalog {
        |  CAST(count(*) FILTER (WHERE digest NOT IN (SELECT p_digest FROM prev)) AS BIGINT) AS n_new
        |FROM added GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+  /** PER-SITE BOILERPLATE detection over extracted page text — the
+    * stage after q171 in a real crawl pipeline, and the domain-local
+    * complement of q111's corpus-wide segment dedup: a text segment
+    * that recurs on at least HALF of one site's pages is that site's
+    * chrome (nav, footer, cookie banner) and should be dropped from
+    * every page before training — but the SAME segment on two pages of
+    * different sites is quotation, not chrome, which is exactly the
+    * distinction q111's corpus-global ≥2-docs rule cannot make. Runs
+    * on q171's extracted text, so the planted nav/footer chrome is the
+    * ground truth: the tumbling segments that align across a site's
+    * pages get flagged, the footer fragment that only aligns on ~1/3
+    * of pages (tumbling windows shift with body length mod 3) stays
+    * below the 50% bar — the threshold is doing real work (pinned in
+    * IngestSpec).
+    *
+    * Scale shape: render+strip+segment are map-side; ONE
+    * (site, segment-digest) exchange carrying 16-byte digests (the
+    * q108/q111 discipline — segment text never shuffles past the
+    * explode), page counts per site ride a broadcast. A flooded site
+    * concentrates one count cell per distinct segment, never memory. */
+  private val SegToks = 3
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = q171Docs(s, dir).select($"doc_id", $"source", $"text_only")
+    val segs = pages
+      .select($"doc_id", $"source", split($"text_only", " ").as("toks"))
+      .select($"doc_id", $"source", explode(expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $SegToks), " +
+          s"i -> concat_ws(' ', slice(toks, i * $SegToks + 1, $SegToks)))")).as("seg"))
+      .select($"doc_id", $"source", md5($"seg").as("seg_md5"),
+        size(split($"seg", " ")).cast("long").as("seg_toks"))
+    val np = pages.groupBy($"source").agg(count(lit(1)).as("n_pages"))
+    segs.groupBy($"source", $"seg_md5")
+      .agg(countDistinct($"doc_id").as("nd"),
+        sum($"seg_toks").as("occ_toks"))
+      .join(broadcast(np), "source")
+      .withColumn("is_boiler", $"nd" * 2 >= $"n_pages")
+      .groupBy($"source")
+      .agg(max($"n_pages").as("n_pages"),
+        count(lit(1)).as("n_distinct_segs"),
+        sum(when($"is_boiler", 1L).otherwise(0L)).as("n_boiler_segs"),
+        sum(when($"is_boiler", $"occ_toks").otherwise(0L)).as("dropped_tokens"),
+        sum($"occ_toks").as("total_tokens"))
+      .withColumn("drop_ppm", expr("(dropped_tokens * 1000000) DIV total_tokens"))
+      .orderBy($"source")
+  }
+  private val q174Sql =
+    s"""WITH h AS (
+       |  SELECT doc_id, source, ${q171Render("CAST(doc_id AS VARCHAR)")} AS html
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, source,
+       |    string_split(${q171Strip(raw"\s+", ", 'g'")}, ' ') AS toks
+       |  FROM h
+       |), segs AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(toks[i * $SegToks + 1 : i * $SegToks + $SegToks], ' ')) AS seg_md5,
+       |    CAST(len(toks[i * $SegToks + 1 : i * $SegToks + $SegToks]) AS BIGINT) AS seg_toks
+       |  FROM (SELECT doc_id, source, toks,
+       |          unnest(generate_series(0, (len(toks) - 1) // $SegToks)) AS i
+       |        FROM p)
+       |), np AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_pages FROM p GROUP BY 1
+       |), per AS (
+       |  SELECT s.source, seg_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+       |    CAST(sum(seg_toks) AS BIGINT) AS occ_toks, max(n_pages) AS n_pages
+       |  FROM segs s JOIN np ON s.source = np.source
+       |  GROUP BY s.source, seg_md5
+       |)
+       |SELECT source, max(n_pages) AS n_pages,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_segs,
+       |  CAST(count(*) FILTER (WHERE nd * 2 >= n_pages) AS BIGINT) AS n_boiler_segs,
+       |  CAST(coalesce(sum(occ_toks) FILTER (WHERE nd * 2 >= n_pages), 0) AS BIGINT) AS dropped_tokens,
+       |  CAST(sum(occ_toks) AS BIGINT) AS total_tokens,
+       |  CAST((coalesce(sum(occ_toks) FILTER (WHERE nd * 2 >= n_pages), 0) * 1000000)
+       |    // sum(occ_toks) AS BIGINT) AS drop_ppm
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q172
   /** CRAWL FRONTIER scheduling — the step after q162's diff and
     * before the next fetch: given per-page re-crawl classes
@@ -929,6 +1008,7 @@ object IngestQueries extends QueryCatalog {
     "q169_moved_pages" -> q169,
     "q171_html_extract" -> q171,
     "q172_crawl_frontier" -> q172,
+    "q174_site_boilerplate" -> q174,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -943,5 +1023,6 @@ object IngestQueries extends QueryCatalog {
     "q169_moved_pages" -> q169Sql,
     "q171_html_extract" -> q171Sql,
     "q172_crawl_frontier" -> q172Sql,
+    "q174_site_boilerplate" -> q174Sql,
   )
 }

@@ -321,6 +321,54 @@ class IngestSpec extends SparkTestBase {
     }
   }
 
+  test("q174 site boilerplate: brute-force replay; chrome flagged, the 1/3-aligned footer fragment is NOT") {
+    // sf0.01, not sf0.001: with ~2 pages per site the 50% bar is
+    // degenerate (every page-unique segment trivially clears it)
+    val bdir = "/root/testdata/sf0.01"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$bdir/documents.parquet")))
+    val pages = graft.core.Tables.documents(spark, bdir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent reconstruction of q171's extracted text + segments
+    def segsOf(id: Long, src: String, text: String): Seq[String] = {
+      val toks = (s"Doc $id - $src Home | About | $src " +
+        text.trim.replaceAll("\\s+", " ") + s" (c) crawl of $src").split(" ").toSeq
+      toks.grouped(3).map(_.mkString(" ")).toSeq
+    }
+    val bySite = pages.groupBy(_._2).map { case (src, ps) =>
+      val perPage = ps.map { case (id, _, text) => segsOf(id, src, text).distinct }
+      val nd = perPage.flatten.groupBy(identity).map { case (s2, xs) => (s2, xs.length.toLong) }
+      val occToks = ps.flatMap { case (id, _, text) => segsOf(id, src, text) }
+        .groupBy(identity).map { case (s2, xs) => (s2, xs.length.toLong * s2.split(" ").length) }
+      val n = ps.length.toLong
+      val boiler = nd.filter { case (_, d) => d * 2 >= n }.keySet
+      val dropped = occToks.filter(o => boiler(o._1)).values.sum
+      val total = occToks.values.sum
+      (src, (n, nd.size.toLong, boiler.size.toLong, dropped, total,
+        dropped * 1000000L / total, boiler))
+    }
+    val out = IngestQueries.queries("q174_site_boilerplate")(spark, bdir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet == bySite.keySet)
+    bySite.foreach { case (src, (n, ds, bs, dr, tot, ppm, boiler)) =>
+      assert(out(src) == ((n, ds, bs, dr, tot, ppm)), s"$src: ${out(src)}")
+      // the planted nav chrome aligns on EVERY page → must be flagged
+      assert(boiler.contains(s"$src Home |") && boiler.contains(s"About | $src"),
+        s"$src nav chrome not flagged: $boiler")
+      assert(bs < ds, s"$src flagged everything — detection vacuous")
+    }
+    // the footer fragment tumbling-aligns only when body length ≡ 0
+    // (mod 3) — expectation 1/3 of a site's pages, so MOST sites keep
+    // it below the 50% bar (a site whose bodies skew to one residue
+    // can legitimately clear it): the threshold must separate chrome
+    // from coincidental alignment on the majority of sites
+    val footerClears = bySite.values.count(_._7.contains("(c) crawl of"))
+    assert(footerClears * 2 < bySite.size,
+      s"footer fragment cleared the 50% bar on $footerClears/${bySite.size} sites — threshold vacuous")
+  }
+
   test("q167 robots parse: block attribution exact — badbot's Disallow never leaks into wildcard rules") {
     assume(fixture)
     def delayVal(domain: String) =
