@@ -1073,6 +1073,87 @@ object SimilarityQueries extends QueryCatalog {
        |ORDER BY w""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q175
+  /** Embedding OUTLIER REVIEW QUEUE — per-label top-3 farthest vectors
+    * from the label centroid, the mislabeled-candidate list a curation
+    * team actually reviews (the centroid-distance sibling of q90's
+    * SemDeDup: SemDeDup drops the CLOSEST pairs, this surfaces the
+    * FARTHEST members). All arithmetic is exact and order-independent:
+    * dims quantized to integer µ-units (the q66 trick — ×10⁶ then
+    * floor, deterministic in f64 both engines), a centroid is the
+    * per-dimension BIGINT SUM of its members (no division: distances
+    * compare n·x − S, i.e. n²-scaled), and squared distances
+    * accumulate in DECIMAL(38,0)/HUGEINT because Σ₆₄ (n·x − S)²
+    * overflows int64 at real label sizes. Reported distances are
+    * floor-normalized back to µ-units² (DIV n² DIV 10⁶).
+    *
+    * Scale shape: one (label, dim) partial aggregate builds every
+    * centroid (state = one sum per dim cell); centroids ride back
+    * BROADCAST (labels × 64 × 8 bytes); distances are one map-side
+    * zip_with fold; the top-3 window is rank ≤ k over label
+    * partitions, which Spark executes as a map-side WindowGroupLimit —
+    * a flooded label pre-truncates to 3 rows per task before the
+    * exchange (pinned in EmbedOutlierSpec). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quant = graft.core.ScratchCache.persist(Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D + 0.5D) AS BIGINT))")
+          .as("q")))
+    val nl = quant.groupBy($"label").agg(count(lit(1)).as("n"))
+    val cent = quant
+      .select($"label", posexplode($"q").as(Seq("pos", "x")))
+      .groupBy($"label", $"pos").agg(sum($"x").as("s"))
+      .groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s))), p -> p.s)").as("cv"))
+      .join(nl, "label")
+    val d = quant.join(broadcast(cent), "label")
+      .withColumn("dsq", expr(
+        "aggregate(zip_with(q, cv, (x, c) -> CAST(n * x - c AS DECIMAL(38,0)) * CAST(n * x - c AS DECIMAL(38,0))), " +
+          "CAST(0 AS DECIMAL(38,0)), (a, y) -> a + y)"))
+    val mean = d.groupBy($"label").agg(sum($"dsq").as("sdsq"))
+    d.withColumn("rank", row_number().over(
+        Window.partitionBy($"label").orderBy($"dsq".desc, $"vec_id")))
+      .filter($"rank" <= 3)
+      .join(broadcast(mean), "label")
+      .selectExpr("label", "n AS n_vecs",
+        "CAST(sdsq DIV n DIV (n * n) DIV 1000000 AS BIGINT) AS mean_dsq_u",
+        "CAST(rank AS BIGINT) AS rank", "vec_id",
+        "CAST(dsq DIV (n * n) DIV 1000000 AS BIGINT) AS dsq_u")
+      .orderBy($"label", $"rank")
+  }
+  private val q175Sql =
+    """WITH quant AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), nl AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM quant GROUP BY 1
+      |), dims AS (
+      |  SELECT label, i, CAST(sum(q[i]) AS BIGINT) AS s
+      |  FROM quant, unnest(generate_series(1, 64)) t(i) GROUP BY 1, 2
+      |), cent AS (
+      |  SELECT label, list(s ORDER BY i) AS cv FROM dims GROUP BY 1
+      |), d AS (
+      |  SELECT q.label, vec_id, n,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CAST(n * q.q[i] - cv[i] AS HUGEINT) * (n * q.q[i] - cv[i]))) AS dsq
+      |  FROM quant q JOIN cent USING (label) JOIN nl USING (label)
+      |), m AS (
+      |  SELECT label, sum(dsq) AS sdsq FROM d GROUP BY 1
+      |), rk AS (
+      |  SELECT label, n, vec_id, dsq,
+      |    row_number() OVER (PARTITION BY label ORDER BY dsq DESC, vec_id) AS rank
+      |  FROM d
+      |)
+      |SELECT rk.label, n AS n_vecs,
+      |  CAST(sdsq // n // (n * n) // 1000000 AS BIGINT) AS mean_dsq_u,
+      |  CAST(rank AS BIGINT) AS rank, vec_id,
+      |  CAST(dsq // (n * n) // 1000000 AS BIGINT) AS dsq_u
+      |FROM rk JOIN m ON rk.label = m.label
+      |WHERE rank <= 3 ORDER BY rk.label, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -1088,6 +1169,7 @@ object SimilarityQueries extends QueryCatalog {
     "q88_knn_label" -> q88,
     "q90_semdedup" -> q90,
     "q99_doc_clusters" -> q99,
+    "q175_embed_outliers" -> q175,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1105,5 +1187,6 @@ object SimilarityQueries extends QueryCatalog {
     "q88_knn_label" -> q88Sql,
     "q90_semdedup" -> q90Sql,
     "q99_doc_clusters" -> q99Sql,
+    "q175_embed_outliers" -> q175Sql,
   )
 }
