@@ -1094,10 +1094,14 @@ object SimilarityQueries extends QueryCatalog {
     * partitions, which Spark executes as a map-side WindowGroupLimit —
     * a flooded label pre-truncates to 3 rows per task before the
     * exchange (pinned in EmbedOutlierSpec). */
-  private def q175(s: SparkSession, dir: String): DataFrame = {
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    q175Of(s, Tables.embeddings(s, dir))
+  /** Core over any (vec_id, label, embedding) frame — package-private
+    * for EmbedOutlierSpec's planted flooded-label overflow fixture. */
+  private[graft] def q175Of(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val quant = graft.core.ScratchCache.persist(Tables.embeddings(s, dir)
+    val quant = graft.core.ScratchCache.persist(emb
       .select($"vec_id", $"label".cast("long").as("label"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000D + 0.5D) AS BIGINT))")
           .as("q")))
@@ -1113,12 +1117,17 @@ object SimilarityQueries extends QueryCatalog {
         "aggregate(zip_with(q, cv, (x, c) -> CAST(n * x - c AS DECIMAL(38,0)) * CAST(n * x - c AS DECIMAL(38,0))), " +
           "CAST(0 AS DECIMAL(38,0)), (a, y) -> a + y)"))
     val mean = d.groupBy($"label").agg(sum($"dsq").as("sdsq"))
+    // floor-division chains compose (a DIV b DIV c ≡ a DIV (b·c)), so
+    // divide by the LARGEST factor first: Spark's DIV forces a LONG
+    // result, and `sdsq DIV n` under a flooded label (Σdsq ∼ n³)
+    // overflows int64 and wraps silently — caught by the adversarial
+    // skew fixture's 20 000-member label
     d.withColumn("rank", row_number().over(
         Window.partitionBy($"label").orderBy($"dsq".desc, $"vec_id")))
       .filter($"rank" <= 3)
       .join(broadcast(mean), "label")
       .selectExpr("label", "n AS n_vecs",
-        "CAST(sdsq DIV n DIV (n * n) DIV 1000000 AS BIGINT) AS mean_dsq_u",
+        "CAST(sdsq DIV (n * n) DIV n DIV 1000000 AS BIGINT) AS mean_dsq_u",
         "CAST(rank AS BIGINT) AS rank", "vec_id",
         "CAST(dsq DIV (n * n) DIV 1000000 AS BIGINT) AS dsq_u")
       .orderBy($"label", $"rank")
@@ -1148,7 +1157,7 @@ object SimilarityQueries extends QueryCatalog {
       |  FROM d
       |)
       |SELECT rk.label, n AS n_vecs,
-      |  CAST(sdsq // n // (n * n) // 1000000 AS BIGINT) AS mean_dsq_u,
+      |  CAST(sdsq // (n * n) // n // 1000000 AS BIGINT) AS mean_dsq_u,
       |  CAST(rank AS BIGINT) AS rank, vec_id,
       |  CAST(dsq // (n * n) // 1000000 AS BIGINT) AS dsq_u
       |FROM rk JOIN m ON rk.label = m.label

@@ -53,6 +53,34 @@ class EmbedOutlierSpec extends SparkTestBase {
     }
   }
 
+  test("q175 flooded label: a 20k-member label must not wrap the mean (DIV-order overflow regression)") {
+    // the skew fixture's dominant label produced Σdsq ∼ n³, and
+    // `sdsq DIV n` as the FIRST division left a quotient beyond int64
+    // — Spark's IntegralDivide wrapped it negative. Dividing by n²
+    // first keeps every intermediate inside int64; this fixture
+    // replays that exact failure shape in-process.
+    import spark.implicits._
+    val n = 20000
+    val flood = (0 until n).map { i =>
+      // spread around a fixed base so distances are genuinely nonzero
+      (i.toLong, 7, Array.tabulate(64)(d => 0.3f + ((i + d) % 17) * 0.01f))
+    }
+    val small = (0 until 5).map { i =>
+      (100000L + i, 8, Array.tabulate(64)(d => -0.2f + ((i * d) % 5) * 0.02f))
+    }
+    val emb = (flood ++ small).toDF("vec_id", "label", "embedding")
+    val out = SimilarityQueries.q175Of(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (label, mean, rank, dsq) =>
+      assert(mean >= 0L, s"label $label mean wrapped negative: $mean")
+      assert(dsq >= 0L, s"label $label dsq wrapped negative: $dsq")
+      if (rank == 1L)
+        assert(dsq >= mean, s"label $label queue head below the mean")
+    }
+    assert(out.count(_._1 == 7L) == 3 && out.count(_._1 == 8L) == 3)
+  }
+
   test("q175 plan pre-truncates flooded labels map-side (WindowGroupLimit)") {
     assume(ready)
     val p = SimilarityQueries.queries("q175_embed_outliers")(spark, dir)
