@@ -108,7 +108,7 @@ object TextQueries extends QueryCatalog {
   // ---------------------------------------------------------------- q34
   /** Heuristic language ID: stopword-hit counts per language with a
     * fixed-precedence argmax (deterministic tiebreak en>de>es>fr). */
-  private val stop = Map(
+  private[text] val stop = Map(
     "en" -> Seq("the", "is", "a", "of", "and"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "los", "las", "y", "es"),
@@ -2334,6 +2334,80 @@ object TextQueries extends QueryCatalog {
        |JOIN rk ON rn = least(n_top, total_types)
        |ORDER BY n_top""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** Classifier CALIBRATION against the rule gate — the reliability
+    * diagram q146's pairwise agreement matrix cannot show: q146 says
+    * HOW OFTEN the learned score and the Gopher rules disagree; this
+    * says WHERE on the score axis. Every doc gets its q96 score and
+    * its q104-style hard-rule verdict in ONE map-side pass; scores
+    * histogram into 32 equi-width buckets (q170's exact-integer
+    * bucketing), and each bucket reports its rule-gate pass rate in
+    * exact ppm. A well-calibrated score shows pass rate rising with
+    * the bucket floor; a flat diagram means the score and the rules
+    * measure different things — the decision view read before
+    * replacing an expensive rule cascade with one cheap dot product.
+    *
+    * Scale shape: scoring + rules are one codegen'd scan (zero
+    * pre-aggregation shuffles, the q96/q104 property); the histogram
+    * is ONE 32-cell exchange with O(1) state per cell; bounds ride the
+    * 1-row scalar broadcast. Output is ≤ 32 rows at any corpus
+    * size. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    val scored = ScratchCache.persist(Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0, (a, t) -> a + length(t))").cast("long").as("token_chars"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        expr(hitsExpr(allStop)).cast("long").as("stop_hits"),
+        expr(scoreExpr).as("score"))
+      .select($"score",
+        ($"n_tokens" >= 50L && $"n_tokens" <= 100000L &&
+          $"token_chars" >= $"n_tokens" * 3L && $"token_chars" <= $"n_tokens" * 10L &&
+          $"stop_hits" >= 2L && $"n_distinct" * 2L >= $"n_tokens").as("rule_pass")))
+    val bounds = scored.agg(min($"score").as("mins"), max($"score").as("maxs"))
+      .withColumn("w", expr("greatest(1L, (maxs - mins) DIV 32 + 1)"))
+    scored.crossJoin(broadcast(bounds))
+      .groupBy(expr("least(31L, (score - mins) DIV w)").as("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rule_pass", 1L).otherwise(0L)).as("n_rule_pass"))
+      .crossJoin(broadcast(bounds))
+      .select($"b", expr("mins + b * w").as("score_lo"), $"n_docs", $"n_rule_pass",
+        expr("(n_rule_pass * 1000000) DIV n_docs").as("pass_ppm"))
+      .orderBy($"b")
+  }
+  private val q176Sql = {
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    s"""WITH feats AS (
+       |  SELECT $scoreSql AS score,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    ${hitsSql(allStop)} AS stop_hits
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 2
+       |), scored AS (
+       |  SELECT score,
+       |    (n_tokens BETWEEN 50 AND 100000
+       |     AND token_chars >= n_tokens * 3 AND token_chars <= n_tokens * 10
+       |     AND stop_hits >= 2 AND n_distinct * 2 >= n_tokens) AS rule_pass
+       |  FROM feats
+       |), bounds AS (
+       |  SELECT min(score) AS mins, max(score) AS maxs,
+       |    greatest(1, (max(score) - min(score)) // 32 + 1) AS w
+       |  FROM scored
+       |)
+       |SELECT CAST(least(31, (score - mins) // w) AS BIGINT) AS b,
+       |  CAST(min(mins + least(31, (score - mins) // w) * w) AS BIGINT) AS score_lo,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE rule_pass) AS BIGINT) AS n_rule_pass,
+       |  CAST((count(*) FILTER (WHERE rule_pass) * 1000000) // count(*) AS BIGINT) AS pass_ppm
+       |FROM scored, bounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -2377,6 +2451,7 @@ object TextQueries extends QueryCatalog {
     "q140_collocations" -> q140,
     "q170_threshold_yield" -> q170,
     "q173_vocab_coverage" -> q173,
+    "q176_score_calibration" -> q176,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2422,5 +2497,6 @@ object TextQueries extends QueryCatalog {
     "q140_collocations" -> q140Sql,
     "q170_threshold_yield" -> q170Sql,
     "q173_vocab_coverage" -> q173Sql,
+    "q176_score_calibration" -> q176Sql,
   )
 }

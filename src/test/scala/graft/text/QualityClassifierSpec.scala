@@ -81,6 +81,40 @@ class QualityClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("q176 calibration diagram equals the brute-force bucket replay; tiles the universe; both verdicts present") {
+    assume(ready)
+    val allStop = TextQueries.stop.values.flatten.toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).split("\\s+").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .map { toks =>
+        val n = toks.length.toLong
+        val chars = toks.map(_.length.toLong).sum
+        val pass = n >= 50L && n <= 100000L &&
+          chars >= n * 3L && chars <= n * 10L &&
+          toks.count(allStop).toLong >= 2L &&
+          toks.distinct.length.toLong * 2L >= n
+        (toks.map(weight).sum, pass)
+      }
+    val mins = docs.map(_._1).min
+    val maxs = docs.map(_._1).max
+    val w = math.max(1L, (maxs - mins) / 32 + 1)
+    val expected = docs.groupBy(d => math.min(31L, (d._1 - mins) / w))
+      .map { case (b, ds) =>
+        val p = ds.count(_._2).toLong
+        (b, mins + b * w, ds.length.toLong, p, p * 1000000L / ds.length)
+      }.toSeq.sortBy(_._1)
+    val got = TextQueries.queries("q176_score_calibration")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    assert(got.map(_._3).sum == docs.length.toLong, "diagram must tile the universe")
+    val totPass = got.map(_._4).sum
+    assert(totPass > 0 && totPass < docs.length.toLong,
+      "fixture must exercise both rule verdicts or the diagram is vacuous")
+  }
+
   test("q96 plan is map-side only: no shuffle before the output sort") {
     assume(ready)
     val p = TextQueries.queries("q96_quality_classifier")(spark, dir)
