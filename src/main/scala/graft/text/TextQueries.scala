@@ -1806,14 +1806,22 @@ object TextQueries extends QueryCatalog {
     *     round covers the realistic single-outlier case, and the
     *     final clamp keeps every quota valid — the cascade case is
     *     pinned in TemperatureMixtureSpec). */
-  private[text] def temperatureMixtureOf(docsIn: DataFrame): DataFrame = {
+  /** The α = 0.5 weight q110 ships with; q177's annealing schedule
+    * swaps in α = 1 and α = 0.25 (a second correctly-rounded sqrt —
+    * still bit-deterministic, unlike libm pow). */
+  private val sqrtWeightExpr =
+    "CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT)"
+  /** Quota table only — the largest-remainder apportionment core of
+    * [[temperatureMixtureOf]], parameterized by the weight expression
+    * so q177 can anneal the temperature across epochs. Returns one row
+    * per lang: (lang, n_l, quota). */
+  private[text] def mixtureQuotasOf(docsIn: DataFrame,
+      weightExpr: String = sqrtWeightExpr): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy(lit(1))
-    val docs = graft.core.ScratchCache.persist(
-      docsIn.select(col("doc_id"), col("lang")))
-    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
-    val w = n.withColumn("w_l",
-      expr("CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val n = docsIn.select(col("doc_id"), col("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val w = n.withColumn("w_l", expr(weightExpr))
     val tot = w.agg(expr("CAST(sum(n_l) DIV 5 AS BIGINT)").as("t"),
       sum(col("w_l")).cast("long").as("ww"))
     val q0 = w.crossJoin(broadcast(tot))
@@ -1840,7 +1848,12 @@ object TextQueries extends QueryCatalog {
           when(col("unsat") && row_number().over(Window.orderBy(col("rem2").desc, col("lang")))
             .cast("long") <= col("leftover2"), 1L).otherwise(0L),
         col("n_l")))
-    val alloc = q2.select(col("lang"), col("quota"))
+    q2.select(col("lang"), col("n_l"), col("quota"))
+  }
+  private[text] def temperatureMixtureOf(docsIn: DataFrame): DataFrame = {
+    val docs = graft.core.ScratchCache.persist(
+      docsIn.select(col("doc_id"), col("lang")))
+    val alloc = mixtureQuotasOf(docs).select(col("lang"), col("quota"))
     // per-lang rank over the CORPUS: `lang` is a ~5-value key and the
     // quota is data-dependent (no WindowGroupLimit pushdown, unlike
     // q76's literal N), so a plain PARTITION BY lang window would sort
@@ -1905,6 +1918,73 @@ object TextQueries extends QueryCatalog {
       |FROM ranked r JOIN alloc a USING (lang)
       |WHERE r.rk <= a.quota
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** Temperature-ANNEALED mixture schedule — the multi-epoch quota
+    * table a curriculum-style training run consumes: epoch 1 samples
+    * at the corpus's natural language distribution (α = 1), epoch 2
+    * rebalances at α = 0.5 (q110's mBERT/XLM-R setting), epoch 3
+    * flattens further at α = 0.25 — low-resource languages gain share
+    * as training progresses. α values are restricted to sqrt CHAINS
+    * (α = 1, 0.5, 0.25) deliberately: sqrt is correctly rounded under
+    * IEEE-754 in both engines, so even the composed double sqrt is
+    * bit-deterministic, where libm pow(x, α) carries no cross-platform
+    * guarantee. Each epoch's quotas are q110's exact largest-remainder
+    * apportionment (clamp + one redistribution round), so every
+    * epoch's quotas sum exactly to the target.
+    *
+    * Scale shape: one (lang) aggregate feeds all three epochs (the
+    * weight is a per-lang scalar transform of the same n_l frame);
+    * everything downstream is |langs|-row window work — the output is
+    * 3 × |langs| rows at any corpus size. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir).select($"doc_id", $"lang"))
+    val epochs = Seq(
+      1 -> "CAST(n_l AS BIGINT)",
+      2 -> sqrtWeightExpr,
+      3 -> "CAST(floor(sqrt(sqrt(CAST(n_l AS DOUBLE))) * 1000000) AS BIGINT)")
+    epochs.map { case (e, we) =>
+      mixtureQuotasOf(docs, we)
+        .select(lit(e.toLong).as("epoch"), col("lang"), col("n_l"), col("quota"))
+    }.reduce(_ unionAll _).orderBy($"epoch", $"lang")
+  }
+  private def quotaEpochSql(epoch: Int, weightSql: String): String =
+    s"""SELECT CAST($epoch AS BIGINT) AS epoch, lang, n_l, CAST(quota AS BIGINT) AS quota FROM (
+       |WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY 1),
+       |w AS (SELECT lang, n_l, $weightSql AS w_l FROM n),
+       |tot AS (SELECT CAST(sum(n_l) // 5 AS BIGINT) AS t, CAST(sum(w_l) AS BIGINT) AS ww FROM w),
+       |q0 AS (SELECT w.lang, w.n_l, tot.t, w.w_l,
+       |  CAST((CAST(tot.t AS HUGEINT) * w.w_l) // tot.ww AS BIGINT) AS base,
+       |  CAST((CAST(tot.t AS HUGEINT) * w.w_l) % tot.ww AS BIGINT) AS rem
+       |  FROM w, tot),
+       |q1 AS (
+       |  SELECT *, least(quota0, n_l) AS give FROM (
+       |    SELECT *, base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+       |                      <= t - sum(base) OVER () THEN 1 ELSE 0 END) AS quota0
+       |    FROM q0)),
+       |q2 AS (
+       |  SELECT *,
+       |    CASE WHEN unsat AND ww2 > 0
+       |         THEN CAST((CAST(shortfall AS HUGEINT) * w_l) // ww2 AS BIGINT) ELSE 0 END AS add0,
+       |    CASE WHEN unsat AND ww2 > 0
+       |         THEN CAST((CAST(shortfall AS HUGEINT) * w_l) % ww2 AS BIGINT) ELSE -1 END AS rem2
+       |  FROM (
+       |    SELECT *, t - sum(give) OVER () AS shortfall,
+       |      (quota0 < n_l) AS unsat,
+       |      sum(CASE WHEN quota0 < n_l THEN w_l ELSE 0 END) OVER () AS ww2
+       |    FROM q1))
+       |SELECT lang, n_l,
+       |  least(give + add0 + (CASE WHEN unsat AND row_number() OVER (ORDER BY rem2 DESC, lang)
+       |        <= shortfall - sum(add0) OVER () THEN 1 ELSE 0 END), n_l) AS quota
+       |FROM q2)""".stripMargin
+  private val q177Sql =
+    Seq(
+      quotaEpochSql(1, "CAST(n_l AS BIGINT)"),
+      quotaEpochSql(2, "CAST(floor(sqrt(CAST(n_l AS DOUBLE)) * 1000000) AS BIGINT)"),
+      quotaEpochSql(3, "CAST(floor(sqrt(sqrt(CAST(n_l AS DOUBLE))) * 1000000) AS BIGINT)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY epoch, lang")
 
   // ---------------------------------------------------------------- q111
   /** Corpus-duplicated-segment removal — the CCNet/RefinedWeb "line
@@ -2452,6 +2532,7 @@ object TextQueries extends QueryCatalog {
     "q170_threshold_yield" -> q170,
     "q173_vocab_coverage" -> q173,
     "q176_score_calibration" -> q176,
+    "q177_mixture_schedule" -> q177,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2498,5 +2579,6 @@ object TextQueries extends QueryCatalog {
     "q170_threshold_yield" -> q170Sql,
     "q173_vocab_coverage" -> q173Sql,
     "q176_score_calibration" -> q176Sql,
+    "q177_mixture_schedule" -> q177Sql,
   )
 }

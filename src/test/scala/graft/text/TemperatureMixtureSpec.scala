@@ -34,9 +34,11 @@ class TemperatureMixtureSpec extends SparkTestBase {
       base.map { case (l, b) => l -> (b + (if (bump(l)) 1L else 0L)) }
     }
   }
-  private def expectedQuotas(counts: Map[String, Long]): Map[String, Long] = {
+  private def expectedQuotas(counts: Map[String, Long],
+      weightOf: Long => Long = n => math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+      : Map[String, Long] = {
     val t = counts.values.sum / 5
-    val w = counts.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val w = counts.map { case (l, n) => l -> weightOf(n) }
     val quota0 = apportion(t, w)
     val give = quota0.map { case (l, q) => l -> math.min(q, counts(l)) }
     val shortfall = t - give.values.sum
@@ -88,6 +90,40 @@ class TemperatureMixtureSpec extends SparkTestBase {
     assert(out.count() == 202L)
     out.unpersist()
     graft.core.ScratchCache.drain()
+  }
+
+  test("q177 annealing schedule: every epoch replays the apportionment; flattening is monotone across epochs") {
+    assume(ready)
+    val counts = langsOf().groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val weights: Map[Long, Long => Long] = Map(
+      1L -> (n => n),
+      2L -> (n => math.floor(math.sqrt(n.toDouble) * 1e6).toLong),
+      3L -> (n => math.floor(math.sqrt(math.sqrt(n.toDouble)) * 1e6).toLong))
+    val got = TextQueries.queries("q177_mixture_schedule")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    weights.foreach { case (epoch, wf) =>
+      val exp = expectedQuotas(counts, wf)
+      val g = got.filter(_._1 == epoch).map(r => r._2 -> r._4).toMap
+      assert(g == exp, s"epoch $epoch: got $g expected $exp")
+      assert(g.values.sum == counts.values.sum / 5,
+        s"epoch $epoch quotas must sum exactly to the target")
+      got.filter(_._1 == epoch).foreach(r => assert(r._3 == counts(r._2)))
+    }
+    // annealing direction: as α drops, the dominant language's quota
+    // never grows and the rarest language's never shrinks — and the
+    // schedule must actually MOVE somewhere or the epochs are vacuous
+    val (domLang, _) = counts.maxBy(_._2)
+    val (rareLang, _) = counts.minBy(_._2)
+    val byEpoch = (1L to 3L).map(e => got.filter(_._1 == e).map(r => r._2 -> r._4).toMap)
+    byEpoch.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b(domLang) <= a(domLang), "dominant lang must not gain share as α drops")
+        assert(b(rareLang) >= a(rareLang), "rare lang must not lose share as α drops")
+      case _ =>
+    }
+    assert(byEpoch.head(domLang) > byEpoch.last(domLang),
+      "annealing must move the dominant lang's quota across the schedule")
   }
 
   test("α = 0.5 up-samples low-resource languages: dominant lang's share shrinks") {
