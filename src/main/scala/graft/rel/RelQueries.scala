@@ -673,6 +673,47 @@ object RelQueries extends QueryCatalog {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** UNPIVOT (melt) — q29's inverse, closing the reshape pair: the
+    * wide per-priority spend matrix q29 produces goes back to the
+    * long (priority, status_metric, value) form a metrics store or
+    * dashboard ingests. Uses Spark's native `Dataset.unpivot` (Expand
+    * under the hood — one pass, rows × metrics output, no join) and
+    * DuckDB's UNPIVOT clause on the oracle side; both name the melted
+    * column from the source column names, so the hash match pins that
+    * the reshape is lossless and label-faithful both ways.
+    *
+    * Scale shape: unpivot is a map-side Expand (k output rows per
+    * input row, no shuffle, no state); the only exchange is q29's
+    * underlying aggregate. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(Det.moneySum($"o_totalprice"))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0.0)).as("spend_f"),
+        coalesce($"O", lit(0.0)).as("spend_o"),
+        coalesce($"P", lit(0.0)).as("spend_p"))
+    wide.unpivot(
+        Array($"o_orderpriority"),
+        Array($"spend_f", $"spend_o", $"spend_p"),
+        "status_metric", "spend")
+      .orderBy($"o_orderpriority", $"status_metric")
+  }
+  private val q178Sql =
+    s"""WITH wide AS (
+       |  SELECT o_orderpriority,
+       |    coalesce(${Det.sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}, 0.0) AS spend_f,
+       |    coalesce(${Det.sqlSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}, 0.0) AS spend_o,
+       |    coalesce(${Det.sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}, 0.0) AS spend_p
+       |  FROM orders GROUP BY o_orderpriority
+       |)
+       |SELECT o_orderpriority, status_metric, spend
+       |FROM wide UNPIVOT (spend FOR status_metric IN (spend_f, spend_o, spend_p))
+       |ORDER BY o_orderpriority, status_metric""".stripMargin
+
   // ---------------------------------------------------------------- q38
   /** Right outer join (closes the declared join matrix: inner/left/
     * RIGHT/full/semi/anti/cross): orders RIGHT JOIN customer keeps
@@ -1438,6 +1479,7 @@ object RelQueries extends QueryCatalog {
     "q27_stats_moments" -> q27,
     "q28_percentiles" -> q28,
     "q29_pivot" -> q29,
+    "q178_unpivot" -> q178,
     "q38_join_right_orders" -> q38,
     "q39_asof_join" -> q39,
     "q127_asof_modal" -> q127,
@@ -1489,6 +1531,7 @@ object RelQueries extends QueryCatalog {
     "q27_stats_moments" -> q27Sql,
     "q28_percentiles" -> q28Sql,
     "q29_pivot" -> q29Sql,
+    "q178_unpivot" -> q178Sql,
     "q38_join_right_orders" -> q38Sql,
     "q39_asof_join" -> q39Sql,
     "q127_asof_modal" -> q127Sql,

@@ -31,6 +31,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q178: unpivot is a map-side Expand and round-trips q29's pivot to the conditional-aggregation long form") {
+    assume(ready)
+    val p = plan("q178_unpivot")
+    // melt must be Expand (k rows per input, no state); every hash
+    // exchange in the plan belongs to the pivot aggregate BELOW the
+    // Expand (Spark's pivot is a two-phase aggregate, so there are
+    // exactly two) — unpivot itself never shuffles, so the Expand sits
+    // strictly above the first hash exchange in the top-down plan text
+    assert(p.contains("Expand"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(p.indexOf("Expand") < p.indexOf("Exchange hashpartitioning"), p)
+    // reshape round-trip: pivot-then-unpivot equals computing the long
+    // form directly by conditional aggregation (zero-filled)
+    val got = graft.SparkEntry.queries("q178_unpivot")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getString(1), BigDecimal(r.getDouble(2)).setScale(2)))
+    val expected = orders.map(_._1).distinct.sorted.flatMap { prio =>
+      Seq("F", "O", "P").map { st =>
+        val sum = orders.filter(o => o._1 == prio && o._2 == st).map(_._3).sum
+        (prio, s"spend_${st.toLowerCase}", sum.toDouble)
+      }
+    }.toSeq
+    assert(got.toSeq == expected,
+      s"first diff: ${got.zip(expected).find(pr => pr._1 != pr._2)}")
+  }
+
   test("q12: top-k runs as TakeOrderedAndProject, not a global sort") {
     assume(ready)
     val p = plan("q12_sort_limit_topk")
