@@ -587,6 +587,90 @@ object MultimodalQueries extends QueryCatalog {
        |FROM counts LEFT JOIN agg USING (media_id)
        |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** ASR batching windows — the segmentation plan a speech-to-text
+    * pipeline computes BEFORE decoding: each clip (duration derived
+    * from media byte length at a nominal byte rate, the same
+    * metadata-only framing as q70) is tiled into fixed-width windows
+    * with a decoder-context overlap, the tail is clamped to clip end,
+    * and a tail shorter than the minimum useful window is MERGED into
+    * the previous window instead of wasting a decode call on it
+    * (single-window clips are never merged away). Emits one row per
+    * planned window with exact integer boundaries, so a scheduler can
+    * bin-pack decode batches from it.
+    *
+    * Scale shape: pure metadata arithmetic — no media bytes move, the
+    * explode is `sequence(0, n_win-1)` on a per-clip window count
+    * (bounded by dur/stride), everything is map-side; the only
+    * exchange is the output sort. A 100 TB audio corpus plans its
+    * transcription shards without ever shuffling audio. */
+  private[multimodal] val AsrMsPerByte = 100L
+  private[multimodal] val AsrWinMs = 30000L
+  private[multimodal] val AsrOverlapMs = 2000L
+  private[multimodal] val AsrStrideMs = AsrWinMs - AsrOverlapMs
+  private[multimodal] val AsrMinTailMs = 5000L
+  /** Core over a (media_id, dur_ms) frame — package-private for
+    * AsrWindowSpec's planted-duration fixtures. */
+  private[multimodal] def asrWindowsOf(clips: DataFrame): DataFrame = {
+    val (w, st, mt) = (AsrWinMs, AsrStrideMs, AsrMinTailMs)
+    clips
+      .withColumn("n_raw", when(col("dur_ms") <= w, 1L)
+        .otherwise(expr(s"(dur_ms - $w + ${st - 1}) DIV $st + 1")))
+      .withColumn("merged",
+        col("n_raw") >= 2L && (col("dur_ms") - (col("n_raw") - 1L) * st) < mt)
+      .withColumn("n_win", when(col("merged"), col("n_raw") - 1L).otherwise(col("n_raw")))
+      .select(col("media_id"), col("dur_ms"), col("n_win"), col("merged"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_win - 1)")).as("win_idx"))
+      .select(col("media_id"), col("win_idx"), col("n_win"),
+        (col("win_idx") * st).as("start_ms"),
+        when(col("win_idx") === col("n_win") - 1L, col("dur_ms"))
+          .otherwise(col("win_idx") * st + w).as("end_ms"),
+        when(col("win_idx") === col("n_win") - 1L, col("dur_ms") - col("win_idx") * st)
+          .otherwise(lit(w)).as("win_ms"),
+        when(col("win_idx") === col("n_win") - 1L && col("merged"), 1L)
+          .otherwise(0L).as("is_merged"))
+      .orderBy(col("media_id"), col("win_idx"))
+  }
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    asrWindowsOf(Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"),
+        (octet_length(encode($"text", "UTF-8")).cast("long") * AsrMsPerByte).as("dur_ms")))
+  }
+  private val q179Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(octet_length(encode(text)) * $AsrMsPerByte AS BIGINT) AS dur_ms
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT media_id, dur_ms,
+       |    CASE WHEN dur_ms <= $AsrWinMs THEN 1
+       |         ELSE (dur_ms - $AsrWinMs + ${AsrStrideMs - 1}) // $AsrStrideMs + 1 END AS n_raw
+       |  FROM m
+       |),
+       |p2 AS (
+       |  SELECT media_id, dur_ms,
+       |    (n_raw >= 2 AND dur_ms - (n_raw - 1) * $AsrStrideMs < $AsrMinTailMs) AS merged,
+       |    CASE WHEN n_raw >= 2 AND dur_ms - (n_raw - 1) * $AsrStrideMs < $AsrMinTailMs
+       |         THEN n_raw - 1 ELSE n_raw END AS n_win
+       |  FROM p
+       |),
+       |w AS (
+       |  SELECT media_id, dur_ms, n_win, merged,
+       |    unnest(generate_series(0, CAST(n_win - 1 AS INT))) AS win_idx
+       |  FROM p2
+       |)
+       |SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx, CAST(n_win AS BIGINT) AS n_win,
+       |  CAST(win_idx * $AsrStrideMs AS BIGINT) AS start_ms,
+       |  CAST(CASE WHEN win_idx = n_win - 1 THEN dur_ms
+       |            ELSE win_idx * $AsrStrideMs + $AsrWinMs END AS BIGINT) AS end_ms,
+       |  CAST(CASE WHEN win_idx = n_win - 1 THEN dur_ms - win_idx * $AsrStrideMs
+       |            ELSE $AsrWinMs END AS BIGINT) AS win_ms,
+       |  CAST(CASE WHEN win_idx = n_win - 1 AND merged THEN 1 ELSE 0 END AS BIGINT) AS is_merged
+       |FROM w
+       |ORDER BY media_id, win_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_multimodal_meta" -> q70,
     "q71_multimodal_frames" -> q71,
@@ -596,6 +680,7 @@ object MultimodalQueries extends QueryCatalog {
     "q124_frame_neardup" -> q124,
     "q126_media_neardup_rollup" -> q126,
     "q152_scene_cuts" -> q152,
+    "q179_asr_windows" -> q179,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -607,5 +692,6 @@ object MultimodalQueries extends QueryCatalog {
     "q124_frame_neardup" -> q124Sql,
     "q126_media_neardup_rollup" -> q126Sql,
     "q152_scene_cuts" -> q152Sql,
+    "q179_asr_windows" -> q179Sql,
   )
 }
