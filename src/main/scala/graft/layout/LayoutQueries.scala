@@ -780,6 +780,58 @@ object LayoutQueries extends QueryCatalog {
     "  SELECT doc_id AS o_orderkey, source AS g, n_chars AS c FROM documents",
     "source", "chars")
 
+  // ---------------------------------------------------------------- q180
+  /** Corpus reproducibility manifest — the cross-run content fingerprint
+    * a training-data platform publishes with every snapshot so a rerun
+    * (or a downstream consumer) can prove it read EXACTLY the same
+    * corpus: per source, a two-level merkle digest over document
+    * content. Level 1 buckets docs by doc_id%256 and digests each
+    * bucket's SORTED doc-md5 list; level 2 digests the sorted bucket
+    * digests into one root per source. Sorted-set semantics make the
+    * root invariant to partitioning, file order, and row order — the
+    * property that makes it a reproducibility artifact rather than a
+    * layout checksum (ManifestSpec pins shuffle-invariance and
+    * single-character sensitivity).
+    *
+    * Scale shape: only 32-char digests ever shuffle (never text); the
+    * level-1 collect_list is bounded by one bucket (~n_source/256
+    * digests) and level 2 by 256 digests per source — both capped
+    * state, two digest-width exchanges total. At 100 TB the manifest
+    * costs one pass over the corpus plus digest-sized aggregation. */
+  private[layout] val ManifestBuckets = 256L
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifestOf(Tables.documents(s, dir))
+  }
+  /** Core over a (source, doc_id, text, n_chars) frame — package-
+    * private for ManifestSpec's invariance/sensitivity fixtures. */
+  private[layout] def manifestOf(docs: DataFrame): DataFrame = {
+    val leaf = docs
+      .select(col("source"), pmod(col("doc_id"), lit(ManifestBuckets)).as("bucket"),
+        col("n_chars"), md5(col("text")).as("doc_md5"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("ch"),
+        md5(concat_ws("", sort_array(collect_list(col("doc_md5"))))).as("leaf_md5"))
+    leaf.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("ch")).as("total_chars"),
+        count(lit(1)).as("n_buckets"),
+        md5(concat_ws("", sort_array(collect_list(col("leaf_md5"))))).as("root_md5"))
+      .orderBy(col("source"))
+  }
+  private val q180Sql =
+    s"""WITH leaf AS (
+       |  SELECT source, doc_id % $ManifestBuckets AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS ch,
+       |    md5(string_agg(md5(text), '' ORDER BY md5(text))) AS leaf_md5
+       |  FROM documents GROUP BY 1, 2
+       |)
+       |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(sum(ch) AS BIGINT) AS total_chars,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  md5(string_agg(leaf_md5, '' ORDER BY leaf_md5)) AS root_md5
+       |FROM leaf GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bucketed_join" -> q134,
     "q135_zorder_layout" -> q135,
@@ -792,6 +844,7 @@ object LayoutQueries extends QueryCatalog {
     "q142_schema_evolution" -> q142,
     "q166_orc_roundtrip" -> q166,
     "q168_source_length_quantiles" -> q168,
+    "q180_corpus_manifest" -> q180,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -806,5 +859,6 @@ object LayoutQueries extends QueryCatalog {
     "q142_schema_evolution" -> q142Sql,
     "q166_orc_roundtrip" -> q166Sql,
     "q168_source_length_quantiles" -> q168Sql,
+    "q180_corpus_manifest" -> q180Sql,
   )
 }
