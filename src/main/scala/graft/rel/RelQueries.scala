@@ -714,6 +714,74 @@ object RelQueries extends QueryCatalog {
        |FROM wide UNPIVOT (spend FOR status_metric IN (spend_f, spend_o, spend_p))
        |ORDER BY o_orderpriority, status_metric""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** Join-key distribution profiler — the statistics pass a planner (or
+    * a platform engineer) runs over candidate join keys BEFORE wiring a
+    * 100 TB join: exact row/key counts, the heaviest key's share in
+    * ppm, and a physical-strategy verdict per (table, column):
+    * `broadcast` when the whole side is small enough to ship,
+    * `salt` when one key owns ≥ [[KeyProfileSaltPpm]] of the rows (a
+    * plain hash join would funnel that key through one task), `hash`
+    * otherwise. The exact-NDV pass is the honest profiling cost (one
+    * digest-width exchange per keyed row); q25's HLL sketch is the
+    * cheap estimate when exactness isn't needed.
+    *
+    * Scale shape: one union scan, ONE exchange on (table, column, key)
+    * with map-side partial counts, then a |profiled-columns|-row
+    * aggregate. Per-key state is a counter; a flooded key is one cell. */
+  private[rel] val KeyProfileBroadcastRows = 10000L
+  private[rel] val KeyProfileSaltPpm = 100000L
+  /** Core over a (tbl, col_name, k) frame — package-private for
+    * KeyProfileSpec's planted-skew fixtures. */
+  private[rel] def keyProfileOf(keyed: DataFrame): DataFrame = {
+    val g = keyed.groupBy(col("tbl"), col("col_name"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    g.groupBy(col("tbl"), col("col_name"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_key_rows"))
+      .select(col("tbl"), col("col_name"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        expr("max_key_rows * 1000000 DIV n_rows").as("top1_ppm"),
+        expr("n_rows * 100 DIV n_keys").as("avg_rows_per_key_x100"),
+        when(col("n_rows") < KeyProfileBroadcastRows, "broadcast")
+          .when(expr("max_key_rows * 1000000 DIV n_rows") >= KeyProfileSaltPpm, "salt")
+          .otherwise("hash").as("strategy"))
+      .orderBy(col("tbl"), col("col_name"))
+  }
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def keyed(df: DataFrame, tbl: String, colName: String): DataFrame =
+      df.select(lit(tbl).as("tbl"), lit(colName).as("col_name"),
+        col(colName).cast("string").as("k"))
+    val u = keyed(Tables.lineitem(s, dir), "lineitem", "l_orderkey")
+      .unionAll(keyed(Tables.orders(s, dir), "orders", "o_custkey"))
+      .unionAll(keyed(Tables.events(s, dir), "events", "user_id"))
+      .unionAll(keyed(Tables.events(s, dir), "events", "event_type"))
+      .unionAll(keyed(Tables.documents(s, dir), "documents", "source"))
+    keyProfileOf(u)
+  }
+  private val q181Sql =
+    s"""WITH per AS (
+       |  SELECT 'lineitem' AS tbl, 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+       |  UNION ALL SELECT 'orders', 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+       |  UNION ALL SELECT 'events', 'user_id', CAST(user_id AS VARCHAR) FROM events
+       |  UNION ALL SELECT 'events', 'event_type', event_type FROM events
+       |  UNION ALL SELECT 'documents', 'source', source FROM documents
+       |),
+       |g AS (SELECT tbl, col_name, k, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY 1, 2, 3),
+       |p AS (
+       |  SELECT tbl, col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(c) AS BIGINT) AS max_key_rows
+       |  FROM g GROUP BY 1, 2
+       |)
+       |SELECT tbl, col_name, n_rows, n_keys, max_key_rows,
+       |  max_key_rows * 1000000 // n_rows AS top1_ppm,
+       |  n_rows * 100 // n_keys AS avg_rows_per_key_x100,
+       |  CASE WHEN n_rows < $KeyProfileBroadcastRows THEN 'broadcast'
+       |       WHEN max_key_rows * 1000000 // n_rows >= $KeyProfileSaltPpm THEN 'salt'
+       |       ELSE 'hash' END AS strategy
+       |FROM p ORDER BY tbl, col_name""".stripMargin
+
   // ---------------------------------------------------------------- q38
   /** Right outer join (closes the declared join matrix: inner/left/
     * RIGHT/full/semi/anti/cross): orders RIGHT JOIN customer keeps
@@ -1480,6 +1548,7 @@ object RelQueries extends QueryCatalog {
     "q28_percentiles" -> q28,
     "q29_pivot" -> q29,
     "q178_unpivot" -> q178,
+    "q181_key_profile" -> q181,
     "q38_join_right_orders" -> q38,
     "q39_asof_join" -> q39,
     "q127_asof_modal" -> q127,
@@ -1532,6 +1601,7 @@ object RelQueries extends QueryCatalog {
     "q28_percentiles" -> q28Sql,
     "q29_pivot" -> q29Sql,
     "q178_unpivot" -> q178Sql,
+    "q181_key_profile" -> q181Sql,
     "q38_join_right_orders" -> q38Sql,
     "q39_asof_join" -> q39Sql,
     "q127_asof_modal" -> q127Sql,
