@@ -2488,6 +2488,88 @@ object TextQueries extends QueryCatalog {
        |FROM scored, bounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q182
+  /** Per-source dataset datasheet — the one-row-per-feed summary a data
+    * card publishes with every corpus snapshot: volume (docs, chars,
+    * whitespace tokens), central tendency (mean chars, exact integer
+    * x100), language composition (modal lang + its share in ppm, ties
+    * broken lexicographically), and exact-duplicate exposure (docs
+    * whose content digest appears ≥ 2 times CORPUS-wide, attributed to
+    * the source holding them). Composes the catalog's own primitives
+    * (q33 token stats, q34 lang, q40 exact-dup digests) into the
+    * artifact a platform team actually reviews.
+    *
+    * Scale shape: one persisted narrow projection feeds three
+    * aggregates; only 32-char digests shuffle for the dup check (the
+    * q40 discipline), the lang-mode window partitions by source over
+    * |langs|-row groups, and every output is exact integer arithmetic.
+    * At sf0.01 the corpus has no exact dups (dup columns are an
+    * oracle-checked zero there); DatasheetSpec plants real duplicates
+    * and the adversarial-skew fixture carries 2k+ of them. */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    datasheetOf(Tables.documents(s, dir))
+  /** Core over a (source, lang, n_chars, text) frame — package-private
+    * for DatasheetSpec's planted-duplicate fixtures. */
+  private[text] def datasheetOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.ScratchCache.persist(documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("digest"),
+        expr(s"CAST(size($toksExpr) AS BIGINT)").as("n_toks")))
+    val dupDigests = docs.groupBy(col("digest"))
+      .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select(col("digest"))
+    val dupPerSource = docs.join(dupDigests, Seq("digest"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+    val agg = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("n_toks")).as("total_toks"))
+    val lm = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("lc").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("modal_lang"), col("lc"))
+    agg.join(lm, "source").join(dupPerSource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("total_chars * 100 DIV n_docs").as("mean_chars_x100"),
+        col("total_toks"), col("modal_lang"),
+        expr("lc * 1000000 DIV n_docs").as("modal_lang_ppm"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        expr("coalesce(dup_docs, 0) * 1000000 DIV n_docs").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+  private val q182Sql =
+    s"""WITH docs AS (
+       |  SELECT source, lang, n_chars, md5(text) AS digest,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents
+       |),
+       |dupd AS (SELECT digest FROM docs GROUP BY digest HAVING count(*) >= 2),
+       |agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(n_toks) AS BIGINT) AS total_toks
+       |  FROM docs GROUP BY 1
+       |),
+       |dps AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS dup_docs
+       |  FROM docs WHERE digest IN (SELECT digest FROM dupd) GROUP BY 1
+       |),
+       |lm AS (
+       |  SELECT source, lang AS modal_lang, lc FROM (
+       |    SELECT source, lang, CAST(count(*) AS BIGINT) AS lc,
+       |      row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+       |    FROM docs GROUP BY source, lang)
+       |  WHERE rn = 1
+       |)
+       |SELECT a.source, n_docs, total_chars,
+       |  total_chars * 100 // n_docs AS mean_chars_x100,
+       |  total_toks, modal_lang,
+       |  lc * 1000000 // n_docs AS modal_lang_ppm,
+       |  coalesce(dup_docs, 0) AS dup_docs,
+       |  coalesce(dup_docs, 0) * 1000000 // n_docs AS dup_ppm
+       |FROM agg a JOIN lm USING (source) LEFT JOIN dps USING (source)
+       |ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -2531,6 +2613,7 @@ object TextQueries extends QueryCatalog {
     "q140_collocations" -> q140,
     "q170_threshold_yield" -> q170,
     "q173_vocab_coverage" -> q173,
+    "q182_source_datasheet" -> q182,
     "q176_score_calibration" -> q176,
     "q177_mixture_schedule" -> q177,
   )
@@ -2578,6 +2661,7 @@ object TextQueries extends QueryCatalog {
     "q140_collocations" -> q140Sql,
     "q170_threshold_yield" -> q170Sql,
     "q173_vocab_coverage" -> q173Sql,
+    "q182_source_datasheet" -> q182Sql,
     "q176_score_calibration" -> q176Sql,
     "q177_mixture_schedule" -> q177Sql,
   )
