@@ -2570,6 +2570,102 @@ object TextQueries extends QueryCatalog {
        |FROM agg a JOIN lm USING (source) LEFT JOIN dps USING (source)
        |ORDER BY a.source""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  /** Neyman (optimal) audit-sample allocation — how a platform team
+    * splits a fixed human-eval budget across sources: strata with more
+    * length VARIABILITY get more samples (Neyman 1934: n_h ∝ N_h·S_h),
+    * side by side with the naive proportional allocation and the
+    * per-source delta. N_h·S_h = √(N_h·Σx² − (Σx)²) is computed from
+    * exact integer moments (fits int64 while N·Σx² < 2⁶³; the 100 TB
+    * swap is DECIMAL(38,0) sufficient statistics, same as q115), then
+    * quantized half-up to exact integer millis BEFORE any summation —
+    * cross-engine determinism needs integer weight totals, never a
+    * float sum (int64→double cast and sqrt are both IEEE-exact in
+    * Spark and DuckDB; a double Σ is addition-order-dependent).
+    * Quotas by largest remainder (the q110 discipline), capped at the
+    * stratum size; an all-zero-variance corpus degrades to the
+    * proportional weights instead of dividing by zero.
+    *
+    * Scale shape: one map-side-combined aggregate to |sources| rows;
+    * all windows run on that tiny frame. */
+  private[text] def auditAllocOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    val per = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("dev_milli", expr(
+        "CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+    val tot = per.agg(sum(col("n_docs")).as("nn"), sum(col("dev_milli")).as("dd"),
+      expr("CAST(sum(n_docs) DIV 10 AS BIGINT)").as("budget"))
+    val q = per.crossJoin(broadcast(tot))
+      .withColumn("wn", when(col("dd") === 0L, col("n_docs")).otherwise(col("dev_milli")))
+      .withColumn("wtot", when(col("dd") === 0L, col("nn")).otherwise(col("dd")))
+      .withColumn("nbase", expr("budget * wn DIV wtot"))
+      .withColumn("nrem", expr("budget * wn % wtot"))
+      .withColumn("pbase", expr("budget * n_docs DIV nn"))
+      .withColumn("prem", expr("budget * n_docs % nn"))
+      .withColumn("nrk", row_number().over(Window.orderBy(col("nrem").desc, col("source"))).cast("long"))
+      .withColumn("prk", row_number().over(Window.orderBy(col("prem").desc, col("source"))).cast("long"))
+      .withColumn("nb", sum(col("nbase")).over(all))
+      .withColumn("pb", sum(col("pbase")).over(all))
+      .withColumn("neyman_n", least(
+        col("nbase") + when(col("nrk") <= col("budget") - col("nb"), 1L).otherwise(0L),
+        col("n_docs")))
+      .withColumn("prop_n", least(
+        col("pbase") + when(col("prk") <= col("budget") - col("pb"), 1L).otherwise(0L),
+        col("n_docs")))
+    q.select(col("source"), col("n_docs"), col("dev_milli"),
+        col("neyman_n"), col("prop_n"),
+        (col("neyman_n") - col("prop_n")).as("delta"))
+      .orderBy(col("source"))
+  }
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    auditAllocOf(Tables.documents(s, dir))
+  private val q183Sql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY 1
+       |),
+       |d AS (
+       |  SELECT source, n_docs,
+       |    CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS dev_milli
+       |  FROM per
+       |),
+       |t AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn, CAST(sum(dev_milli) AS BIGINT) AS dd,
+       |    CAST(sum(n_docs) // 10 AS BIGINT) AS budget
+       |  FROM d
+       |),
+       |q AS (
+       |  SELECT source, n_docs, dev_milli, budget, nn,
+       |    CASE WHEN dd = 0 THEN n_docs ELSE dev_milli END AS wn,
+       |    CASE WHEN dd = 0 THEN nn ELSE dd END AS wtot
+       |  FROM d, t
+       |),
+       |r AS (
+       |  SELECT *,
+       |    budget * wn // wtot AS nbase, budget * wn % wtot AS nrem,
+       |    budget * n_docs // nn AS pbase, budget * n_docs % nn AS prem
+       |  FROM q
+       |),
+       |w AS (
+       |  SELECT *,
+       |    row_number() OVER (ORDER BY nrem DESC, source) AS nrk,
+       |    row_number() OVER (ORDER BY prem DESC, source) AS prk,
+       |    sum(nbase) OVER () AS nb, sum(pbase) OVER () AS pb
+       |  FROM r
+       |)
+       |SELECT source, n_docs, dev_milli,
+       |  CAST(least(nbase + CASE WHEN nrk <= budget - nb THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS neyman_n,
+       |  CAST(least(pbase + CASE WHEN prk <= budget - pb THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS prop_n,
+       |  CAST(least(nbase + CASE WHEN nrk <= budget - nb THEN 1 ELSE 0 END, n_docs)
+       |     - least(pbase + CASE WHEN prk <= budget - pb THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS delta
+       |FROM w ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -2614,6 +2710,7 @@ object TextQueries extends QueryCatalog {
     "q170_threshold_yield" -> q170,
     "q173_vocab_coverage" -> q173,
     "q182_source_datasheet" -> q182,
+    "q183_audit_allocation" -> q183,
     "q176_score_calibration" -> q176,
     "q177_mixture_schedule" -> q177,
   )
@@ -2662,6 +2759,7 @@ object TextQueries extends QueryCatalog {
     "q170_threshold_yield" -> q170Sql,
     "q173_vocab_coverage" -> q173Sql,
     "q182_source_datasheet" -> q182Sql,
+    "q183_audit_allocation" -> q183Sql,
     "q176_score_calibration" -> q176Sql,
     "q177_mixture_schedule" -> q177Sql,
   )
