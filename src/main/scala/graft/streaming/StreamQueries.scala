@@ -16,6 +16,75 @@ import graft.core.{Det, QueryCatalog, Tables}
   */
 object StreamQueries extends QueryCatalog {
 
+  // ---------------------------------------------------------------- q184
+  /** Watermark sizing — the out-of-orderness measurement a streaming
+    * team runs BEFORE choosing `withWatermark`: per event, disorder =
+    * (latest event-time already seen on that user's arrival sequence)
+    * − (this event's time), clamped at 0; the report is a power-of-two
+    * seconds histogram of disorder with a cumulative ppm column — read
+    * off the bucket where cum_ppm crosses your completeness target
+    * (e.g. 999000) and that bucket's upper bound IS the watermark
+    * delay. Arrival order is the monotone ingest id (event_id);
+    * in-order events land in bucket 0, sub-second disorder in bucket
+    * 1, and bucket k ≥ 2 holds disorder in [2^(k-2), 2^(k-1)) seconds
+    * (bit-length buckets — q85's exact-integer idiom, because
+    * ceil(log2) off IEEE log would hash-mismatch on last-ulp ties).
+    *
+    * Scale shape: the running max partitions BY USER (bounded
+    * partitions, never a global order); the histogram is ≤ ~40 rows at
+    * any corpus size and combines map-side; the cumulative window runs
+    * on that tiny frame. */
+  private[streaming] def watermarkSizingOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .withColumn("d_us", greatest(lit(0L),
+        coalesce(max(col("tu")).over(arr), col("tu")) - col("tu")))
+      .withColumn("bucket",
+        when(col("d_us") === 0L, 0L)
+          .when(col("d_us") < 1000000L, 1L)
+          .otherwise(lit(1L) + length(bin(expr("d_us DIV 1000000"))).cast("long")))
+    val g = d.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("d_us")).as("max_disorder_us"))
+    val tot = g.agg(sum(col("n_events")).as("tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("cum_ppm", expr(
+        "sum(n_events) OVER (ORDER BY bucket) * 1000000 DIV tot"))
+      .select(col("bucket"), col("n_events"), col("max_disorder_us"), col("cum_ppm"))
+      .orderBy(col("bucket"))
+  }
+  private def q184(s: SparkSession, dir: String): DataFrame =
+    watermarkSizingOf(Tables.events(s, dir))
+  private val q184Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tu FROM events
+      |),
+      |d AS (
+      |  SELECT greatest(0, coalesce(max(tu) OVER (PARTITION BY user_id ORDER BY event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tu) - tu) AS d_us
+      |  FROM e
+      |),
+      |b AS (
+      |  SELECT d_us,
+      |    CASE WHEN d_us = 0 THEN 0
+      |         WHEN d_us < 1000000 THEN 1
+      |         ELSE 1 + length(bin(d_us // 1000000)) END AS bucket
+      |  FROM d
+      |),
+      |g AS (
+      |  SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(max(d_us) AS BIGINT) AS max_disorder_us
+      |  FROM b GROUP BY 1
+      |),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM g)
+      |SELECT bucket, n_events, max_disorder_us,
+      |  CAST(sum(n_events) OVER (ORDER BY bucket) * 1000000 // tot AS BIGINT) AS cum_ppm
+      |FROM g, t ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- q60
   private def q60(s: SparkSession, dir: String): DataFrame =
     EventStreams.tumblingCounts(Tables.events(s, dir))
@@ -317,6 +386,7 @@ object StreamQueries extends QueryCatalog {
     "q120_funnel_stages" -> q120,
     "q128_stream_ingest_admission" -> q128,
     "q139_stream_quota" -> q139,
+    "q184_watermark_sizing" -> q184,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -331,5 +401,6 @@ object StreamQueries extends QueryCatalog {
     "q120_funnel_stages" -> q120Sql,
     "q128_stream_ingest_admission" -> q128Sql,
     "q139_stream_quota" -> q139Sql,
+    "q184_watermark_sizing" -> q184Sql,
   )
 }
