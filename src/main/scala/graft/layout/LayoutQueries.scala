@@ -832,6 +832,104 @@ object LayoutQueries extends QueryCatalog {
        |FROM leaf GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Incremental manifest maintenance — the follow-up that makes q180's
+    * reproducibility artifact cheap to keep fresh: when a delta batch
+    * arrives, only the (source, bucket) leaf cells the delta TOUCHES
+    * are recomputed (from base+delta docs of those cells); every other
+    * leaf digest is spliced through unchanged from the stored manifest,
+    * and the per-source root is re-derived from the spliced leaf set.
+    * The query runs both paths — splice and full recompute — and
+    * proves them root-identical, alongside the touched/total bucket
+    * counts that quantify the saving. Delta here is the doc_id%7==0
+    * slice standing in for "today's crawl"; at 100 TB the base leaves
+    * are a persisted ~(sources×256)-row artifact (the q94 sigstore
+    * discipline) and maintenance cost is ∝ delta + touched cells, not
+    * corpus.
+    *
+    * Scale shape: same digest-only exchanges as q180; the splice adds
+    * one anti-join and one semi-join on (source, bucket) — a ≤
+    * 256·|sources|-row key space. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    incrementalManifestOf(
+      docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 0L))
+  }
+  /** Core over (source, doc_id, text) base/delta frames — package-
+    * private for ManifestSpec's touched/new-bucket/new-source
+    * fixtures. */
+  private[layout] def incrementalManifestOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    def keyed(d: DataFrame) = d.select(col("source"),
+      pmod(col("doc_id"), lit(ManifestBuckets)).as("bucket"),
+      md5(col("text")).as("doc_md5"))
+    def leavesOf(d: DataFrame) = d.groupBy(col("source"), col("bucket"))
+      .agg(md5(concat_ws("", sort_array(collect_list(col("doc_md5"))))).as("leaf_md5"))
+    def rootOf(leaves: DataFrame, rootCol: String) = leaves.groupBy(col("source"))
+      .agg(count(lit(1)).as(rootCol + "_nb"),
+        md5(concat_ws("", sort_array(collect_list(col("leaf_md5"))))).as(rootCol))
+    val baseK = keyed(base)
+    val deltaK = keyed(delta)
+    val allK = baseK.unionByName(deltaK)
+    val touched = deltaK.select(col("source"), col("bucket")).distinct()
+    val recomputed = leavesOf(allK.join(touched, Seq("source", "bucket"), "left_semi"))
+    val untouched = leavesOf(baseK).join(touched, Seq("source", "bucket"), "left_anti")
+    val inc = rootOf(untouched.unionByName(recomputed), "root_incremental")
+    val full = rootOf(leavesOf(allK), "root_full")
+    val tc = touched.groupBy(col("source")).agg(count(lit(1)).as("n_touched"))
+    inc.join(full, "source").join(tc, Seq("source"), "left")
+      .select(col("source"),
+        col("root_incremental_nb").as("n_buckets"),
+        coalesce(col("n_touched"), lit(0L)).as("n_touched"),
+        col("root_incremental"), col("root_full"),
+        when(col("root_incremental") === col("root_full"), 1L).otherwise(0L)
+          .as("roots_match"))
+      .orderBy(col("source"))
+  }
+  private val q185Sql =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id, md5(text) AS doc_md5,
+       |    doc_id % $ManifestBuckets AS bucket
+       |  FROM documents
+       |),
+       |base AS (SELECT * FROM docs WHERE doc_id % 7 <> 0),
+       |delta AS (SELECT * FROM docs WHERE doc_id % 7 = 0),
+       |base_leaves AS (
+       |  SELECT source, bucket, md5(string_agg(doc_md5, '' ORDER BY doc_md5)) AS leaf_md5
+       |  FROM base GROUP BY 1, 2
+       |),
+       |touched AS (SELECT DISTINCT source, bucket FROM delta),
+       |recomputed AS (
+       |  SELECT d.source, d.bucket, md5(string_agg(doc_md5, '' ORDER BY doc_md5)) AS leaf_md5
+       |  FROM docs d JOIN touched t ON d.source = t.source AND d.bucket = t.bucket
+       |  GROUP BY 1, 2
+       |),
+       |untouched AS (
+       |  SELECT b.* FROM base_leaves b
+       |  ANTI JOIN touched t ON b.source = t.source AND b.bucket = t.bucket
+       |),
+       |spliced AS (SELECT * FROM untouched UNION ALL SELECT * FROM recomputed),
+       |inc AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_buckets,
+       |    md5(string_agg(leaf_md5, '' ORDER BY leaf_md5)) AS root_incremental
+       |  FROM spliced GROUP BY 1
+       |),
+       |full_leaves AS (
+       |  SELECT source, bucket, md5(string_agg(doc_md5, '' ORDER BY doc_md5)) AS leaf_md5
+       |  FROM docs GROUP BY 1, 2
+       |),
+       |fullm AS (
+       |  SELECT source, md5(string_agg(leaf_md5, '' ORDER BY leaf_md5)) AS root_full
+       |  FROM full_leaves GROUP BY 1
+       |),
+       |tc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_touched FROM touched GROUP BY 1)
+       |SELECT i.source, n_buckets, coalesce(n_touched, 0) AS n_touched,
+       |  root_incremental, root_full,
+       |  CAST(CASE WHEN root_incremental = root_full THEN 1 ELSE 0 END AS BIGINT) AS roots_match
+       |FROM inc i JOIN fullm USING (source) LEFT JOIN tc USING (source)
+       |ORDER BY i.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bucketed_join" -> q134,
     "q135_zorder_layout" -> q135,
@@ -845,6 +943,7 @@ object LayoutQueries extends QueryCatalog {
     "q166_orc_roundtrip" -> q166,
     "q168_source_length_quantiles" -> q168,
     "q180_corpus_manifest" -> q180,
+    "q185_manifest_incremental" -> q185,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -860,5 +959,6 @@ object LayoutQueries extends QueryCatalog {
     "q166_orc_roundtrip" -> q166Sql,
     "q168_source_length_quantiles" -> q168Sql,
     "q180_corpus_manifest" -> q180Sql,
+    "q185_manifest_incremental" -> q185Sql,
   )
 }

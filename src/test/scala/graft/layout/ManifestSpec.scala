@@ -61,6 +61,47 @@ class ManifestSpec extends SparkTestBase {
     assert((after - vsrc) == (base - vsrc), "untouched sources must keep their roots")
   }
 
+  private def idsc(rows: Seq[(String, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("source", "doc_id", "text")
+  }
+
+  test("q185 splice covers every case: touched bucket, brand-new bucket, brand-new source, untouched leaf") {
+    // bucket = doc_id % 256; base has srcA buckets {1, 2} and srcB {5}
+    val base = idsc(Seq(
+      ("srcA", 1L, "a one"), ("srcA", 257L, "a one again"),  // bucket 1, two docs
+      ("srcA", 2L, "a two"),                                  // bucket 2
+      ("srcB", 5L, "b five")))
+    // delta: modifies srcA bucket 1 (new doc 513), creates srcA bucket
+    // 9 (new bucket), and creates srcC (new source); srcA bucket 2 and
+    // all of srcB stay untouched
+    val delta = idsc(Seq(
+      ("srcA", 513L, "a one third"),
+      ("srcA", 9L, "a nine"),
+      ("srcC", 3L, "c three")))
+    val out = LayoutQueries.incrementalManifestOf(base, delta).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(out("srcA") == ((3L, 2L, 1L)), out("srcA"))  // buckets {1,2,9}, 2 touched, match
+    assert(out("srcB") == ((1L, 0L, 1L)), out("srcB"))  // fully untouched, still matches
+    assert(out("srcC") == ((1L, 1L, 1L)), out("srcC"))  // born in the delta
+  }
+
+  test("q185 splice equals the full manifest root computed by q180's core") {
+    assume(ready)
+    val d = docs.select(col("source"), col("doc_id"), col("text"))
+    val inc = LayoutQueries.incrementalManifestOf(
+        d.filter(pmod(col("doc_id"), lit(7L)) =!= 0L),
+        d.filter(pmod(col("doc_id"), lit(7L)) === 0L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(5)))
+    val full = collectManifest(docs).map(r => r._1 -> r._5).toMap
+    inc.foreach { case (src, nb, nt, rootInc, ok) =>
+      assert(ok == 1L, s"$src roots_match")
+      assert(rootInc == full(src), s"$src incremental root != q180 root")
+      assert(nt < nb, s"$src splice must leave some leaves untouched ($nt/$nb)")
+    }
+  }
+
   test("q180 plan shuffles digests only: two hash exchanges, text pruned before the first") {
     assume(ready)
     val p = graft.SparkEntry.queries("q180_corpus_manifest")(spark, dir)
