@@ -1163,6 +1163,62 @@ object SimilarityQueries extends QueryCatalog {
       |FROM rk JOIN m ON rk.label = m.label
       |WHERE rank <= 3 ORDER BY rk.label, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** Embedding hygiene audit — the pre-index gate an ANN pipeline runs
+    * before building anything from a new embedding batch: per label
+    * (the batch/partition key), dimension consistency (a mixed-dim
+    * batch breaks every index), zero-vector count (cosine is undefined
+    * on them — q45/q50 would divide by zero), NaN-poisoned vectors
+    * (one NaN silently corrupts IVF centroids), and the squared-norm
+    * range (unnormalized embeddings break inner-product search).
+    * Norms fold in ARRAY ORDER (the q45 discipline: a fixed-order HOF
+    * fold is bit-identical to DuckDB's list_dot_product, where any
+    * parallel float reduction would not be), then quantize half-up to
+    * exact integer millis; NaN vectors are excluded from the norm
+    * stats rather than trusted to engine-specific NaN ordering.
+    *
+    * Scale shape: pure map-side per-vector arithmetic + one |labels|-row
+    * aggregate; no vector payload ever shuffles. */
+  private[sim] def embeddingHygieneOf(emb: DataFrame): DataFrame = {
+    val f = emb
+      .select(col("label").cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("dim", size(col("v")).cast("long"))
+      .withColumn("norm2", expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+      .withColumn("has_nan", expr("exists(v, x -> isnan(x))"))
+      .withColumn("norm2_milli", when(col("has_nan"), lit(null))
+        .otherwise(expr("CAST(floor(norm2 * 1000 + 0.5) AS BIGINT)")))
+    f.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+        sum(when(!col("has_nan") && col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        min(col("norm2_milli")).as("min_norm2_milli"),
+        max(col("norm2_milli")).as("max_norm2_milli"))
+      .orderBy(col("label"))
+  }
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    embeddingHygieneOf(Tables.embeddings(s, dir))
+  private val q186Sql =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |),
+      |f AS (
+      |  SELECT label, CAST(len(v) AS BIGINT) AS dim,
+      |    list_dot_product(v, v) AS norm2,
+      |    len(list_filter(v, x -> isnan(x))) > 0 AS has_nan
+      |  FROM e
+      |)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(min(dim) AS BIGINT) AS min_dim, CAST(max(dim) AS BIGINT) AS max_dim,
+      |  CAST(count(*) FILTER (WHERE NOT has_nan AND norm2 = 0.0) AS BIGINT) AS n_zero,
+      |  CAST(count(*) FILTER (WHERE has_nan) AS BIGINT) AS n_nan,
+      |  CAST(min(CASE WHEN has_nan THEN NULL ELSE floor(norm2 * 1000 + 0.5) END) AS BIGINT) AS min_norm2_milli,
+      |  CAST(max(CASE WHEN has_nan THEN NULL ELSE floor(norm2 * 1000 + 0.5) END) AS BIGINT) AS max_norm2_milli
+      |FROM f GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -1171,6 +1227,7 @@ object SimilarityQueries extends QueryCatalog {
     "q54_sim_ivf" -> q54,
     "q114_sim_pq_adc" -> q114,
     "q116_matryoshka_recall" -> q116,
+    "q186_embedding_hygiene" -> q186,
     "q66_embed_quantize" -> q66,
     "q74_sim_topk_lsh_multitable" -> q74,
     "q78_sim_ivf_nprobe" -> q78,
@@ -1189,6 +1246,7 @@ object SimilarityQueries extends QueryCatalog {
     "q54_sim_ivf" -> q54Sql,
     "q114_sim_pq_adc" -> q114Sql,
     "q116_matryoshka_recall" -> q116Sql,
+    "q186_embedding_hygiene" -> q186Sql,
     "q66_embed_quantize" -> q66Sql,
     "q74_sim_topk_lsh_multitable" -> q74Sql,
     "q78_sim_ivf_nprobe" -> q78Sql,
