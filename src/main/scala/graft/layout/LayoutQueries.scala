@@ -930,6 +930,103 @@ object LayoutQueries extends QueryCatalog {
        |FROM inc i JOIN fullm USING (source) LEFT JOIN tc USING (source)
        |ORDER BY i.source""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+  /** Distribution drift monitor — the gate a platform runs on an
+    * incoming batch BEFORE admitting it: per source, compare the
+    * incoming slice's document-length distribution against the
+    * corpus baseline over exact power-of-two buckets (bit-length of
+    * n_chars — q85's idiom) and report the max per-bucket ppm shift
+    * plus a χ²-shaped divergence statistic, all in exact integer
+    * arithmetic (expected counts cross-multiplied — e = b·D·1000 DIV B
+    * — and one integer division per bucket; values fit int64 while
+    * per-source slice counts stay under ~10⁶ — the 100 TB swap is
+    * DECIMAL(38,0) accumulation, q115's discipline). A PSI/KL form
+    * would need transcendental logs that don't hash-match across
+    * engines; the χ² numerator ranks drift identically for the
+    * admit/hold decision. Baseline = doc_id%7≠0, incoming = %7==0 —
+    * the same slice convention as q185, so the two read as one
+    * "nightly batch" storyline. The fixture slices are i.i.d. →
+    * drifted=0 everywhere (oracle-checked zeros); DriftSpec plants a
+    * length-regime shift and pins the verdict flip.
+    *
+    * Scale shape: one (source, bucket) aggregate per slice (map-side
+    * combined), a full-outer merge on ≤ |sources|·~40 bucket rows,
+    * then a |sources|-row rollup. */
+  private[layout] val DriftPpmGate = 100000L
+  /** A ppm gate on a handful of docs is all noise — real monitors hold
+    * the verdict until the incoming slice has a minimum sample. */
+  private[layout] val DriftMinDeltaDocs = 20L
+  private[layout] def driftMonitorOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    def hist(d: DataFrame, cnt: String) = d
+      .select(col("source"), length(bin(col("n_chars"))).cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as(cnt))
+    val merged = hist(base, "b_cnt").join(hist(delta, "d_cnt"),
+        Seq("source", "bucket"), "full_outer")
+      .na.fill(0L, Seq("b_cnt", "d_cnt"))
+    val tot = merged.groupBy(col("source"))
+      .agg(sum(col("b_cnt")).as("n_base"), sum(col("d_cnt")).as("n_delta"))
+    merged.join(tot, "source")
+      .withColumn("ppm_delta", expr(
+        "abs(CASE WHEN n_delta = 0 THEN 0 ELSE d_cnt * 1000000 DIV n_delta END" +
+        " - CASE WHEN n_base = 0 THEN 0 ELSE b_cnt * 1000000 DIV n_base END)"))
+      .withColumn("e_milli", expr(
+        "CASE WHEN n_base = 0 THEN d_cnt * 1000 ELSE b_cnt * n_delta * 1000 DIV n_base END"))
+      .withColumn("chi2_term", expr(
+        "(d_cnt * 1000 - e_milli) * (d_cnt * 1000 - e_milli) DIV greatest(e_milli, 1)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_base")).as("n_base"), max(col("n_delta")).as("n_delta"),
+        count(lit(1)).as("n_buckets"),
+        max(col("ppm_delta")).as("max_abs_ppm_delta"),
+        sum(col("chi2_term")).as("chi2_milli"))
+      .withColumn("drifted",
+        when(col("max_abs_ppm_delta") >= DriftPpmGate &&
+          col("n_delta") >= DriftMinDeltaDocs, 1L).otherwise(0L))
+      .orderBy(col("source"))
+  }
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+    driftMonitorOf(
+      docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 0L))
+  }
+  private val q187Sql =
+    s"""WITH docs AS (
+       |  SELECT source, doc_id, CAST(length(bin(n_chars)) AS BIGINT) AS bucket
+       |  FROM documents
+       |),
+       |b AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS b_cnt
+       |      FROM docs WHERE doc_id % 7 <> 0 GROUP BY 1, 2),
+       |d AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS d_cnt
+       |      FROM docs WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+       |m AS (
+       |  SELECT coalesce(b.source, d.source) AS source,
+       |    coalesce(b.bucket, d.bucket) AS bucket,
+       |    coalesce(b_cnt, 0) AS b_cnt, coalesce(d_cnt, 0) AS d_cnt
+       |  FROM b FULL OUTER JOIN d ON b.source = d.source AND b.bucket = d.bucket
+       |),
+       |t AS (
+       |  SELECT source, CAST(sum(b_cnt) AS BIGINT) AS n_base,
+       |    CAST(sum(d_cnt) AS BIGINT) AS n_delta
+       |  FROM m GROUP BY 1
+       |),
+       |x AS (
+       |  SELECT m.source, b_cnt, d_cnt, n_base, n_delta,
+       |    abs(CASE WHEN n_delta = 0 THEN 0 ELSE d_cnt * 1000000 // n_delta END
+       |      - CASE WHEN n_base = 0 THEN 0 ELSE b_cnt * 1000000 // n_base END) AS ppm_delta,
+       |    CASE WHEN n_base = 0 THEN d_cnt * 1000
+       |         ELSE b_cnt * n_delta * 1000 // n_base END AS e_milli
+       |  FROM m JOIN t ON m.source = t.source
+       |)
+       |SELECT source, max(n_base) AS n_base, max(n_delta) AS n_delta,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(max(ppm_delta) AS BIGINT) AS max_abs_ppm_delta,
+       |  CAST(sum((d_cnt * 1000 - e_milli) * (d_cnt * 1000 - e_milli)
+       |           // greatest(e_milli, 1)) AS BIGINT) AS chi2_milli,
+       |  CAST(CASE WHEN max(ppm_delta) >= $DriftPpmGate
+       |            AND max(n_delta) >= $DriftMinDeltaDocs THEN 1 ELSE 0 END AS BIGINT) AS drifted
+       |FROM x GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_bucketed_join" -> q134,
     "q135_zorder_layout" -> q135,
@@ -944,6 +1041,7 @@ object LayoutQueries extends QueryCatalog {
     "q168_source_length_quantiles" -> q168,
     "q180_corpus_manifest" -> q180,
     "q185_manifest_incremental" -> q185,
+    "q187_drift_monitor" -> q187,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -960,5 +1058,6 @@ object LayoutQueries extends QueryCatalog {
     "q168_source_length_quantiles" -> q168Sql,
     "q180_corpus_manifest" -> q180Sql,
     "q185_manifest_incremental" -> q185Sql,
+    "q187_drift_monitor" -> q187Sql,
   )
 }
