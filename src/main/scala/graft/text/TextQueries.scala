@@ -2666,6 +2666,64 @@ object TextQueries extends QueryCatalog {
        |     - least(pbase + CASE WHEN prk <= budget - pb THEN 1 ELSE 0 END, n_docs) AS BIGINT) AS delta
        |FROM w ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** Uncertainty sampling — the active-learning annotation queue: per
+    * source, the k documents whose q96 classifier score sits closest
+    * to the keep/drop boundary (score 0), measured as |score| per
+    * 1000 tokens so long documents don't look artificially confident.
+    * These are the docs where a human label buys the most classifier
+    * improvement — the standard label-efficient loop (uncertainty
+    * sampling, Lewis & Gale 1994) over the corpus the engine already
+    * scores. Ties break by doc_id, so the queue is reproducible.
+    *
+    * Scale shape: scoring is q96's map-side HOF scan; the per-source
+    * top-k is a row_number window with a LITERAL k, which Spark
+    * rewrites to a map-side WindowGroupLimit — each task pre-truncates
+    * to k rows per source before the exchange (the q76 idiom), so the
+    * window never sorts a whole source partition. */
+  private[text] val UncertaintyK = 5L
+  /** Core over a (source, doc_id, n_toks, score) frame — package-
+    * private for UncertaintySampleSpec's planted-margin fixtures. */
+  private[text] def uncertaintyQueueOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("margin_ppk", expr("abs(score) * 1000 DIV n_toks"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("margin_ppk"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= UncertaintyK)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_toks"),
+        col("score"), col("margin_ppk"))
+      .orderBy(col("source"), col("rk"))
+  }
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    uncertaintyQueueOf(Tables.documents(s, dir)
+      .select($"source", $"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 1)
+      .select($"source", $"doc_id",
+        size($"toks").cast("long").as("n_toks"),
+        expr(scoreExpr).as("score")))
+  }
+  private val q188Sql =
+    s"""WITH scored AS (
+       |  SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    $scoreSql AS score
+       |  FROM (SELECT source, doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 1
+       |),
+       |m AS (
+       |  SELECT source, doc_id, n_toks, score,
+       |    abs(score) * 1000 // n_toks AS margin_ppk
+       |  FROM scored
+       |)
+       |SELECT source,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY margin_ppk, doc_id) AS BIGINT) AS rk,
+       |  doc_id, n_toks, score, margin_ppk
+       |FROM m
+       |QUALIFY row_number() OVER (PARTITION BY source ORDER BY margin_ppk, doc_id) <= $UncertaintyK
+       |ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -2711,6 +2769,7 @@ object TextQueries extends QueryCatalog {
     "q173_vocab_coverage" -> q173,
     "q182_source_datasheet" -> q182,
     "q183_audit_allocation" -> q183,
+    "q188_uncertainty_sample" -> q188,
     "q176_score_calibration" -> q176,
     "q177_mixture_schedule" -> q177,
   )
@@ -2760,6 +2819,7 @@ object TextQueries extends QueryCatalog {
     "q173_vocab_coverage" -> q173Sql,
     "q182_source_datasheet" -> q182Sql,
     "q183_audit_allocation" -> q183Sql,
+    "q188_uncertainty_sample" -> q188Sql,
     "q176_score_calibration" -> q176Sql,
     "q177_mixture_schedule" -> q177Sql,
   )
