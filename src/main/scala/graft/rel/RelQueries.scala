@@ -782,6 +782,100 @@ object RelQueries extends QueryCatalog {
        |       ELSE 'hash' END AS strategy
        |FROM p ORDER BY tbl, col_name""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Join-size profiler — q181's sequel: the EXACT output cardinality
+    * of a candidate equi-join computed WITHOUT running it, from the
+    * two sides' per-key count frames (|A ⋈ B| = Σ_k a_k·b_k), plus
+    * the top contributing key and its output share — the number that
+    * tells you whether a join will explode and which key explodes it,
+    * for the cost of two aggregates instead of the join itself.
+    * Shares the one-keyed-frame shape with q181: every profiled pair
+    * rides ONE (pair, side, key) union scan.
+    *
+    * Scale shape: one exchange on (pair, key) with map-side partial
+    * counts; the product frame is |matched keys| rows; the top key is
+    * a literal-1 row_number → map-side WindowGroupLimit. Exact is the
+    * honest baseline — the sketch path at 100 TB is q131's CMS inner
+    * product over the same contract. */
+  private[rel] def joinSizeOf(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = keyed.groupBy(col("pair"), col("k"))
+      .agg(sum(when(col("side") === "l", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "r", 1L).otherwise(0L)).as("cb"))
+    val tot = keyed.groupBy(col("pair"))
+      .agg(sum(when(col("side") === "l", 1L).otherwise(0L)).as("n_left"),
+        sum(when(col("side") === "r", 1L).otherwise(0L)).as("n_right"))
+    val prod = g.filter(col("ca") > 0L && col("cb") > 0L)
+      .withColumn("rows_k", col("ca") * col("cb"))
+    val agg = prod.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_join_keys"), sum(col("rows_k")).as("join_rows"))
+    val top = prod.withColumn("rn", row_number().over(
+        Window.partitionBy(col("pair")).orderBy(col("rows_k").desc, col("k"))))
+      .filter(col("rn") === 1)
+      .select(col("pair"), col("k").as("top_key"), col("rows_k").as("top_key_rows"))
+    tot.join(agg, Seq("pair"), "left").join(top, Seq("pair"), "left")
+      .select(col("pair"), col("n_left"), col("n_right"),
+        coalesce(col("n_join_keys"), lit(0L)).as("n_join_keys"),
+        coalesce(col("join_rows"), lit(0L)).as("join_rows"),
+        col("top_key"), coalesce(col("top_key_rows"), lit(0L)).as("top_key_rows"),
+        expr("CASE WHEN join_rows IS NULL OR join_rows = 0 THEN 0" +
+          " ELSE top_key_rows * 1000000 DIV join_rows END").as("top_share_ppm"))
+      .orderBy(col("pair"))
+  }
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def side(df: DataFrame, pair: String, sd: String, colName: String): DataFrame =
+      df.select(lit(pair).as("pair"), lit(sd).as("side"),
+        col(colName).cast("string").as("k"))
+    val keyed = side(Tables.orders(s, dir), "orders_customer", "l", "o_custkey")
+      .unionAll(side(Tables.customer(s, dir), "orders_customer", "r", "c_custkey"))
+      .unionAll(side(Tables.lineitem(s, dir), "lineitem_orders", "l", "l_orderkey"))
+      .unionAll(side(Tables.orders(s, dir), "lineitem_orders", "r", "o_orderkey"))
+      .unionAll(side(Tables.lineitem(s, dir), "lineitem_part", "l", "l_partkey"))
+      .unionAll(side(Tables.part(s, dir), "lineitem_part", "r", "p_partkey"))
+    joinSizeOf(keyed)
+  }
+  private val q189Sql =
+    """WITH keyed AS (
+      |  SELECT 'orders_customer' AS pair, 'l' AS side, CAST(o_custkey AS VARCHAR) AS k FROM orders
+      |  UNION ALL SELECT 'orders_customer', 'r', CAST(c_custkey AS VARCHAR) FROM customer
+      |  UNION ALL SELECT 'lineitem_orders', 'l', CAST(l_orderkey AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_orders', 'r', CAST(o_orderkey AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'lineitem_part', 'l', CAST(l_partkey AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_part', 'r', CAST(p_partkey AS VARCHAR) FROM part
+      |),
+      |g AS (
+      |  SELECT pair, k,
+      |    CAST(count(*) FILTER (WHERE side = 'l') AS BIGINT) AS ca,
+      |    CAST(count(*) FILTER (WHERE side = 'r') AS BIGINT) AS cb
+      |  FROM keyed GROUP BY 1, 2
+      |),
+      |tot AS (
+      |  SELECT pair,
+      |    CAST(count(*) FILTER (WHERE side = 'l') AS BIGINT) AS n_left,
+      |    CAST(count(*) FILTER (WHERE side = 'r') AS BIGINT) AS n_right
+      |  FROM keyed GROUP BY 1
+      |),
+      |prod AS (SELECT pair, k, ca * cb AS rows_k FROM g WHERE ca > 0 AND cb > 0),
+      |agg AS (
+      |  SELECT pair, CAST(count(*) AS BIGINT) AS n_join_keys,
+      |    CAST(sum(rows_k) AS BIGINT) AS join_rows
+      |  FROM prod GROUP BY 1
+      |),
+      |top AS (
+      |  SELECT pair, k AS top_key, rows_k AS top_key_rows
+      |  FROM prod
+      |  QUALIFY row_number() OVER (PARTITION BY pair ORDER BY rows_k DESC, k) = 1
+      |)
+      |SELECT t.pair, n_left, n_right,
+      |  coalesce(n_join_keys, 0) AS n_join_keys,
+      |  coalesce(join_rows, 0) AS join_rows,
+      |  top_key, coalesce(top_key_rows, 0) AS top_key_rows,
+      |  CAST(CASE WHEN join_rows IS NULL OR join_rows = 0 THEN 0
+      |       ELSE top_key_rows * 1000000 // join_rows END AS BIGINT) AS top_share_ppm
+      |FROM tot t LEFT JOIN agg USING (pair) LEFT JOIN top USING (pair)
+      |ORDER BY t.pair""".stripMargin
+
   // ---------------------------------------------------------------- q38
   /** Right outer join (closes the declared join matrix: inner/left/
     * RIGHT/full/semi/anti/cross): orders RIGHT JOIN customer keeps
@@ -1549,6 +1643,7 @@ object RelQueries extends QueryCatalog {
     "q29_pivot" -> q29,
     "q178_unpivot" -> q178,
     "q181_key_profile" -> q181,
+    "q189_join_size_profile" -> q189,
     "q38_join_right_orders" -> q38,
     "q39_asof_join" -> q39,
     "q127_asof_modal" -> q127,
@@ -1602,6 +1697,7 @@ object RelQueries extends QueryCatalog {
     "q29_pivot" -> q29Sql,
     "q178_unpivot" -> q178Sql,
     "q181_key_profile" -> q181Sql,
+    "q189_join_size_profile" -> q189Sql,
     "q38_join_right_orders" -> q38Sql,
     "q39_asof_join" -> q39Sql,
     "q127_asof_modal" -> q127Sql,

@@ -41,6 +41,36 @@ class KeyProfileSpec extends SparkTestBase {
     assert(out("atppm") == ((100000L, "salt")), out("atppm"))
   }
 
+  test("q189 join-size profile: planted counts give the closed-form cardinality, top key, and empty-overlap zeroes") {
+    import spark.implicits._
+    // pair p1: left counts {a:2, b:1}, right {a:3, c:4} -> join_rows 6,
+    // one matched key, top a (6 rows, 1e6 ppm)
+    // pair p2: no shared keys -> all-zero row with NULL top_key
+    val rows =
+      Seq.fill(2)(("p1", "l", "a")) ++ Seq(("p1", "l", "b")) ++
+      Seq.fill(3)(("p1", "r", "a")) ++ Seq.fill(4)(("p1", "r", "c")) ++
+      Seq(("p2", "l", "x"), ("p2", "r", "y"))
+    val out = RelQueries.joinSizeOf(rows.toDF("pair", "side", "k")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getString(5)), r.getLong(6), r.getLong(7))).toMap
+    assert(out("p1") == ((3L, 7L, 1L, 6L, Some("a"), 6L, 1000000L)), out("p1"))
+    assert(out("p2") == ((1L, 1L, 0L, 0L, None, 0L, 0L)), out("p2"))
+  }
+
+  test("q189: the profile matches the actually-executed join rowcounts on the fixture") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/orders.parquet")))
+    val out = graft.SparkEntry.queries("q189_join_size_profile")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    assert(out("orders_customer") ==
+      o.join(c, o("o_custkey") === c("c_custkey")).count())
+    assert(out("lineitem_orders") ==
+      l.join(o, l("l_orderkey") === o("o_orderkey")).count())
+  }
+
   test("q181 catalog plan: map-side partial counts, exchanges carry keys not payloads") {
     val dir = "/root/testdata/sf0.001"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineitem.parquet")))
