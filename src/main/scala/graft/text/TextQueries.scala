@@ -671,7 +671,7 @@ object TextQueries extends QueryCatalog {
     * canonicalize-then-split, q100's output feeding this assignment.
     * Scale shape: pure per-row arithmetic, one linear scan, zero
     * shuffles before the ordered sink. */
-  private val splitHashExpr = {
+  private[graft] val splitHashExpr = {
     val h = "md5(concat('split|', CAST(doc_id AS STRING)))"
     (1 to 4).map(i => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)")
       .reduceLeft((acc, d) => s"($acc * 16 + $d)")
