@@ -2432,10 +2432,12 @@ object TextQueries extends QueryCatalog {
     * is ONE 32-cell exchange with O(1) state per cell; bounds ride the
     * 1-row scalar broadcast. Output is ≤ 32 rows at any corpus
     * size. */
-  private def q176(s: SparkSession, dir: String): DataFrame = {
+  /** (score, rule_pass) per doc in one map-side pass — the shared
+    * input of q176's reliability diagram and q191's ROC sweep. */
+  private[text] def scoredVsRule(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val allStop = stop.values.flatten.toSeq.distinct.sorted
-    val scored = ScratchCache.persist(Tables.documents(s, dir)
+    ScratchCache.persist(Tables.documents(s, dir)
       .select($"doc_id", expr(toksExpr).as("toks"))
       .filter(size($"toks") >= 2)
       .select($"doc_id",
@@ -2448,6 +2450,10 @@ object TextQueries extends QueryCatalog {
         ($"n_tokens" >= 50L && $"n_tokens" <= 100000L &&
           $"token_chars" >= $"n_tokens" * 3L && $"token_chars" <= $"n_tokens" * 10L &&
           $"stop_hits" >= 2L && $"n_distinct" * 2L >= $"n_tokens").as("rule_pass")))
+  }
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = scoredVsRule(s, dir)
     val bounds = scored.agg(min($"score").as("mins"), max($"score").as("maxs"))
       .withColumn("w", expr("greatest(1L, (maxs - mins) DIV 32 + 1)"))
     scored.crossJoin(broadcast(bounds))
@@ -2724,6 +2730,89 @@ object TextQueries extends QueryCatalog {
        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY margin_ppk, doc_id) <= $UncertaintyK
        |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q191
+  /** Classifier ROC against the rule gate — the operating-point table
+    * that completes q176's reliability diagram and q170's yield curve:
+    * for every candidate threshold (each of the 32 exact score-bucket
+    * floors, "predict KEEP when the score reaches this bucket"), the
+    * confusion counts against the q104-style hard-rule verdict and the
+    * exact-ppm TPR / FPR / precision. Read it to pick the threshold
+    * that trades rule-agreement recall against over-admission — the
+    * standard model-vs-heuristic evaluation, in exact integers
+    * (suffix sums over the bucket histogram; a float AUC would not
+    * hash-match, and the 32 operating points ARE the decision data).
+    *
+    * Scale shape: one shared scored scan (q176's), one 32-cell
+    * exchange; the threshold sweep is suffix sums over ≤ 32 rows. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sc = scoredVsRule(s, dir)
+    val bounds = sc.agg(min($"score").as("mins"), max($"score").as("maxs"))
+      .withColumn("w", expr("greatest(1L, (maxs - mins) DIV 32 + 1)"))
+    val buckets = sc.crossJoin(broadcast(bounds))
+      .groupBy(expr("least(31L, (score - mins) DIV w)").as("b"))
+      .agg(sum(when($"rule_pass", 1L).otherwise(0L)).as("pos"),
+        sum(when($"rule_pass", 0L).otherwise(1L)).as("neg"))
+    val suffix = Window.partitionBy(lit(1)).orderBy($"b".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1))
+    buckets
+      .withColumn("tp", sum($"pos").over(suffix))
+      .withColumn("fp", sum($"neg").over(suffix))
+      .withColumn("p", sum($"pos").over(all))
+      .withColumn("n", sum($"neg").over(all))
+      .crossJoin(broadcast(bounds))
+      .select($"b", expr("mins + b * w").as("thresh_lo"),
+        $"tp", $"fp", ($"p" - $"tp").as("fn"), ($"n" - $"fp").as("tn"),
+        expr("CASE WHEN p = 0 THEN 0 ELSE tp * 1000000 DIV p END").as("tpr_ppm"),
+        expr("CASE WHEN n = 0 THEN 0 ELSE fp * 1000000 DIV n END").as("fpr_ppm"),
+        expr("CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 DIV (tp + fp) END")
+          .as("precision_ppm"))
+      .orderBy($"b")
+  }
+  private val q191Sql = {
+    val allStop = stop.values.flatten.toSeq.distinct.sorted
+    s"""WITH feats AS (
+       |  SELECT $scoreSql AS score,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS token_chars,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    ${hitsSql(allStop)} AS stop_hits
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 2
+       |), scored AS (
+       |  SELECT score,
+       |    (n_tokens BETWEEN 50 AND 100000
+       |     AND token_chars >= n_tokens * 3 AND token_chars <= n_tokens * 10
+       |     AND stop_hits >= 2 AND n_distinct * 2 >= n_tokens) AS rule_pass
+       |  FROM feats
+       |), bounds AS (
+       |  SELECT min(score) AS mins,
+       |    greatest(1, (max(score) - min(score)) // 32 + 1) AS w
+       |  FROM scored
+       |), buckets AS (
+       |  SELECT CAST(least(31, (score - mins) // w) AS BIGINT) AS b,
+       |    CAST(count(*) FILTER (WHERE rule_pass) AS BIGINT) AS pos,
+       |    CAST(count(*) FILTER (WHERE NOT rule_pass) AS BIGINT) AS neg
+       |  FROM scored, bounds GROUP BY 1
+       |), sw AS (
+       |  SELECT b, pos, neg,
+       |    sum(pos) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+       |    sum(neg) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+       |    sum(pos) OVER () AS p, sum(neg) OVER () AS n
+       |  FROM buckets
+       |)
+       |SELECT b, CAST(mins + b * w AS BIGINT) AS thresh_lo,
+       |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(p - tp AS BIGINT) AS fn, CAST(n - fp AS BIGINT) AS tn,
+       |  CAST(CASE WHEN p = 0 THEN 0 ELSE tp * 1000000 // p END AS BIGINT) AS tpr_ppm,
+       |  CAST(CASE WHEN n = 0 THEN 0 ELSE fp * 1000000 // n END AS BIGINT) AS fpr_ppm,
+       |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm
+       |FROM sw, bounds
+       |ORDER BY b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -2770,6 +2859,7 @@ object TextQueries extends QueryCatalog {
     "q182_source_datasheet" -> q182,
     "q183_audit_allocation" -> q183,
     "q188_uncertainty_sample" -> q188,
+    "q191_gate_roc" -> q191,
     "q176_score_calibration" -> q176,
     "q177_mixture_schedule" -> q177,
   )
@@ -2820,6 +2910,7 @@ object TextQueries extends QueryCatalog {
     "q182_source_datasheet" -> q182Sql,
     "q183_audit_allocation" -> q183Sql,
     "q188_uncertainty_sample" -> q188Sql,
+    "q191_gate_roc" -> q191Sql,
     "q176_score_calibration" -> q176Sql,
     "q177_mixture_schedule" -> q177Sql,
   )
