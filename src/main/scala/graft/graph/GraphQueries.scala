@@ -174,37 +174,52 @@ object GraphQueries extends QueryCatalog {
     * — the exact r12 driver hang. Cost is 2·Iters node-sized
     * checkpoint jobs, the price every iterative-with-normalization
     * DataFrame algorithm pays. */
-  private def q164(s: SparkSession, dir: String): DataFrame = {
+  /** Checkpoint mode mirrors [[kcoreTrajectory]]: `None` →
+    * `localCheckpoint` (executor-local — an executor loss mid-run
+    * kills the 2·Iters-round job), `Some(dir)` → reliable
+    * `checkpoint()` to cluster storage, the production mode. Same
+    * caveats as ConnectedComponents. */
+  private[graph] def hitsScores(s: SparkSession, dir: String,
+      checkpointDir: Option[String] = None): DataFrame = {
     import s.implicits._
-    val links = ScratchCache.persist(linksOf(s, dir))
-    val bySrc = ScratchCache.persist(links.repartition($"src"))
-    val byDst = ScratchCache.persist(links.repartition($"dst"))
-    val nodes = ScratchCache.persist(
-      Tables.documents(s, dir).select($"doc_id".as("page_id")))
-    var hub = nodes.withColumn("hub", lit(Scale))
-    var auth = nodes.withColumn("auth", lit(Scale))
-    for (_ <- 1 to Iters) {
-      val aRaw = nodes.join(
-          bySrc.join(hub.withColumnRenamed("page_id", "src"), "src")
-            .groupBy($"dst".as("page_id")).agg(sum($"hub").as("a")),
-          Seq("page_id"), "left")
-        .select($"page_id", coalesce($"a", lit(0L)).as("a"))
-        .localCheckpoint()
-      auth = aRaw.crossJoin(broadcast(aRaw.agg(sum($"a").as("t"))))
-        .selectExpr("page_id", s"CAST((a * $Scale) DIV t AS BIGINT) AS auth")
-      val hRaw = nodes.join(
-          byDst.join(auth.withColumnRenamed("page_id", "dst"), "dst")
-            .groupBy($"src".as("page_id")).agg(sum($"auth").as("h")),
-          Seq("page_id"), "left")
-        .select($"page_id", coalesce($"h", lit(0L)).as("h"))
-        .localCheckpoint()
-      hub = hRaw.crossJoin(broadcast(hRaw.agg(sum($"h").as("t"))))
-        .selectExpr("page_id", s"CAST((h * $Scale) DIV t AS BIGINT) AS hub")
+    val sc = s.sparkContext
+    val prevCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val truncate: DataFrame => DataFrame =
+      if (checkpointDir.isDefined) _.checkpoint() else _.localCheckpoint()
+    try {
+      val links = ScratchCache.persist(linksOf(s, dir))
+      val bySrc = ScratchCache.persist(links.repartition($"src"))
+      val byDst = ScratchCache.persist(links.repartition($"dst"))
+      val nodes = ScratchCache.persist(
+        Tables.documents(s, dir).select($"doc_id".as("page_id")))
+      var hub = nodes.withColumn("hub", lit(Scale))
+      var auth = nodes.withColumn("auth", lit(Scale))
+      for (_ <- 1 to Iters) {
+        val aRaw = truncate(nodes.join(
+            bySrc.join(hub.withColumnRenamed("page_id", "src"), "src")
+              .groupBy($"dst".as("page_id")).agg(sum($"hub").as("a")),
+            Seq("page_id"), "left")
+          .select($"page_id", coalesce($"a", lit(0L)).as("a")))
+        auth = aRaw.crossJoin(broadcast(aRaw.agg(sum($"a").as("t"))))
+          .selectExpr("page_id", s"CAST((a * $Scale) DIV t AS BIGINT) AS auth")
+        val hRaw = truncate(nodes.join(
+            byDst.join(auth.withColumnRenamed("page_id", "dst"), "dst")
+              .groupBy($"src".as("page_id")).agg(sum($"auth").as("h")),
+            Seq("page_id"), "left")
+          .select($"page_id", coalesce($"h", lit(0L)).as("h")))
+        hub = hRaw.crossJoin(broadcast(hRaw.agg(sum($"h").as("t"))))
+          .selectExpr("page_id", s"CAST((h * $Scale) DIV t AS BIGINT) AS hub")
+      }
+      auth.join(hub, "page_id")
+        .select($"page_id", $"auth", $"hub")
+        .orderBy($"page_id")
+    } finally {
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
     }
-    auth.join(hub, "page_id")
-      .select($"page_id", $"auth", $"hub")
-      .orderBy($"page_id")
   }
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    hitsScores(s, dir)
   private val q164Sql = {
     val rounds = (1 to Iters).map { i =>
       s"""ar$i AS MATERIALIZED (

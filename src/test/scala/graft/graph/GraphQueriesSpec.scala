@@ -141,6 +141,39 @@ class GraphQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q164: reliable-checkpoint mode computes the identical scores and writes real checkpoints") {
+    assume(fixture)
+    // same flag contract as kcoreTrajectory / ConnectedComponents:
+    // localCheckpoint blocks die with a lost executor mid-run;
+    // checkpoint(dir) survives — the cluster-grade mode for 2·Iters
+    // normalization rounds.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-hits-ck")
+    try {
+      val local = GraphQueries.hitsScores(spark, dir).collect()
+      graft.core.ScratchCache.drain()
+      val reliable = GraphQueries.hitsScores(spark, dir,
+        checkpointDir = Some(ckDir.toString)).collect()
+      graft.core.ScratchCache.drain()
+      def scores(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(scores(reliable) == scores(local),
+        "reliable-checkpoint HITS must produce identical scores")
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(ckDir)
+      val nFiles = try stream.iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+        finally stream.close()
+      assert(nFiles > 0, "reliable mode must write checkpoint files to the given dir")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(ckDir)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p =>
+          try java.nio.file.Files.deleteIfExists(p)
+          catch { case scala.util.control.NonFatal(_) => () })
+      finally stream.close()
+    }
+  }
+
   test("q164: HITS matches a brute-force oracle; plan bounded; mod-7 hubs dominate authority") {
     assume(fixture)
     val df = GraphQueries.queries("q164_hits")(spark, dir)
