@@ -537,7 +537,9 @@ object IngestQueries extends QueryCatalog {
     })
   }
 
-  private def q162(s: SparkSession, dir: String): DataFrame = {
+  /** Per-source verdict counts of the id-keyed snapshot diff — shared
+    * by q162's report and q192's recrawl schedule. */
+  private def snapshotVerdictCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prev = s.read.parquet(ensurePrevStore(s, dir))
       .select($"doc_id".as("p_id"), $"source".as("p_source"), $"digest".as("p_digest"))
@@ -555,8 +557,47 @@ object IngestQueries extends QueryCatalog {
         sum(when($"verdict" === "removed", 1L).otherwise(0L)).as("n_removed"),
         sum(when($"verdict" === "changed", 1L).otherwise(0L)).as("n_changed"),
         sum(when($"verdict" === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
-      .orderBy($"source")
   }
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    snapshotVerdictCounts(s, dir).orderBy(col("source"))
+
+  // ---------------------------------------------------------------- q192
+  /** Recrawl-interval recommendation — the crawl-ops schedule computed
+    * FROM q162's snapshot churn: a source's change rate (added +
+    * removed + changed over all verdicts, exact ppm) maps to a
+    * standard refresh class (≥ 50% churn between snapshots → hourly,
+    * ≥ 10% → daily, ≥ 1% → weekly, else monthly), and the schedule
+    * prices itself: daily fetch volume = live pages × (24 /
+    * interval_hours), in exact ×1000 integers. Σ daily_fetches over
+    * sources is the fleet's fetch budget — the number a crawl team
+    * provisions against (change-rate-proportional revisit policy, the
+    * Cho & Garcia-Molina 2003 shape with bucketed intervals so the
+    * whole schedule stays exact-integer and oracle-checkable).
+    *
+    * Scale shape: q162's one full-outer diff on doc_id, then
+    * |sources|-row arithmetic. */
+  private[ingest] def recrawlScheduleOf(counts: DataFrame): DataFrame = counts
+    .withColumn("n_cur", expr("n_added + n_changed + n_unchanged"))
+    .withColumn("churn_ppm", expr(
+      "CASE WHEN n_added + n_removed + n_changed + n_unchanged = 0 THEN 0 " +
+      "ELSE (n_added + n_removed + n_changed) * 1000000 DIV " +
+      "(n_added + n_removed + n_changed + n_unchanged) END"))
+    .withColumn("interval_class",
+      when(col("churn_ppm") >= 500000L, "hourly")
+        .when(col("churn_ppm") >= 100000L, "daily")
+        .when(col("churn_ppm") >= 10000L, "weekly")
+        .otherwise("monthly"))
+    .withColumn("interval_hours",
+      when(col("interval_class") === "hourly", 1L)
+        .when(col("interval_class") === "daily", 24L)
+        .when(col("interval_class") === "weekly", 168L)
+        .otherwise(720L))
+    .withColumn("daily_fetches_x1000", expr("n_cur * 24000 DIV interval_hours"))
+    .select(col("source"), col("n_cur"), col("churn_ppm"), col("interval_class"),
+      col("interval_hours"), col("daily_fetches_x1000"))
+    .orderBy(col("source"))
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    recrawlScheduleOf(snapshotVerdictCounts(s, dir))
   private val q162Sql =
     s"""WITH prev AS (
        |  SELECT doc_id AS p_id, source AS p_source, $prevDigestSql AS p_digest
@@ -583,6 +624,32 @@ object IngestQueries extends QueryCatalog {
        |  CAST(count(*) FILTER (WHERE verdict = 'changed') AS BIGINT) AS n_changed,
        |  CAST(count(*) FILTER (WHERE verdict = 'unchanged') AS BIGINT) AS n_unchanged
        |FROM v GROUP BY source ORDER BY source""".stripMargin
+  private val q192Sql =
+    s"""WITH counts AS (${q162Sql.replace("ORDER BY source", "")}),
+       |d AS (
+       |  SELECT source, n_added + n_changed + n_unchanged AS n_cur,
+       |    CASE WHEN n_added + n_removed + n_changed + n_unchanged = 0 THEN 0
+       |         ELSE (n_added + n_removed + n_changed) * 1000000
+       |              // (n_added + n_removed + n_changed + n_unchanged) END AS churn_ppm
+       |  FROM counts
+       |),
+       |c AS (
+       |  SELECT source, n_cur, churn_ppm,
+       |    CASE WHEN churn_ppm >= 500000 THEN 'hourly'
+       |         WHEN churn_ppm >= 100000 THEN 'daily'
+       |         WHEN churn_ppm >= 10000 THEN 'weekly'
+       |         ELSE 'monthly' END AS interval_class,
+       |    CASE WHEN churn_ppm >= 500000 THEN 1
+       |         WHEN churn_ppm >= 100000 THEN 24
+       |         WHEN churn_ppm >= 10000 THEN 168
+       |         ELSE 720 END AS interval_hours
+       |  FROM d
+       |)
+       |SELECT source, CAST(n_cur AS BIGINT) AS n_cur,
+       |  CAST(churn_ppm AS BIGINT) AS churn_ppm, interval_class,
+       |  CAST(interval_hours AS BIGINT) AS interval_hours,
+       |  CAST(n_cur * 24000 // interval_hours AS BIGINT) AS daily_fetches_x1000
+       |FROM c ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q169
   /** MOVED-PAGE detection — the refinement q162's id-keyed diff
@@ -1004,6 +1071,7 @@ object IngestQueries extends QueryCatalog {
     "q160_policy_admission" -> q160,
     "q161_stream_raw_ingest" -> q161,
     "q162_snapshot_diff" -> q162,
+    "q192_recrawl_schedule" -> q192,
     "q167_robots_parse" -> q167,
     "q169_moved_pages" -> q169,
     "q171_html_extract" -> q171,
@@ -1019,6 +1087,7 @@ object IngestQueries extends QueryCatalog {
     "q160_policy_admission" -> q160Sql,
     "q161_stream_raw_ingest" -> q161Sql,
     "q162_snapshot_diff" -> q162Sql,
+    "q192_recrawl_schedule" -> q192Sql,
     "q167_robots_parse" -> q167Sql,
     "q169_moved_pages" -> q169Sql,
     "q171_html_extract" -> q171Sql,
