@@ -602,6 +602,102 @@ object TextQueries extends QueryCatalog {
        |WHERE hv < thr
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** Epoch/repeat-factor PLAN — the forward-looking data recipe q89's
+    * mixture report only describes after the fact: given a training
+    * token budget of [[EpochBudgetMultiplier]]× the corpus, each
+    * source's target share follows TEMPERATURE sampling at τ = 2
+    * (share ∝ √tokens — the multilingual rebalancing recipe of
+    * Arivazhagan et al. 2019 / mT5, which lifts small sources without
+    * letting the head dominate), and the per-source repeat factor is
+    * capped at [[MaxEpochsX1000]]/1000 epochs (past ~4 repeats,
+    * memorization outpaces the value of re-seeing the data — the
+    * Muennighoff et al. 2023 data-constrained scaling observation).
+    * A capped source reports its SHORTFALL, the token mass the recipe
+    * wanted from it but the cap refused — the number that tells a data
+    * team where to go collect more.
+    *
+    * Everything is exact integers: √n_toks is quantized to integer
+    * millis BEFORE summing (q183's discipline — float Σ is
+    * order-dependent; int64→double cast + sqrt + ×1000 + floor are
+    * IEEE-identical in Spark and DuckDB), and the budget×weight
+    * product runs in DECIMAL(38,0) (HUGEINT in the oracle) because at
+    * 100 TB corpus_toks·w_millis overflows int64 — the quotient is
+    * back under int64 so DIV stays exact (q163's cross-multiply
+    * discipline).
+    *
+    * Scale shape: one map-side token-count scan, ONE source exchange
+    * with O(1) aggregate state, a broadcast 1-row corpus total, then
+    * |sources|-row arithmetic. */
+  private[text] val MaxEpochsX1000 = 4000L
+  private[text] val EpochBudgetMultiplier = 2L
+
+  /** q193's plan over a pre-aggregated (source, n_docs, n_toks) frame
+    * — exposed so EpochPlanSpec can feed planted counts, including
+    * 100 TB-scale values that would overflow an int64 product. */
+  private[text] def epochPlanOfCounts(counts: DataFrame): DataFrame = {
+    val weighted = counts
+      .filter(col("n_toks") >= 1L)
+      .withColumn("w_millis",
+        expr("CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT)"))
+    val tot = weighted.agg(
+      sum(col("n_toks")).cast("long").as("corpus_toks"),
+      sum(col("w_millis")).cast("long").as("w_total"))
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("target_toks", expr(
+        s"CAST(CAST(corpus_toks AS DECIMAL(38,0)) * $EpochBudgetMultiplier * w_millis DIV w_total AS BIGINT)"))
+      .withColumn("epochs_raw_x1000", expr("target_toks * 1000 DIV n_toks"))
+      .withColumn("epochs_x1000", least(col("epochs_raw_x1000"), lit(MaxEpochsX1000)))
+      .withColumn("planned_toks", expr("n_toks * epochs_x1000 DIV 1000"))
+      .withColumn("capped",
+        when(col("epochs_raw_x1000") > MaxEpochsX1000, 1L).otherwise(0L))
+      .withColumn("shortfall_toks", greatest(lit(0L), expr("target_toks - planned_toks")))
+      .select(col("source"), col("n_docs"), col("n_toks"), col("w_millis"),
+        col("target_toks"), col("epochs_x1000"), col("planned_toks"),
+        col("capped"), col("shortfall_toks"))
+  }
+
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select($"source", size(expr(toksExpr)).cast("long").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_toks"))
+    epochPlanOfCounts(counts).orderBy($"source")
+  }
+  private val q193Sql =
+    s"""WITH c AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len($toksSql)) AS BIGINT) AS n_toks
+       |  FROM documents GROUP BY source
+       |),
+       |w AS (
+       |  SELECT source, n_docs, n_toks,
+       |    CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000) AS BIGINT) AS w_millis
+       |  FROM c WHERE n_toks >= 1
+       |),
+       |t AS (
+       |  SELECT CAST(sum(n_toks) AS BIGINT) AS corpus_toks,
+       |    CAST(sum(w_millis) AS BIGINT) AS w_total
+       |  FROM w
+       |),
+       |p AS (
+       |  SELECT source, n_docs, n_toks, w_millis,
+       |    CAST(CAST(corpus_toks AS HUGEINT) * $EpochBudgetMultiplier * w_millis // w_total AS BIGINT) AS target_toks
+       |  FROM w, t
+       |),
+       |e AS (
+       |  SELECT p.*, target_toks * 1000 // n_toks AS epochs_raw_x1000,
+       |    least(target_toks * 1000 // n_toks, $MaxEpochsX1000) AS epochs_x1000
+       |  FROM p
+       |)
+       |SELECT source, n_docs, n_toks, w_millis, target_toks,
+       |  CAST(epochs_x1000 AS BIGINT) AS epochs_x1000,
+       |  CAST(n_toks * epochs_x1000 // 1000 AS BIGINT) AS planned_toks,
+       |  CAST(CASE WHEN epochs_raw_x1000 > $MaxEpochsX1000 THEN 1 ELSE 0 END AS BIGINT) AS capped,
+       |  CAST(greatest(0, target_toks - n_toks * epochs_x1000 // 1000) AS BIGINT) AS shortfall_toks
+       |FROM e ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q123
   /** Token-WEIGHTED Bernoulli sampling — the "sample proportional to
     * length" subsampling step (token-budget-aware corpus thinning):
@@ -2830,6 +2926,7 @@ object TextQueries extends QueryCatalog {
     "q79_pii_redact" -> q79,
     "q80_sequence_packing" -> q80,
     "q83_mixture_sample" -> q83,
+    "q193_epoch_plan" -> q193,
     "q84_epoch_shuffle" -> q84,
     "q85_length_batching" -> q85,
     "q89_source_mixture" -> q89,
@@ -2881,6 +2978,7 @@ object TextQueries extends QueryCatalog {
     "q79_pii_redact" -> q79Sql,
     "q80_sequence_packing" -> q80Sql,
     "q83_mixture_sample" -> q83Sql,
+    "q193_epoch_plan" -> q193Sql,
     "q84_epoch_shuffle" -> q84Sql,
     "q85_length_batching" -> q85Sql,
     "q89_source_mixture" -> q89Sql,
