@@ -220,6 +220,126 @@ object GraphQueries extends QueryCatalog {
   }
   private def q164(s: SparkSession, dir: String): DataFrame =
     hitsScores(s, dir)
+
+  // ---------------------------------------------------------------- q196
+  /** TrustRank spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    * 2004) — the crawl-admission signal q133's raw PageRank cannot
+    * give: rank says a page is popular, trust says its popularity is
+    * REACHABLE FROM a vetted seed set. Two chains run fused over the
+    * same edge frame — pr (q133's exact arithmetic, teleport to every
+    * page) and tr (teleport ONLY to md5-carved trusted seeds, the
+    * stand-in for a curated whitelist, which at scale is a tiny
+    * broadcast side input). Each non-seed page gets a trust CLASS —
+    * `trusted` (normalized trust ≥ half its normalized rank),
+    * `low_trust` (some trust reached it, but below half), `no_trust`
+    * (zero trust reached it in Iters damped rounds — inlink mass
+    * living entirely in regions the seed set cannot see, the
+    * link-farm signature) — the decision table a crawl-admission
+    * policy prices per class instead of a single binary bit. The
+    * share comparison is cross-multiplied in DECIMAL(38,0)/HUGEINT
+    * (2·tr·Σpr vs pr·Σtr): at 100 TB node counts, pr·Σtr overflows
+    * int64 (q163's discipline), and no division ever happens so both
+    * engines agree bit-for-bit.
+    *
+    * Scale shape: q133's loop discipline exactly — edges fused with
+    * out-degrees ONCE and pre-partitioned on src, both chains ride
+    * the SAME per-round join (two integer columns instead of one, so
+    * TrustRank costs one extra column, not one extra traversal), only
+    * node-sized frames move per round; the final totals are a 1-row
+    * aggregate broadcast back. */
+  private[graph] val trustSeedExpr =
+    "CASE WHEN substring(md5(concat('trust|', CAST(page_id AS STRING))), 1, 1) = '0' THEN 1 ELSE 0 END"
+
+  /** Fused pr/tr chains over explicit node and link frames — exposed
+    * so TrustRankSpec can replay a planted graph against a BigInt
+    * trajectory oracle. nodesIn: (page_id, is_seed); linksIn:
+    * (src, dst). */
+  private[graph] def trustRankOf(nodesIn: DataFrame, linksIn: DataFrame): DataFrame = {
+    val s = nodesIn.sparkSession
+    import s.implicits._
+    val links = ScratchCache.persist(linksIn)
+    val outdeg = links.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val linksDeg = ScratchCache.persist(
+      links.join(outdeg, "src").repartition($"src"))
+    val nodes = ScratchCache.persist(
+      nodesIn.selectExpr("page_id", "CAST(is_seed AS BIGINT) AS is_seed"))
+    var rank = nodes
+      .withColumn("pr", lit(Scale))
+      .withColumn("tr", expr(s"is_seed * $Scale"))
+    for (_ <- 1 to Iters) {
+      val contrib = linksDeg
+        .join(rank.select($"page_id".as("src"), $"pr", $"tr"), "src")
+        .select($"dst".as("page_id"),
+          expr("pr DIV outdeg").as("cp"), expr("tr DIV outdeg").as("ct"))
+        .groupBy($"page_id").agg(sum($"cp").as("cp"), sum($"ct").as("ct"))
+      rank = nodes.join(contrib, Seq("page_id"), "left")
+        .select($"page_id", $"is_seed",
+          expr("CAST(150000 + (85 * coalesce(cp, 0L)) DIV 100 AS BIGINT)").as("pr"),
+          expr("CAST(is_seed * 150000 + (85 * coalesce(ct, 0L)) DIV 100 AS BIGINT)").as("tr"))
+    }
+    val fin = ScratchCache.persist(rank)
+    val tot = fin.agg(sum($"pr").cast("long").as("pr_total"),
+      sum($"tr").cast("long").as("tr_total"))
+    fin.crossJoin(broadcast(tot))
+      .selectExpr("page_id", "pr", "tr", "is_seed",
+        s"""CASE WHEN is_seed = 1 THEN 'seed'
+           |     WHEN tr = 0 THEN 'no_trust'
+           |     WHEN CAST(2 AS DECIMAL(38,0)) * tr * pr_total
+           |          < CAST(pr AS DECIMAL(38,0)) * tr_total THEN 'low_trust'
+           |     ELSE 'trusted' END AS trust_class""".stripMargin.replace("\n", " "))
+      .orderBy($"page_id")
+  }
+
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    trustRankOf(
+      Tables.documents(s, dir).selectExpr("doc_id AS page_id")
+        .selectExpr("page_id", s"$trustSeedExpr AS is_seed"),
+      linksOf(s, dir))
+  private val q196Sql = {
+    val rounds = (1 to Iters).map { i =>
+      s"""t$i AS (
+         |  SELECT n.page_id, n.is_seed,
+         |    CAST(150000 + (85 * coalesce(c.cp, 0)) // 100 AS BIGINT) AS pr,
+         |    CAST(n.is_seed * 150000 + (85 * coalesce(c.ct, 0)) // 100 AS BIGINT) AS tr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT l.dst AS page_id,
+         |      CAST(sum(r.pr // o.outdeg) AS BIGINT) AS cp,
+         |      CAST(sum(r.tr // o.outdeg) AS BIGINT) AS ct
+         |    FROM links l
+         |    JOIN outdeg o ON l.src = o.src
+         |    JOIN t${i - 1} r ON l.src = r.page_id
+         |    GROUP BY l.dst
+         |  ) c USING (page_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH links AS (
+       |$linksSql
+       |), outdeg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM links GROUP BY src
+       |), nodes AS (
+       |  SELECT doc_id AS page_id,
+       |    CASE WHEN substring(md5('trust|' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+       |         THEN 1 ELSE 0 END AS is_seed
+       |  FROM documents
+       |), t0 AS (
+       |  SELECT page_id, is_seed, CAST($Scale AS BIGINT) AS pr,
+       |    CAST(is_seed * $Scale AS BIGINT) AS tr
+       |  FROM nodes
+       |),
+       |$rounds,
+       |tot AS (
+       |  SELECT CAST(sum(pr) AS BIGINT) AS pr_total,
+       |    CAST(sum(tr) AS BIGINT) AS tr_total
+       |  FROM t$Iters
+       |)
+       |SELECT page_id, pr, tr, CAST(is_seed AS BIGINT) AS is_seed,
+       |  CASE WHEN is_seed = 1 THEN 'seed'
+       |       WHEN tr = 0 THEN 'no_trust'
+       |       WHEN CAST(2 AS HUGEINT) * tr * tot.pr_total
+       |            < CAST(pr AS HUGEINT) * tot.tr_total THEN 'low_trust'
+       |       ELSE 'trusted' END AS trust_class
+       |FROM t$Iters, tot ORDER BY page_id""".stripMargin
+  }
   private val q164Sql = {
     val rounds = (1 to Iters).map { i =>
       s"""ar$i AS MATERIALIZED (
@@ -479,6 +599,7 @@ object GraphQueries extends QueryCatalog {
     "q143_triangle_count" -> q143,
     "q155_kcore" -> q155,
     "q164_hits" -> q164,
+    "q196_trustrank" -> q196,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -487,5 +608,6 @@ object GraphQueries extends QueryCatalog {
     "q143_triangle_count" -> q143Sql,
     "q155_kcore" -> q155Sql,
     "q164_hits" -> q164Sql,
+    "q196_trustrank" -> q196Sql,
   )
 }
