@@ -698,6 +698,104 @@ object TextQueries extends QueryCatalog {
        |  CAST(greatest(0, target_toks - n_toks * epochs_x1000 // 1000) AS BIGINT) AS shortfall_toks
        |FROM e ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  /** RELATED-document packing (in-context pretraining, Shi et al.
+    * 2023): q80 packs chunks into fixed-token training sequences in
+    * arbitrary shard order; this packs WHOLE documents so that each
+    * training context holds documents from the SAME registered domain
+    * — the coherence signal the ICP recipe trains on (a context of
+    * related pages beats a context of random ones). Domain comes from
+    * q129's URL canonicalization chain; within a domain, docs are laid
+    * end to end in doc_id order and split every [[RelatedCtxBudget]]
+    * tokens.
+    *
+    * Scale: a window partition is one (domain, subshard) — and the
+    * subshard count is DERIVED from the domain's token mass (q80's
+    * discipline: n_sub = ceil(domain_toks / [[TargetShardTokens]])),
+    * so a megadomain never serializes through one window; its
+    * subshards still hold only that domain's pages, preserving the
+    * coherence contract. One exchange for domain totals, one window
+    * pass — no corpus-wide ordering anywhere. */
+  /** Context budget and per-subshard token target, scaled to the
+    * fixture corpus the way q80's chunk constants are (production
+    * values: 2048-token contexts, tens-of-millions-token subshards —
+    * the arithmetic is identical, only the literals change). */
+  private[text] val RelatedCtxBudget = 64L
+  private[text] val RelatedSubTarget = 256L
+
+  /** 16-bit uniform from md5("rsub|"||doc_id) (q123's idiom) — the
+    * subshard key MUST be hash-derived: the synthesized domains hold
+    * ids congruent mod 14, so `doc_id % n_sub` would put every page
+    * of a domain in ONE subshard and silently re-serialize the
+    * megadomain the subsharding exists to split. */
+  private[text] val relatedSubHashExpr = {
+    val h = "md5(concat('rsub|', CAST(doc_id AS STRING)))"
+    (1 to 4).map(i => s"(instr('0123456789abcdef', substr($h, $i, 1)) - 1)")
+      .reduceLeft((acc, d) => s"($acc * 16 + $d)")
+  }
+
+  private[text] def relatedPackingOf(docsWithDomain: DataFrame,
+                                     ctxBudget: Long = RelatedCtxBudget,
+                                     subTarget: Long = RelatedSubTarget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDom = docsWithDomain.groupBy(col("domain"))
+      .agg(sum(col("n_toks")).as("dom_toks"))
+      .withColumn("n_sub", greatest(lit(1L),
+        ceil(col("dom_toks").cast("double") / lit(subTarget.toDouble)).cast("long")))
+      .select(col("domain"), col("n_sub"))
+    val w = Window.partitionBy(col("domain"), col("sub")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docsWithDomain.join(byDom, "domain")
+      .withColumn("sub", expr(s"CAST($relatedSubHashExpr AS BIGINT)") % col("n_sub"))
+      .withColumn("offset", coalesce(sum(col("n_toks")).over(w), lit(0L)).cast("long"))
+      .withColumn("ctx", expr(s"offset DIV $ctxBudget"))
+      .select(col("doc_id"), col("domain"), col("sub"), col("n_toks"),
+        col("offset"), col("ctx"))
+  }
+
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.dedup.UrlCanon
+    val docs = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", s"${UrlCanon.rawUrlSql} AS raw_url")
+      .selectExpr("doc_id", "text", s"${UrlCanon.strippedSql("raw_url")} AS u")
+      .selectExpr("doc_id", "text", s"${UrlCanon.hostSql("u")} AS host")
+      .selectExpr("doc_id", s"${UrlCanon.domainSql("host")} AS domain",
+        s"$toksExpr AS toks")
+      .filter("size(toks) >= 1")
+      .selectExpr("doc_id", "domain", "CAST(size(toks) AS BIGINT) AS n_toks")
+    relatedPackingOf(docs).orderBy($"domain", $"doc_id")
+  }
+  private val q198Sql = {
+    import graft.dedup.UrlCanon
+    val pre =
+      s"""raw AS (SELECT doc_id, text, ${UrlCanon.rawUrlSql} AS raw_url FROM documents),
+         |st AS (SELECT doc_id, text, ${UrlCanon.strippedSql("raw_url")} AS u FROM raw),
+         |h AS (SELECT doc_id, text, ${UrlCanon.hostSql("u")} AS host FROM st),
+         |docs AS (
+         |  SELECT doc_id, domain, CAST(len(toks) AS BIGINT) AS n_toks
+         |  FROM (SELECT doc_id, ${UrlCanon.domainSql("host")} AS domain, $toksSql AS toks FROM h)
+         |  WHERE len(toks) >= 1
+         |)""".stripMargin
+    s"""WITH $pre,
+       |dom AS (
+       |  SELECT domain,
+       |    greatest(1, CAST(ceil(sum(n_toks) / $RelatedSubTarget.0) AS BIGINT)) AS n_sub
+       |  FROM docs GROUP BY domain
+       |),
+       |j AS (
+       |  SELECT d.doc_id, d.domain,
+       |    CAST(((((instr('0123456789abcdef', substr(md5('rsub|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('rsub|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5('rsub|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16 + (instr('0123456789abcdef', substr(md5('rsub|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS BIGINT) % m.n_sub AS sub, d.n_toks
+       |  FROM docs d JOIN dom m USING (domain)
+       |)
+       |SELECT doc_id, domain, sub, n_toks,
+       |  CAST(coalesce(sum(n_toks) OVER (PARTITION BY domain, sub
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset",
+       |  CAST(coalesce(sum(n_toks) OVER (PARTITION BY domain, sub
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $RelatedCtxBudget AS BIGINT) AS ctx
+       |FROM j ORDER BY domain, doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q123
   /** Token-WEIGHTED Bernoulli sampling — the "sample proportional to
     * length" subsampling step (token-budget-aware corpus thinning):
@@ -2927,6 +3025,7 @@ object TextQueries extends QueryCatalog {
     "q80_sequence_packing" -> q80,
     "q83_mixture_sample" -> q83,
     "q193_epoch_plan" -> q193,
+    "q198_related_packing" -> q198,
     "q84_epoch_shuffle" -> q84,
     "q85_length_batching" -> q85,
     "q89_source_mixture" -> q89,
@@ -2979,6 +3078,7 @@ object TextQueries extends QueryCatalog {
     "q80_sequence_packing" -> q80Sql,
     "q83_mixture_sample" -> q83Sql,
     "q193_epoch_plan" -> q193Sql,
+    "q198_related_packing" -> q198Sql,
     "q84_epoch_shuffle" -> q84Sql,
     "q85_length_batching" -> q85Sql,
     "q89_source_mixture" -> q89Sql,
