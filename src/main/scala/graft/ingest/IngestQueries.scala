@@ -362,6 +362,96 @@ object IngestQueries extends QueryCatalog {
        |FROM v GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q200
+  /** Policy-churn PURGE/RECRAWL audit — the compliance diff run when a
+    * fresh robots/blocklist sweep lands: every fetched page is judged
+    * under the RULE EPOCH THAT ADMITTED IT (q160's dim) and under the
+    * new epoch's rules, and the (old_verdict, new_verdict) transition
+    * matrix is the action ledger — `purge` cells are pages the corpus
+    * must DELETE (robots revoked consent / domain newly blocked: the
+    * opt-out obligation, with char mass so storage and retraining cost
+    * are priced), `recrawl` cells are pages policy now permits (the
+    * backfill queue), diagonal cells are no-ops. Real pipelines run
+    * exactly this diff on every policy refresh; admission-time
+    * filtering alone (q160) cannot honor a revocation that arrives
+    * AFTER the page was admitted.
+    *
+    * Both epochs' rules are md5-carved per domain (independent
+    * carves, so all transition directions are populated and the
+    * oracle replays membership exactly).
+    *
+    * Scale shape: q160's exactly — ONE policy dim per epoch, both
+    * domain-cardinality-sized, broadcast to the fetch stream; verdicts
+    * are map-side codegen and the only exchange is the ≤9-cell
+    * (old_verdict, new_verdict) roll-up. Distinct-domain counts ride
+    * the same rollup. Zero new corpus-scale shuffles. */
+  private val block2SelSql = "substring(md5('block2|' || domain), 1, 1) < '2'"
+  private val robots2SelSql = "substring(md5('robots2|' || domain), 1, 1) < '4'"
+
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = fetches(s, dir)
+    val policyDim = f.select($"domain").distinct()
+      .selectExpr("domain",
+        s"$blockSelSql AS blocked1", s"$robotsSelSql AS robots1",
+        s"$block2SelSql AS blocked2", s"$robots2SelSql AS robots2")
+    f.join(broadcast(policyDim), Seq("domain"))
+      .withColumn("old_verdict",
+        when($"blocked1", lit("blocked_domain"))
+          .when($"robots1" && $"pathn".startsWith(RobotsPrefix), lit("robots"))
+          .otherwise(lit("admitted")))
+      .withColumn("new_verdict",
+        when($"blocked2", lit("blocked_domain"))
+          .when($"robots2" && $"pathn".startsWith(RobotsPrefix), lit("robots"))
+          .otherwise(lit("admitted")))
+      .withColumn("action",
+        when($"old_verdict" === $"new_verdict", lit("unchanged"))
+          .when($"old_verdict" === "admitted", lit("purge"))
+          .when($"new_verdict" === "admitted", lit("recrawl"))
+          .otherwise(lit("blocked_shift")))
+      .groupBy($"old_verdict", $"new_verdict", $"action")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct($"domain").as("n_domains"),
+        sum($"n_chars".cast("long")).as("n_chars"))
+      .orderBy($"old_verdict", $"new_verdict")
+  }
+  private val q200Sql = {
+    import UrlCanon._
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, len(text) AS n_chars FROM documents WHERE NOT ($jsonBadSql)
+       |  UNION ALL
+       |  SELECT doc_id, source, len(text) AS n_chars FROM documents
+       |  WHERE NOT ($jsonBadSql) AND $dupSelSql
+       |), raw AS (
+       |  SELECT doc_id, n_chars, $rawUrlSql AS raw_url FROM docs
+       |), st AS (
+       |  SELECT doc_id, n_chars, ${strippedSql("raw_url")} AS u FROM raw
+       |), hp AS (
+       |  SELECT doc_id, n_chars, ${hostSql("u")} AS host, ${pathSql("u")} AS pathn FROM st
+       |), dm AS (
+       |  SELECT doc_id, n_chars, pathn, ${domainSql("host")} AS domain FROM hp
+       |), v AS (
+       |  SELECT domain, n_chars,
+       |    CASE WHEN $blockSelSql THEN 'blocked_domain'
+       |         WHEN $robotsSelSql AND pathn LIKE '$RobotsPrefix%' THEN 'robots'
+       |         ELSE 'admitted' END AS old_verdict,
+       |    CASE WHEN $block2SelSql THEN 'blocked_domain'
+       |         WHEN $robots2SelSql AND pathn LIKE '$RobotsPrefix%' THEN 'robots'
+       |         ELSE 'admitted' END AS new_verdict
+       |  FROM dm
+       |)
+       |SELECT old_verdict, new_verdict,
+       |  CASE WHEN old_verdict = new_verdict THEN 'unchanged'
+       |       WHEN old_verdict = 'admitted' THEN 'purge'
+       |       WHEN new_verdict = 'admitted' THEN 'recrawl'
+       |       ELSE 'blocked_shift' END AS action,
+       |  CAST(count(*) AS BIGINT) AS n_pages,
+       |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM v GROUP BY old_verdict, new_verdict
+       |ORDER BY old_verdict, new_verdict""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q159
   /** The ONE corpus-build number a platform team quotes: the full
     * admission chain run END TO END as a single measured query —
@@ -650,6 +740,98 @@ object IngestQueries extends QueryCatalog {
        |  CAST(interval_hours AS BIGINT) AS interval_hours,
        |  CAST(n_cur * 24000 // interval_hours AS BIGINT) AS daily_fetches_x1000
        |FROM c ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+  /** Crawl ROI ledger — the budget meeting's one table: what does a
+    * source's refresh schedule COST in daily fetches (q192's
+    * churn-priced plan) versus what it YIELDS in admitted training
+    * tokens (q194's funnel, after holdout/dedup/decontam/lang/quality
+    * have all had their turn). Tokens-per-fetch is the unit a crawl
+    * team actually argues about — a churny domain that admits nothing
+    * is pure fetch burn ("starve"), a stable archive that admits
+    * everything is nearly free ("rich") — and the class thresholds
+    * make the ledger an actionable keep/downgrade/drop list rather
+    * than two disconnected dashboards.
+    *
+    * Exact arithmetic: tok_per_fetch_x1000 = admitted_toks × 10⁶ DIV
+    * daily_fetches_x1000 (both engines floor on non-negatives). The
+    * product runs in DECIMAL(38,0) (HUGEINT in the oracle) because at
+    * 100 TB a source's admitted token mass alone approaches int64 ×
+    * 10⁶ overflow; the QUOTIENT (milli-tokens per fetch) stays far
+    * inside int64, which is exactly the envelope where DECIMAL(38,0)
+    * DIV is exact.
+    *
+    * Scale shape: both inputs end |sources|-sized; the join and class
+    * arithmetic are dimension-table work. The corpus-scale cost is the
+    * two upstream scans this query composes (q162's one id-keyed
+    * full-outer diff; q194's one digest exchange + broadcast
+    * decontam semi-join) — no new corpus-sized exchange is added. */
+  private[ingest] val RoiRichX1000 = 10000L  // ≥ 10 admitted tokens per fetch
+  private[ingest] val RoiViableX1000 = 4000L // ≥ 4 admitted tokens per fetch
+
+  /** The ROI arithmetic over a (source, interval_class,
+    * daily_fetches_x1000) schedule and a (source, n_admitted_docs,
+    * admitted_toks) yield frame — exposed for CrawlRoiSpec's planted
+    * miss-path and boundary replay. */
+  private[ingest] def crawlRoiOf(sched: DataFrame, adm: DataFrame): DataFrame = {
+    val s = sched.sparkSession
+    import s.implicits._
+    sched.select($"source".as("s_source"), $"interval_class", $"daily_fetches_x1000")
+      .join(adm.select($"source".as("a_source"), $"n_admitted_docs", $"admitted_toks"),
+        $"s_source" === $"a_source", "full_outer")
+      .select(coalesce($"s_source", $"a_source").as("source"),
+        coalesce($"interval_class", lit("none")).as("interval_class"),
+        coalesce($"daily_fetches_x1000", lit(0L)).as("daily_fetches_x1000"),
+        coalesce($"n_admitted_docs", lit(0L)).as("n_admitted_docs"),
+        coalesce($"admitted_toks", lit(0L)).as("admitted_toks"))
+      .withColumn("tok_per_fetch_x1000", expr(
+        "CASE WHEN daily_fetches_x1000 = 0 THEN 0 ELSE " +
+        "CAST(CAST(admitted_toks AS DECIMAL(38,0)) * 1000000 DIV daily_fetches_x1000 AS BIGINT) END"))
+      .withColumn("roi_class",
+        when($"daily_fetches_x1000" === 0L, "no_refresh")
+          .when($"tok_per_fetch_x1000" >= RoiRichX1000, "rich")
+          .when($"tok_per_fetch_x1000" >= RoiViableX1000, "viable")
+          .otherwise("starve"))
+      .orderBy($"source")
+  }
+
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sched = recrawlScheduleOf(snapshotVerdictCounts(s, dir))
+    val adm = graft.dedup.DedupQueries.funnelVerdictsOf(Tables.documents(s, dir))
+      .filter($"verdict" === "admitted")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_admitted_docs"), sum($"n_toks").as("admitted_toks"))
+    crawlRoiOf(sched, adm)
+  }
+  private val q199Sql =
+    s"""WITH sched AS (${q192Sql.replace("ORDER BY source", "")}),
+       |adm AS (
+       |  SELECT source, n_docs AS n_admitted_docs, n_toks AS admitted_toks
+       |  FROM (${graft.dedup.DedupQueries.q194Sql.replace("ORDER BY source, verdict", "")}) fv
+       |  WHERE verdict = 'admitted'
+       |),
+       |j AS (
+       |  SELECT coalesce(s.source, a.source) AS source,
+       |    coalesce(s.interval_class, 'none') AS interval_class,
+       |    CAST(coalesce(s.daily_fetches_x1000, 0) AS BIGINT) AS daily_fetches_x1000,
+       |    CAST(coalesce(a.n_admitted_docs, 0) AS BIGINT) AS n_admitted_docs,
+       |    CAST(coalesce(a.admitted_toks, 0) AS BIGINT) AS admitted_toks
+       |  FROM sched s FULL OUTER JOIN adm a ON s.source = a.source
+       |),
+       |r AS (
+       |  SELECT *, CASE WHEN daily_fetches_x1000 = 0 THEN 0 ELSE
+       |    CAST(CAST(admitted_toks AS HUGEINT) * 1000000 // daily_fetches_x1000 AS BIGINT) END
+       |    AS tok_per_fetch_x1000
+       |  FROM j
+       |)
+       |SELECT source, interval_class, daily_fetches_x1000, n_admitted_docs,
+       |  admitted_toks, CAST(tok_per_fetch_x1000 AS BIGINT) AS tok_per_fetch_x1000,
+       |  CASE WHEN daily_fetches_x1000 = 0 THEN 'no_refresh'
+       |       WHEN tok_per_fetch_x1000 >= $RoiRichX1000 THEN 'rich'
+       |       WHEN tok_per_fetch_x1000 >= $RoiViableX1000 THEN 'viable'
+       |       ELSE 'starve' END AS roi_class
+       |FROM r ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q169
   /** MOVED-PAGE detection — the refinement q162's id-keyed diff
@@ -1072,6 +1254,7 @@ object IngestQueries extends QueryCatalog {
     "q161_stream_raw_ingest" -> q161,
     "q162_snapshot_diff" -> q162,
     "q192_recrawl_schedule" -> q192,
+    "q199_crawl_roi" -> q199,
     "q167_robots_parse" -> q167,
     "q169_moved_pages" -> q169,
     "q171_html_extract" -> q171,
@@ -1088,6 +1271,7 @@ object IngestQueries extends QueryCatalog {
     "q161_stream_raw_ingest" -> q161Sql,
     "q162_snapshot_diff" -> q162Sql,
     "q192_recrawl_schedule" -> q192Sql,
+    "q199_crawl_roi" -> q199Sql,
     "q167_robots_parse" -> q167Sql,
     "q169_moved_pages" -> q169Sql,
     "q171_html_extract" -> q171Sql,
