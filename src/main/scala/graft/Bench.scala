@@ -163,7 +163,8 @@ object Bench {
       "q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission",
       "q159_corpus_build", "q160_policy_admission", "q161_stream_raw_ingest",
       "q162_snapshot_diff", "q166_orc_roundtrip", "q167_robots_parse",
-      "q169_moved_pages", "q172_crawl_frontier")
+      "q169_moved_pages", "q172_crawl_frontier",
+      "q192_recrawl_schedule", "q199_crawl_roi")
     val preflightFailed = collection.mutable.LinkedHashMap.empty[String, String]
     allNames.filterNot(lazyBuilds).foreach(n => analyzeErr(n).foreach(preflightFailed += _))
 

@@ -248,7 +248,7 @@ object UrlCanon {
           |   THEN 1 ELSE 0 END AS BIGINT) AS downweight""".stripMargin)
       .orderBy($"domain")
   }
-  val q163Sql: String = {
+  lazy val q163Sql: String = {
     val toks = graft.text.TextQueries.toksSql
     val score = graft.text.TextQueries.scoreSql
     s"""WITH raw AS (
@@ -338,7 +338,7 @@ object UrlCanon {
         "CAST(q + CASE WHEN above + rk <= leftn THEN 1 ELSE 0 END AS BIGINT) AS quota")
       .orderBy($"domain")
   }
-  val q165Sql: String =
+  lazy val q165Sql: String =
     s"""WITH rep AS (
        |  SELECT * FROM ($q163Sql)
        |), w AS (

@@ -35,6 +35,25 @@ class QueryCatalogContractSpec extends SparkTestBase {
       s"undocumented no-oracle queries: ${noOracle -- reasons}; stale reasons: ${reasons -- noOracle}")
   }
 
+  test("no oracle SQL contains an init-order-nulled fragment") {
+    // r14 regression: a strict-val init cycle (TextQueries.q198Sql ->
+    // UrlCanon.q163Sql -> TextQueries.scoreSql, declared later) baked
+    // the literal string "null" into two oracles. Reproduce the worst
+    // init order first — touch TextQueries before anything else — then
+    // scan every oracle for a nulled interpolation. Legitimate SQL
+    // spells NULL in constructs like IFNULL/COALESCE/IS NULL, never as
+    // a bare lowercase `null AS` / `(null)` fragment.
+    graft.text.TextQueries.toString // force init in the poisoning order
+    val nulled = "(?i)\\bnull\\s+AS\\b|\\(null\\)|\\bnull\\b\\s*(?:[+\\-*/,]|$)".r
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
+      case (name, sql) if sql == null => s"$name: oracle SQL itself is null"
+      case (name, sql) if nulled.findFirstIn(sql).isDefined =>
+        s"$name: ${nulled.findFirstIn(sql).get.trim}"
+    }
+    assert(offenders.isEmpty,
+      s"oracle SQL with a nulled interpolated fragment (object-init cycle): $offenders")
+  }
+
   test("no catalog output column is array/map/struct typed (driver hashability)") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineitem.parquet")))
     // bounded per query (r12: one never-returning builder hung this
