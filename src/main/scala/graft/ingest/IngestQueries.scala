@@ -1255,6 +1255,7 @@ object IngestQueries extends QueryCatalog {
     "q162_snapshot_diff" -> q162,
     "q192_recrawl_schedule" -> q192,
     "q199_crawl_roi" -> q199,
+    "q200_policy_churn" -> q200,
     "q167_robots_parse" -> q167,
     "q169_moved_pages" -> q169,
     "q171_html_extract" -> q171,
@@ -1272,6 +1273,7 @@ object IngestQueries extends QueryCatalog {
     "q162_snapshot_diff" -> q162Sql,
     "q192_recrawl_schedule" -> q192Sql,
     "q199_crawl_roi" -> q199Sql,
+    "q200_policy_churn" -> q200Sql,
     "q167_robots_parse" -> q167Sql,
     "q169_moved_pages" -> q169Sql,
     "q171_html_extract" -> q171Sql,

@@ -392,6 +392,53 @@ class IngestSpec extends SparkTestBase {
     // the fixture must exercise all branches of the parser
     assert(sawRule > 0 && sawNone > 0 && sawDelay > 0)
   }
+
+  test("q200 policy churn: transition matrix tiles the fetches, actions are the pure " +
+    "(old,new) function, epoch-1 marginals replay q160, both dims broadcast") {
+    assume(fixture)
+    val df = IngestQueries.queries("q200_policy_churn")(spark, dir)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val verdicts = Set("blocked_domain", "robots", "admitted")
+    // action is a PURE function of the (old, new) verdict pair — the
+    // compliance semantics: leaving 'admitted' is a purge obligation,
+    // entering it is a recrawl opportunity, diagonal is a no-op
+    out.foreach { r =>
+      val (o, n, a) = (r.getAs[String]("old_verdict"),
+        r.getAs[String]("new_verdict"), r.getAs[String]("action"))
+      assert(verdicts(o) && verdicts(n), s"unknown verdict in ($o,$n)")
+      val expect =
+        if (o == n) "unchanged"
+        else if (o == "admitted") "purge"
+        else if (n == "admitted") "recrawl"
+        else "blocked_shift"
+      assert(a == expect, s"($o,$n) labeled $a, want $expect")
+      assert(r.getAs[Long]("n_pages") > 0L &&
+        r.getAs[Long]("n_domains") > 0L && r.getAs[Long]("n_chars") > 0L)
+    }
+    // matrix cells are unique and tile the fetch universe: the
+    // old-verdict marginals must equal q160's per-verdict totals (same
+    // fetches frame, same epoch-1 rules)
+    val cells = out.map(r => (r.getAs[String]("old_verdict"), r.getAs[String]("new_verdict")))
+    assert(cells.distinct.length == cells.length, "duplicate matrix cells")
+    val q160Out = IngestQueries.queries("q160_policy_admission")(spark, dir).collect()
+    def q160Total(c: String) = q160Out.map(_.getAs[Long](c)).sum
+    def marginal(v: String) =
+      out.filter(_.getAs[String]("old_verdict") == v).map(_.getAs[Long]("n_pages")).sum
+    assert(marginal("blocked_domain") == q160Total("n_blocked"))
+    assert(marginal("robots") == q160Total("n_robots"))
+    assert(marginal("admitted") == q160Total("n_admitted"))
+    // both churn directions must be exercised by the independent carves
+    val actions = out.map(_.getAs[String]("action")).toSet
+    assert(actions("purge"), "fixture must plant at least one purge cell")
+    assert(actions("recrawl"), "fixture must plant at least one recrawl cell")
+    assert(actions("unchanged"))
+    // both epochs' policy dims ride ONE broadcast to the fetch stream —
+    // zero corpus-scale exchanges beyond the ≤9-cell roll-up
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"policy dim must broadcast-join the fetch stream:\n$plan")
+  }
 }
 
 object IngestSpec {
