@@ -418,9 +418,9 @@ object IngestQueries extends QueryCatalog {
   private val q200Sql = {
     import UrlCanon._
     s"""WITH docs AS (
-       |  SELECT doc_id, source, len(text) AS n_chars FROM documents WHERE NOT ($jsonBadSql)
+       |  SELECT doc_id, source, n_chars FROM documents WHERE NOT ($jsonBadSql)
        |  UNION ALL
-       |  SELECT doc_id, source, len(text) AS n_chars FROM documents
+       |  SELECT doc_id, source, n_chars FROM documents
        |  WHERE NOT ($jsonBadSql) AND $dupSelSql
        |), raw AS (
        |  SELECT doc_id, n_chars, $rawUrlSql AS raw_url FROM docs
