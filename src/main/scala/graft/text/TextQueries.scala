@@ -3007,6 +3007,96 @@ object TextQueries extends QueryCatalog {
        |ORDER BY b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q201
+  /** Instruction-TEMPLATE mining — the dedup mode neither exact hashes
+    * nor MinHash catch well: instruction datasets carry thousands of
+    * docs stamped from one prompt template ("write an essay about X
+    * for my Y class"), each instance textually distant from the next
+    * (every slot differs) yet informationally near-identical. The
+    * standard detector: mask every LOW-document-frequency token to a
+    * slot marker `_` and cluster docs by the surviving SKELETON — the
+    * template's frame words have high DF (they repeat across all its
+    * instances) while slot fillers are rare, so instances of one
+    * template collapse onto one skeleton. Clusters of ≥ 3 docs are
+    * reported with doc/source/char mass (the dedup savings if the
+    * cluster is capped).
+    *
+    * Fixture: 1/4 of docs (md5-carved) are REPLACED by instances of 4
+    * planted templates whose slot tokens (`topicN`/`styleN`) sit below
+    * the 5%-DF bar while the frame words sit above it — the oracle
+    * replays the rendering, so recovery is hash-checked end to end.
+    *
+    * Scale shape: per-doc `array_distinct` BEFORE the explode so the
+    * DF aggregate's input is bounded by distinct-tokens-per-doc (map-
+    * side combined, one token exchange); the corpus total is a 1-row
+    * broadcast; the DF≥5% vocab is stopword-scale under any Zipfian
+    * corpus (a token in ≥5% of ALL docs) and hard-capped at 4096 with
+    * a deterministic (df desc, tok) cut, riding ONE broadcast into the
+    * map-side skeletonization; the cluster roll-up shuffles only
+    * (16-byte digest, 60-char preview) per doc — never the text. */
+  private val q201TmplText =
+    """CASE WHEN substring(md5('tmpl|' || CAST(doc_id AS STRING)), 1, 1) < '4'
+      |  THEN CASE
+      |    WHEN doc_id % 4 = 0 THEN concat('please write a short essay about topic',
+      |      CAST(doc_id % 7 AS STRING), ' for my style', CAST(doc_id % 9 AS STRING), ' class')
+      |    WHEN doc_id % 4 = 1 THEN concat('translate the following sentence into topic',
+      |      CAST(doc_id % 7 AS STRING), ' keeping the style', CAST(doc_id % 9 AS STRING), ' register')
+      |    WHEN doc_id % 4 = 2 THEN concat('summarize the article topic',
+      |      CAST(doc_id % 7 AS STRING), ' in exactly style', CAST(doc_id % 9 AS STRING), ' sentences')
+      |    ELSE concat('list five facts about topic',
+      |      CAST(doc_id % 7 AS STRING), ' as style', CAST(doc_id % 9 AS STRING), ' bullet points')
+      |  END
+      |  ELSE text END""".stripMargin
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = ScratchCache.persist(Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", s"($q201TmplText) AS text"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val dfreq = docs.selectExpr(s"explode(array_distinct($toksExpr)) AS tok")
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val vocab = dfreq.crossJoin(broadcast(total))
+      .where(expr("df * 100 >= n_total * 5"))
+      .orderBy($"df".desc, $"tok".asc).limit(4096)
+      .agg(sort_array(collect_list($"tok")).as("vocab"))
+    docs.crossJoin(broadcast(vocab))
+      .selectExpr("source", "length(text) AS n_chars",
+        s"""array_join(transform($toksExpr,
+           |  t -> CASE WHEN array_contains(vocab, t) THEN t ELSE '_' END), ' ') AS skeleton""".stripMargin)
+      .groupBy(md5($"skeleton").as("template_digest"),
+        substring($"skeleton", 1, 60).as("preview"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        sum($"n_chars").as("n_chars"))
+      .where($"n_docs" >= 3)
+      .orderBy($"n_docs".desc, $"template_digest".asc)
+  }
+  private val q201Sql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, ($q201TmplText) AS text FROM documents
+       |), tk AS (
+       |  SELECT doc_id, source, text, $toksSql AS toks FROM docs
+       |), dfreq AS (
+       |  SELECT tok, count(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tk) GROUP BY tok
+       |), tot AS (SELECT count(*) AS n_total FROM docs),
+       |vcb AS (
+       |  SELECT list(tok ORDER BY tok) AS vocab FROM (
+       |    SELECT tok FROM dfreq, tot WHERE df * 100 >= n_total * 5
+       |    ORDER BY df DESC, tok LIMIT 4096)
+       |), sk AS (
+       |  SELECT source, len(text) AS n_chars,
+       |    array_to_string(list_transform(toks,
+       |      t -> CASE WHEN list_contains(vocab, t) THEN t ELSE '_' END), ' ') AS skeleton
+       |  FROM tk, vcb
+       |)
+       |SELECT md5(skeleton) AS template_digest, substring(skeleton, 1, 60) AS preview,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM sk GROUP BY skeleton
+       |HAVING count(*) >= 3
+       |ORDER BY n_docs DESC, template_digest""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -3058,6 +3148,7 @@ object TextQueries extends QueryCatalog {
     "q191_gate_roc" -> q191,
     "q176_score_calibration" -> q176,
     "q177_mixture_schedule" -> q177,
+    "q201_template_mining" -> q201,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3111,5 +3202,6 @@ object TextQueries extends QueryCatalog {
     "q191_gate_roc" -> q191Sql,
     "q176_score_calibration" -> q176Sql,
     "q177_mixture_schedule" -> q177Sql,
+    "q201_template_mining" -> q201Sql,
   )
 }
