@@ -593,6 +593,94 @@ object GraphQueries extends QueryCatalog {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q202
+  /** Community detection by synchronous LABEL PROPAGATION (Raghavan et
+    * al. 2007) over the undirected link graph — the domain/site
+    * community map a curation pipeline reads before mixture balancing
+    * (communities, not single domains, are the real duplication and
+    * topical units of the web). Asynchronous LPA is nondeterministic
+    * by construction; this is the deterministic synchronous variant:
+    * every node starts as its own label, and each round every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by SMALLEST label, isolated nodes keeping
+    * their own. [[LpaRounds]] fixed rounds (community detection uses
+    * LPA as a few-sweep heuristic — it converges in ~5 sweeps on real
+    * graphs and oscillates if run forever, so a fixed budget IS the
+    * algorithm), then a per-community roll-up.
+    *
+    * Scale shape: the undirected edge frame is built ONCE, persisted
+    * pre-partitioned on the neighbor id so every round's
+    * edges⋈labels join reuses the in-memory partitioning (q133's
+    * discipline) and only the node-sized label frame moves per round.
+    * Each round is: that join, one (node, label) exchange with
+    * map-side partial counts, and a per-node argmax window whose
+    * partition is bounded by the node's DISTINCT neighbor-label count
+    * (≤ degree, collapsing fast as communities form) — never a
+    * corpus-global sort. A hub's million in-links combine map-side
+    * into per-label counts before the exchange. O(rounds) linear
+    * passes, exactly the PageRank/k-core loop family. */
+  private val LpaRounds = 4
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val links = ScratchCache.persist(linksOf(s, dir))
+    val und = ScratchCache.persist(
+      links.select($"src", $"dst")
+        .union(links.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+        .repartition($"dst"))
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id".as("node"), $"doc_id".as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = und
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy($"src".as("node"), $"lbl")
+        .agg(count(lit(1)).as("cnt"))
+      val best = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"node").orderBy($"cnt".desc, $"lbl".asc)))
+        .filter($"rn" === 1)
+        .select($"node", $"lbl".as("new_lbl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
+    }
+    labels.groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
+        max($"node").as("max_node"))
+      .orderBy($"n_nodes".desc, $"community".asc)
+  }
+  private val q202Sql = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS (
+         |  SELECT u.src AS node, l.lbl, count(*) AS cnt
+         |  FROM und u JOIN l${i - 1} l ON u.dst = l.node
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+         |    FROM v$i)
+         |  WHERE rn = 1
+         |), l$i AS MATERIALIZED (
+         |  SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+         |  FROM l${i - 1} p LEFT JOIN b$i b ON p.node = b.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH links AS (
+       |$linksSql
+       |), und AS MATERIALIZED (
+       |  SELECT src, dst FROM links UNION SELECT dst AS src, src AS dst FROM links
+       |), l0 AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |),
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(min(node) AS BIGINT) AS min_node,
+       |  CAST(max(node) AS BIGINT) AS max_node
+       |FROM l$LpaRounds GROUP BY lbl
+       |ORDER BY n_nodes DESC, community""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_reverse_links" -> q132,
     "q133_pagerank" -> q133,
@@ -600,6 +688,7 @@ object GraphQueries extends QueryCatalog {
     "q155_kcore" -> q155,
     "q164_hits" -> q164,
     "q196_trustrank" -> q196,
+    "q202_label_propagation" -> q202,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -609,5 +698,6 @@ object GraphQueries extends QueryCatalog {
     "q155_kcore" -> q155Sql,
     "q164_hits" -> q164Sql,
     "q196_trustrank" -> q196Sql,
+    "q202_label_propagation" -> q202Sql,
   )
 }
