@@ -613,16 +613,14 @@ object GraphQueries extends QueryCatalog {
     * edges⋈labels join reuses the in-memory partitioning (q133's
     * discipline) and only the node-sized label frame moves per round.
     * Each round is: that join, one (node, label) exchange with
-    * map-side partial counts, and a per-node argmax window whose
-    * partition is bounded by the node's DISTINCT neighbor-label count
-    * (≤ degree, collapsing fast as communities form) — never a
-    * corpus-global sort. A hub's million in-links combine map-side
+    * map-side partial counts, and a per-node argmax as a
+    * max(struct(cnt, -lbl)) HASH aggregate — O(1) state per node,
+    * never a per-node sort. A hub's million in-links combine map-side
     * into per-label counts before the exchange. O(rounds) linear
     * passes, exactly the PageRank/k-core loop family. */
   private val LpaRounds = 4
   private def q202(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val links = ScratchCache.persist(linksOf(s, dir))
     val und = ScratchCache.persist(
       links.select($"src", $"dst")
@@ -636,11 +634,13 @@ object GraphQueries extends QueryCatalog {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy($"src".as("node"), $"lbl")
         .agg(count(lit(1)).as("cnt"))
+      // argmax as max(struct(cnt, -lbl)) — a HASH aggregate with O(1)
+      // per-node state; (cnt desc, lbl asc) ≡ max on (cnt, -lbl)
+      // since labels are non-negative ids
       val best = votes
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"node").orderBy($"cnt".desc, $"lbl".asc)))
-        .filter($"rn" === 1)
-        .select($"node", $"lbl".as("new_lbl"))
+        .groupBy($"node")
+        .agg(max(struct($"cnt", ($"lbl" * -1L).as("neg"))).as("m"))
+        .select($"node", ($"m.neg" * -1L).as("new_lbl"))
       labels = labels.join(best, Seq("node"), "left")
         .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
     }
