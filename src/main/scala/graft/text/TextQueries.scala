@@ -3097,6 +3097,76 @@ object TextQueries extends QueryCatalog {
        |HAVING count(*) >= 3
        |ORDER BY n_docs DESC, template_digest""".stripMargin
 
+  // ---------------------------------------------------------------- q203
+  /** Curriculum PHASE plan — the data-ordering recipe for quality-
+    * annealed training (high-quality warmup, broadening tail: the
+    * descending-quality schedule used when a run's early tokens matter
+    * most): docs ordered by (classifier score desc, doc_id), cut into
+    * three phases at exact cumulative-token thresholds — phase 1 =
+    * the first 20% of corpus tokens, phase 2 = through 50%, phase 3 =
+    * the rest — and rolled up per (phase, source): the per-phase
+    * mixture a training loader consumes. Thresholds are exact integer
+    * (T·20 DIV 100), assignment is by the doc's cumulative END, so
+    * the plan is deterministic and hash-replayable.
+    *
+    * Scale shape: the global ordered prefix sum is q101's exactly —
+    * [[graft.core.PrefixSum.runningTotal]] decomposes it into
+    * per-(score, id-shard) windows plus a broadcast shard-offset
+    * frame, so no document-sized frame ever crosses one window
+    * partition; the corpus total and both thresholds ride a 1-row
+    * broadcast; the roll-up is a (phase, source) exchange with O(1)
+    * cells. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source", expr(toksExpr).as("toks"))
+        .filter(size($"toks") >= 1)
+        .select($"doc_id", $"source",
+          size($"toks").cast("long").as("n_toks"),
+          expr(scoreExpr).as("score")))
+    val cuts = scored.agg(sum($"n_toks").as("t"))
+      .selectExpr("CAST(t * 20 DIV 100 AS BIGINT) AS t1",
+        "CAST(t * 50 DIV 100 AS BIGINT) AS t2")
+    graft.core.PrefixSum.runningTotal(scored, "score", "doc_id", "n_toks", "cum_tokens")
+      .crossJoin(broadcast(cuts))
+      .selectExpr("source", "n_toks", "score",
+        """CAST(CASE WHEN cum_tokens <= t1 THEN 1
+          |     WHEN cum_tokens <= t2 THEN 2 ELSE 3 END AS BIGINT) AS phase""".stripMargin)
+      .groupBy($"phase", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+        min($"score").as("min_score"), max($"score").as("max_score"))
+      .orderBy($"phase", $"source")
+  }
+  private val q203Sql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    $scoreSql AS score
+       |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 1
+       |), cuts AS (
+       |  SELECT CAST(sum(n_toks) * 20 // 100 AS BIGINT) AS t1,
+       |         CAST(sum(n_toks) * 50 // 100 AS BIGINT) AS t2
+       |  FROM scored
+       |), cum AS (
+       |  SELECT source, n_toks, score,
+       |    CAST(sum(n_toks) OVER (ORDER BY score DESC, doc_id
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM scored
+       |), ph AS (
+       |  SELECT source, n_toks, score,
+       |    CAST(CASE WHEN cum_tokens <= t1 THEN 1
+       |         WHEN cum_tokens <= t2 THEN 2 ELSE 3 END AS BIGINT) AS phase
+       |  FROM cum CROSS JOIN cuts
+       |)
+       |SELECT phase, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(min(score) AS BIGINT) AS min_score,
+       |  CAST(max(score) AS BIGINT) AS max_score
+       |FROM ph GROUP BY phase, source
+       |ORDER BY phase, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
@@ -3149,6 +3219,7 @@ object TextQueries extends QueryCatalog {
     "q176_score_calibration" -> q176,
     "q177_mixture_schedule" -> q177,
     "q201_template_mining" -> q201,
+    "q203_curriculum_phases" -> q203,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3203,5 +3274,6 @@ object TextQueries extends QueryCatalog {
     "q176_score_calibration" -> q176Sql,
     "q177_mixture_schedule" -> q177Sql,
     "q201_template_mining" -> q201Sql,
+    "q203_curriculum_phases" -> q203Sql,
   )
 }
