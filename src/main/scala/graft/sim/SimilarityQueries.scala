@@ -1219,7 +1219,96 @@ object SimilarityQueries extends QueryCatalog {
       |  CAST(max(CASE WHEN has_nan THEN NULL ELSE floor(norm2 * 1000 + 0.5) END) AS BIGINT) AS max_norm2_milli
       |FROM f GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** Embedding CENTROID DRIFT per label between two snapshot epochs —
+    * the embedding-space twin of q187's score-drift monitor: when the
+    * embedding model is re-run (new version, new preprocessing) or the
+    * corpus shifts under it, per-cluster centroids move, and every
+    * downstream consumer (IVF cells q54/q78, SemDeDup q90, kNN q88)
+    * silently degrades. Vectors are fixed-point-quantized (micro
+    * units, q66's floor discipline — NOT per-vector max-abs scaling,
+    * which would make centroids incomparable across vectors), split
+    * into epochs by an md5 carve of vec_id, and per (label, dim) the
+    * L1 distance between epoch centroids is computed EXACTLY as
+    * Σ_d |sumA_d·nB − sumB_d·nA| in DECIMAL(38,0) (a mean difference
+    * needs a division; the cross-multiplied form is exact and wraps
+    * nowhere — at 100 TB, sum·n alone exceeds int64). Reported per
+    * label with the per-dim mean |Δ| in micro units and a drift flag.
+    *
+    * An epoch-B model shift is PLANTED on md5-carved labels (+0.05 on
+    * every dim) so the flag has ground truth the oracle replays.
+    *
+    * Scale shape: one posexplode over quantized dims into a
+    * (label, epoch, dim) aggregate — map-side-combined partial sums,
+    * the exchange carries |labels|·2·64 cells regardless of corpus
+    * size; the A/B join and drift arithmetic run on that cell frame.
+    * Vectors themselves never shuffle. */
+  private val q204Carve = "substring(md5('epoch|' || CAST(vec_id AS STRING)), 1, 1) < '8'"
+  private val q204Drift = "substring(md5('drift|' || CAST(label AS STRING)), 1, 1) < '8'"
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.embeddings(s, dir)
+      .selectExpr("label", s"CASE WHEN $q204Carve THEN 'A' ELSE 'B' END AS epoch",
+        """transform(embedding,
+          |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv""".stripMargin)
+      .selectExpr("label", "epoch",
+        s"""transform(qv, q -> q + CASE WHEN epoch = 'B' AND $q204Drift
+           |  THEN 50000 ELSE 0 END) AS qv""".stripMargin)
+      .select($"label", $"epoch", posexplode($"qv").as(Seq("d", "q")))
+      .groupBy($"label", $"epoch", $"d")
+      .agg(count(lit(1)).as("n"), sum($"q").as("sq"))
+    val a = cells.filter($"epoch" === "A")
+      .select($"label", $"d", $"n".as("n_a"), $"sq".as("s_a"))
+    val b = cells.filter($"epoch" === "B")
+      .select($"label", $"d", $"n".as("n_b"), $"sq".as("s_b"))
+    a.join(b, Seq("label", "d"))
+      .groupBy($"label")
+      .agg(min($"n_a").as("n_a"), min($"n_b").as("n_b"),
+        sum(expr("""abs(CAST(s_a AS DECIMAL(38,0)) * n_b
+          |        - CAST(s_b AS DECIMAL(38,0)) * n_a)""".stripMargin)).as("num"),
+        count(lit(1)).as("n_dims"))
+      .selectExpr("label", "n_a", "n_b",
+        "CAST(num DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * n_dims) AS BIGINT) AS mean_abs_delta_micro")
+      .selectExpr("label", "n_a", "n_b", "mean_abs_delta_micro",
+        "CAST(CASE WHEN mean_abs_delta_micro >= 40000 THEN 1 ELSE 0 END AS BIGINT) AS drifted")
+      .orderBy($"label")
+  }
+  private val q204Sql =
+    s"""WITH q AS (
+       |  SELECT label,
+       |    CASE WHEN $q204Carve THEN 'A' ELSE 'B' END AS epoch,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), sh AS (
+       |  SELECT label, epoch,
+       |    list_transform(qv, e -> e + CASE WHEN epoch = 'B' AND $q204Drift
+       |      THEN 50000 ELSE 0 END) AS qv
+       |  FROM q
+       |), cells AS (
+       |  SELECT label, epoch, d, count(*) AS n, sum(e) AS sq
+       |  FROM (SELECT label, epoch, unnest(qv) AS e,
+       |          unnest(range(1, len(qv) + 1)) AS d FROM sh)
+       |  GROUP BY 1, 2, 3
+       |), j AS (
+       |  SELECT a.label, a.d, a.n AS n_a, a.sq AS s_a, b.n AS n_b, b.sq AS s_b
+       |  FROM (SELECT * FROM cells WHERE epoch = 'A') a
+       |  JOIN (SELECT * FROM cells WHERE epoch = 'B') b
+       |    ON a.label = b.label AND a.d = b.d
+       |), agg AS (
+       |  SELECT label, min(n_a) AS n_a, min(n_b) AS n_b,
+       |    sum(abs(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a)) AS num,
+       |    count(*) AS n_dims
+       |  FROM j GROUP BY label
+       |)
+       |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(num // (CAST(n_a AS HUGEINT) * n_b * n_dims) AS BIGINT) AS mean_abs_delta_micro,
+       |  CAST(CASE WHEN num // (CAST(n_a AS HUGEINT) * n_b * n_dims) >= 40000
+       |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
+       |FROM agg ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_centroid_drift" -> q204,
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
     "q52_sim_topk_lsh_multiprobe" -> q52,
@@ -1239,6 +1328,7 @@ object SimilarityQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q204_centroid_drift" -> q204Sql,
     "q50_sim_topk_bruteforce" -> q50Sql,
     "q51_sim_topk_lsh" -> q51Sql,
     "q52_sim_topk_lsh_multiprobe" -> q52Sql,
