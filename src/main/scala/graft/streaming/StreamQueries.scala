@@ -59,6 +59,101 @@ object StreamQueries extends QueryCatalog {
   }
   private def q184(s: SparkSession, dir: String): DataFrame =
     watermarkSizingOf(Tables.events(s, dir))
+
+  // ---------------------------------------------------------------- q205
+  /** Late-data LEDGER — the companion decision table to q184: q184
+    * tells you how out-of-order the stream is; this prices what each
+    * candidate `withWatermark` delay actually DROPS, per event type.
+    * For each candidate delay W, an event is dropped iff its disorder
+    * (q184's per-user arrival-sequence running-max minus event time)
+    * exceeds W — exactly Spark's eventTime < max − W rule. The ledger
+    * reports, per (W, event_type): events, dropped count, exact-ppm
+    * drop rate, and the worst lateness — read across W to pick the
+    * delay whose loss profile the product tolerates; read across types
+    * to see WHICH signal the loss lands on.
+    *
+    * The driver fixture's events arrive perfectly ordered per user
+    * (q184's histogram is one bucket-0 row), so network lateness is
+    * PLANTED: an md5 carve of event_id marks 1/8 of events as delayed
+    * and backdates their EVENT time by a deterministic ladder
+    * (6 h / 1 d / 3 d / 10 d / 30 d by event_id mod 5 — the fixture's
+    * per-user event gaps are ~7 h median, so sub-hour lateness would
+    * be absorbed by the gaps) that straddles every candidate W
+    * (0 / 1 h / 1 d / 3 d / 10 d) — arrival order is untouched, which
+    * is exactly what a late packet looks like. The oracle replays the
+    * carve, so the ledger is hash-checked end to end.
+    *
+    * Scale shape: disorder reuses q184's per-USER window (bounded
+    * partitions, never a global order); all five candidate delays are
+    * conditional aggregates in ONE map-side-combined pass over the
+    * disorder frame — no ×5 event explosion; the stack() unpivot runs
+    * on the |event_type|-row aggregate. One exchange on event_type. */
+  private val q205DelaysUs =
+    Seq(0L, 3600000000L, 86400000000L, 259200000000L, 864000000000L)
+  private val q205LateSql =
+    """CASE WHEN substring(md5('late|' || CAST(event_id AS STRING)), 1, 1) < '2'
+      |  THEN CASE CAST(event_id % 5 AS INT)
+      |    WHEN 0 THEN 21600000000 WHEN 1 THEN 86400000000 WHEN 2 THEN 259200000000
+      |    WHEN 3 THEN 864000000000 ELSE 2592000000000 END
+      |  ELSE 0 END""".stripMargin
+  private[streaming] def lateLedgerOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"),
+        (unix_micros(col("ts")) - expr(q205LateSql)).as("tu"))
+      .withColumn("d_us", greatest(lit(0L),
+        coalesce(max(col("tu")).over(arr), col("tu")) - col("tu")))
+    val aggs = q205DelaysUs.zipWithIndex.flatMap { case (w, i) => Seq(
+      sum(when(col("d_us") > w, 1L).otherwise(0L)).as(s"l$i"),
+      coalesce(max(when(col("d_us") > w, col("d_us"))), lit(0L)).as(s"m$i"))
+    }
+    val allAggs = count(lit(1)).as("n_events") +: aggs
+    val g = d.groupBy(col("event_type")).agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = q205DelaysUs.zipWithIndex
+      .map { case (w, i) => s"${w / 1000000L}L, l$i, m$i" }.mkString(", ")
+    g.selectExpr("event_type", "n_events",
+        s"stack(${q205DelaysUs.size}, $stackArgs) AS (w_s, n_late, max_late_us)")
+      .selectExpr("w_s", "event_type", "n_events", "n_late",
+        "CAST(n_late * 1000000 DIV n_events AS BIGINT) AS late_ppm",
+        "max_late_us")
+      .orderBy(col("w_s"), col("event_type"))
+  }
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    lateLedgerOf(Tables.events(s, dir))
+  private val q205Sql = {
+    val filters = q205DelaysUs.zipWithIndex.map { case (w, i) =>
+      s"""    count(*) FILTER (WHERE d_us > $w) AS l$i,
+         |    coalesce(max(d_us) FILTER (WHERE d_us > $w), 0) AS m$i""".stripMargin
+    }.mkString(",\n")
+    val union = q205DelaysUs.zipWithIndex.map { case (w, i) =>
+      s"  SELECT ${w / 1000000L} AS w_s, event_type, n_events, l$i AS n_late, m$i AS max_late_us FROM g"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_ns(ts) // 1000 - ($q205LateSql) AS tu
+       |  FROM events
+       |), d AS (
+       |  SELECT event_type,
+       |    greatest(0, coalesce(max(tu) OVER (PARTITION BY user_id ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tu) - tu) AS d_us
+       |  FROM e
+       |), g AS (
+       |  SELECT event_type, count(*) AS n_events,
+       |$filters
+       |  FROM d GROUP BY event_type
+       |), u AS (
+       |$union
+       |)
+       |SELECT CAST(w_s AS BIGINT) AS w_s, event_type,
+       |  CAST(n_events AS BIGINT) AS n_events, CAST(n_late AS BIGINT) AS n_late,
+       |  CAST(n_late * 1000000 // n_events AS BIGINT) AS late_ppm,
+       |  CAST(max_late_us AS BIGINT) AS max_late_us
+       |FROM u ORDER BY w_s, event_type""".stripMargin
+  }
   private val q184Sql =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tu FROM events
@@ -387,6 +482,7 @@ object StreamQueries extends QueryCatalog {
     "q128_stream_ingest_admission" -> q128,
     "q139_stream_quota" -> q139,
     "q184_watermark_sizing" -> q184,
+    "q205_late_data_ledger" -> q205,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -402,5 +498,6 @@ object StreamQueries extends QueryCatalog {
     "q128_stream_ingest_admission" -> q128Sql,
     "q139_stream_quota" -> q139Sql,
     "q184_watermark_sizing" -> q184Sql,
+    "q205_late_data_ledger" -> q205Sql,
   )
 }
