@@ -3097,6 +3097,80 @@ object TextQueries extends QueryCatalog {
        |HAVING count(*) >= 3
        |ORDER BY n_docs DESC, template_digest""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** PII RISK TRIAGE — the compliance dashboard read BEFORE q79's
+    * redaction run: per document, occurrence counts of each PII class
+    * (q79's exact cross-engine regexes), a risk tier from how many
+    * DISTINCT classes co-occur (clean / low / high / critical — class
+    * co-occurrence is the triage signal: an email alone is a mailing
+    * list, email+phone+IP in one page is a leaked record), rolled up
+    * per (source, tier) with per-class occurrence mass. Redaction
+    * (q79) destroys this signal — the triage must run first, and at
+    * 100 TB you run it on the same scan that scores quality.
+    *
+    * The synthetic corpus is PII-free, so PII is PLANTED: an md5 carve
+    * appends class combinations (single / pairs / all-three by
+    * doc_id mod 4) that the oracle replays — every tier is exercised
+    * and unplanted docs MUST triage clean (the false-positive guard
+    * is part of the hash).
+    *
+    * Scale shape: per-doc regex counting is map-side codegen on the
+    * scan; the only exchange is the (source, tier) roll-up with O(1)
+    * cells. */
+  private val q206PiiSql =
+    """CASE WHEN substring(md5('pii|' || CAST(doc_id AS STRING)), 1, 1) < '4'
+      |  THEN CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN ' contact bob@example.com'
+      |    WHEN 1 THEN ' call 555-123-4567 or mail sue@example.org'
+      |    WHEN 2 THEN ' host 10.1.2.3 admin jo@example.net phone 555-987-6543'
+      |    ELSE ' server 192.168.0.1' END
+      |  ELSE '' END""".stripMargin
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", s"concat(text, $q206PiiSql) AS t")
+      // regexes via the Column API: a SQL string literal would eat the
+      // \b escapes that q79 proved cross-engine
+      .select($"source",
+        size(regexp_extract_all($"t", lit(emailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all($"t", lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all($"t", lit(ipRe), lit(0))).cast("long").as("n_ip"))
+      .selectExpr("source", "n_email", "n_phone", "n_ip",
+        """CASE CAST((CASE WHEN n_email > 0 THEN 1 ELSE 0 END)
+          |   + (CASE WHEN n_phone > 0 THEN 1 ELSE 0 END)
+          |   + (CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS INT)
+          |  WHEN 0 THEN 'clean' WHEN 1 THEN 'low'
+          |  WHEN 2 THEN 'high' ELSE 'critical' END AS tier""".stripMargin)
+      .groupBy($"source", $"tier")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_email").as("n_email"),
+        sum($"n_phone").as("n_phone"), sum($"n_ip").as("n_ip"))
+      .orderBy($"source", $"tier")
+  }
+  private val q206Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text || ($q206PiiSql) AS t FROM documents
+       |), c AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_email,
+       |    CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phone,
+       |    CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ip
+       |  FROM t
+       |), tiered AS (
+       |  SELECT source, n_email, n_phone, n_ip,
+       |    CASE (CASE WHEN n_email > 0 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN n_phone > 0 THEN 1 ELSE 0 END)
+       |       + (CASE WHEN n_ip > 0 THEN 1 ELSE 0 END)
+       |      WHEN 0 THEN 'clean' WHEN 1 THEN 'low'
+       |      WHEN 2 THEN 'high' ELSE 'critical' END AS tier
+       |  FROM c
+       |)
+       |SELECT source, tier, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_email) AS BIGINT) AS n_email,
+       |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       |  CAST(sum(n_ip) AS BIGINT) AS n_ip
+       |FROM tiered GROUP BY source, tier
+       |ORDER BY source, tier""".stripMargin
+
   // ---------------------------------------------------------------- q203
   /** Curriculum PHASE plan — the data-ordering recipe for quality-
     * annealed training (high-quality warmup, broadening tail: the
@@ -3220,6 +3294,7 @@ object TextQueries extends QueryCatalog {
     "q177_mixture_schedule" -> q177,
     "q201_template_mining" -> q201,
     "q203_curriculum_phases" -> q203,
+    "q206_pii_risk" -> q206,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3275,5 +3350,6 @@ object TextQueries extends QueryCatalog {
     "q177_mixture_schedule" -> q177Sql,
     "q201_template_mining" -> q201Sql,
     "q203_curriculum_phases" -> q203Sql,
+    "q206_pii_risk" -> q206Sql,
   )
 }
