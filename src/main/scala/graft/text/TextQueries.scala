@@ -3171,6 +3171,86 @@ object TextQueries extends QueryCatalog {
        |FROM tiered GROUP BY source, tier
        |ORDER BY source, tier""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+  /** ENCODING-HEALTH audit — the mojibake/markup-residue dashboard run
+    * on every ingest batch before text ops trust the bytes: per
+    * source, occurrence counts of four damage classes — raw C0
+    * control characters (binary bleed-through), unescaped HTML
+    * entities (`&amp;` — extraction that stopped half-way, q171's
+    * residue), U+FFFD replacement characters (a transcoder already
+    * lost bytes: the definitive mojibake marker), and NBSP (copy-paste
+    * markup whitespace that breaks `\\s+`-free tokenizers) — plus the
+    * ppm of affected docs. A source with rising FFFD ppm has an
+    * upstream charset regression; this table is how you catch it
+    * before a 100 TB retokenization bakes it in.
+    *
+    * The fixture corpus is clean, so damage is PLANTED on an md5
+    * carve (one class per doc by doc_id mod 4; control chars built
+    * via chr() in BOTH engines — Spark's chr is mod-256 ASCII, so the
+    * non-ASCII markers are embedded as literal UTF-8, which both SQL
+    * dialects pass through untouched). The oracle replays the plant,
+    * so clean docs staying clean is part of the hash.
+    *
+    * Scale shape: per-doc regex counting map-side on the scan; ONE
+    * (source) exchange with O(1) cells. */
+  private val q207CtrlRe = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  private val q207EntityRe = "&(amp|lt|gt|quot|#[0-9]+);"
+  private val q207ReplRe = "�"
+  private val q207NbspRe = " "
+  private val q207PlantSql =
+    s"""CASE WHEN substring(md5('enc|' || CAST(doc_id AS STRING)), 1, 1) < '4'
+       |  THEN CASE CAST(doc_id % 4 AS INT)
+       |    WHEN 0 THEN chr(1) || chr(2)
+       |    WHEN 1 THEN ' x &amp; y &lt; z &#8212;'
+       |    WHEN 2 THEN '��'
+       |    ELSE ' ' END
+       |  ELSE '' END""".stripMargin
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", s"concat(text, $q207PlantSql) AS t")
+      .select($"source",
+        size(regexp_extract_all($"t", lit(q207CtrlRe), lit(0))).cast("long").as("ctrl_occ"),
+        size(regexp_extract_all($"t", lit(q207EntityRe), lit(0))).cast("long").as("entity_occ"),
+        size(regexp_extract_all($"t", lit(q207ReplRe), lit(0))).cast("long").as("repl_occ"),
+        size(regexp_extract_all($"t", lit(q207NbspRe), lit(0))).cast("long").as("nbsp_occ"))
+      .withColumn("affected",
+        when($"ctrl_occ" + $"entity_occ" + $"repl_occ" + $"nbsp_occ" > 0L, 1L).otherwise(0L))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"affected").as("n_affected"),
+        sum($"ctrl_occ").as("ctrl_occ"), sum($"entity_occ").as("entity_occ"),
+        sum($"repl_occ").as("repl_occ"), sum($"nbsp_occ").as("nbsp_occ"))
+      .selectExpr("source", "n_docs", "n_affected", "ctrl_occ", "entity_occ",
+        "repl_occ", "nbsp_occ",
+        "CAST(n_affected * 1000000 DIV n_docs AS BIGINT) AS affected_ppm")
+      .orderBy($"source")
+  }
+  private val q207Sql =
+    s"""WITH t AS (
+       |  SELECT source, text || ($q207PlantSql) AS t FROM documents
+       |), c AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(t, '$q207CtrlRe')) AS BIGINT) AS ctrl_occ,
+       |    CAST(len(regexp_extract_all(t, '$q207EntityRe')) AS BIGINT) AS entity_occ,
+       |    CAST(len(regexp_extract_all(t, '$q207ReplRe')) AS BIGINT) AS repl_occ,
+       |    CAST(len(regexp_extract_all(t, '$q207NbspRe')) AS BIGINT) AS nbsp_occ
+       |  FROM t
+       |), f AS (
+       |  SELECT source, ctrl_occ, entity_occ, repl_occ, nbsp_occ,
+       |    CASE WHEN ctrl_occ + entity_occ + repl_occ + nbsp_occ > 0
+       |         THEN 1 ELSE 0 END AS affected
+       |  FROM c
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(affected) AS BIGINT) AS n_affected,
+       |  CAST(sum(ctrl_occ) AS BIGINT) AS ctrl_occ,
+       |  CAST(sum(entity_occ) AS BIGINT) AS entity_occ,
+       |  CAST(sum(repl_occ) AS BIGINT) AS repl_occ,
+       |  CAST(sum(nbsp_occ) AS BIGINT) AS nbsp_occ,
+       |  CAST(sum(affected) * 1000000 // count(*) AS BIGINT) AS affected_ppm
+       |FROM f GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q203
   /** Curriculum PHASE plan — the data-ordering recipe for quality-
     * annealed training (high-quality warmup, broadening tail: the
@@ -3295,6 +3375,7 @@ object TextQueries extends QueryCatalog {
     "q201_template_mining" -> q201,
     "q203_curriculum_phases" -> q203,
     "q206_pii_risk" -> q206,
+    "q207_encoding_health" -> q207,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3351,5 +3432,6 @@ object TextQueries extends QueryCatalog {
     "q201_template_mining" -> q201Sql,
     "q203_curriculum_phases" -> q203Sql,
     "q206_pii_risk" -> q206Sql,
+    "q207_encoding_health" -> q207Sql,
   )
 }
