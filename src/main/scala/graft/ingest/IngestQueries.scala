@@ -362,6 +362,77 @@ object IngestQueries extends QueryCatalog {
        |FROM v GROUP BY domain ORDER BY domain""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q208
+  /** Politeness-constrained FETCH-DRAIN plan — the crawler-ops table
+    * between policy admission (q160) and frontier scheduling (q172):
+    * a polite fetcher serializes each domain's queue at that domain's
+    * robots Crawl-delay (q167's carved rules; 1 s default politeness
+    * when absent), so a domain's wall-clock drain time is
+    * n_pages · delay — NOT fleet-parallelizable, because politeness
+    * is per-domain. The plan prices every domain's queue (admitted
+    * pages only: blocked domains fetch nothing, robots-disallowed
+    * paths are skipped) and bins drain time into power-of-two-hours
+    * bit-length buckets (q184's exact-integer idiom) — the top bucket
+    * is the list of domains that need a delay renegotiation or a
+    * frontier cap before the next crawl cycle.
+    *
+    * Scale shape: q160's exactly — map-side canon chain, the policy
+    * dim (now carrying the delay) broadcast, ONE domain exchange with
+    * O(1) count state; the drain arithmetic runs on the
+    * |domains|-row aggregate. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = fetches(s, dir)
+    val policyDim = f.select($"domain").distinct()
+      .selectExpr("domain", s"$blockSelSql AS is_blocked",
+        s"CASE WHEN $robotsSelSql THEN '$RobotsPrefix' END AS robots_prefix",
+        s"CAST(CASE WHEN $delaySelSql THEN $delayValSql ELSE 1 END AS BIGINT) AS delay_s")
+    f.join(broadcast(policyDim), Seq("domain"))
+      .filter(!$"is_blocked" &&
+        !($"robots_prefix".isNotNull && $"pathn".startsWith(RobotsPrefix)))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_pages"), min($"delay_s").as("delay_s"))
+      .withColumn("drain_s", $"n_pages" * $"delay_s")
+      .withColumn("bucket",
+        when($"drain_s" < 3600L, 0L)
+          .otherwise(length(bin(expr("drain_s DIV 3600"))).cast("long")))
+      .select($"domain", $"n_pages", $"delay_s", $"drain_s", $"bucket")
+      .orderBy($"domain")
+  }
+  // lazy: reads delaySelSql/delayValSql declared further down this file —
+  // a strict val here evaluates mid-object-init and bakes `null` into
+  // the oracle (the exact q163/q165 bug class; guarded in
+  // QueryCatalogContractSpec)
+  private lazy val q208Sql = {
+    import UrlCanon._
+    s"""WITH docs AS (
+       |  SELECT doc_id, source FROM documents WHERE NOT ($jsonBadSql)
+       |  UNION ALL
+       |  SELECT doc_id, source FROM documents WHERE NOT ($jsonBadSql) AND $dupSelSql
+       |), raw AS (
+       |  SELECT doc_id, $rawUrlSql AS raw_url FROM docs
+       |), st AS (
+       |  SELECT doc_id, ${strippedSql("raw_url")} AS u FROM raw
+       |), hp AS (
+       |  SELECT doc_id, ${hostSql("u")} AS host, ${pathSql("u")} AS pathn FROM st
+       |), dm AS (
+       |  SELECT doc_id, pathn, ${domainSql("host")} AS domain FROM hp
+       |), adm AS (
+       |  SELECT domain FROM dm
+       |  WHERE NOT ($blockSelSql)
+       |    AND NOT ($robotsSelSql AND pathn LIKE '$RobotsPrefix%')
+       |), g AS (
+       |  SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+       |    CAST(CASE WHEN $delaySelSql THEN $delayValSql ELSE 1 END AS BIGINT) AS delay_s
+       |  FROM adm GROUP BY domain
+       |)
+       |SELECT domain, n_pages, delay_s,
+       |  CAST(n_pages * delay_s AS BIGINT) AS drain_s,
+       |  CAST(CASE WHEN n_pages * delay_s < 3600 THEN 0
+       |       ELSE length(bin(n_pages * delay_s // 3600)) END AS BIGINT) AS bucket
+       |FROM g ORDER BY domain""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q200
   /** Policy-churn PURGE/RECRAWL audit — the compliance diff run when a
     * fresh robots/blocklist sweep lands: every fetched page is judged
@@ -1256,6 +1327,7 @@ object IngestQueries extends QueryCatalog {
     "q192_recrawl_schedule" -> q192,
     "q199_crawl_roi" -> q199,
     "q200_policy_churn" -> q200,
+    "q208_fetch_drain" -> q208,
     "q167_robots_parse" -> q167,
     "q169_moved_pages" -> q169,
     "q171_html_extract" -> q171,
@@ -1274,6 +1346,7 @@ object IngestQueries extends QueryCatalog {
     "q192_recrawl_schedule" -> q192Sql,
     "q199_crawl_roi" -> q199Sql,
     "q200_policy_churn" -> q200Sql,
+    "q208_fetch_drain" -> q208Sql,
     "q167_robots_parse" -> q167Sql,
     "q169_moved_pages" -> q169Sql,
     "q171_html_extract" -> q171Sql,

@@ -44,7 +44,11 @@ class QueryCatalogContractSpec extends SparkTestBase {
     // spells NULL in constructs like IFNULL/COALESCE/IS NULL, never as
     // a bare lowercase `null AS` / `(null)` fragment.
     graft.text.TextQueries.toString // force init in the poisoning order
-    val nulled = "(?i)\\bnull\\s+AS\\b|\\(null\\)|\\bnull\\b\\s*(?:[+\\-*/,]|$)".r
+    // a nulled Scala interpolation always renders LOWERCASE `null`;
+    // this repo's SQL spells the keyword NULL — so any bare lowercase
+    // `null` token IS a poisoned fragment (position-pattern variants
+    // missed r15's `CASE WHEN null THEN null`; the lexical rule can't)
+    val nulled = "(?<![A-Za-z0-9_])null(?![A-Za-z0-9_])".r
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
       case (name, sql) if sql == null => s"$name: oracle SQL itself is null"
       case (name, sql) if nulled.findFirstIn(sql).isDefined =>
