@@ -166,4 +166,35 @@ class UrlCanonSpec extends SparkTestBase {
     assert(awarded == expectedAwards,
       "bucketed selection must pick the identical award set as the global rank")
   }
+
+  test("q165: every unpartitioned window consumes the bucket aggregate, never the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/documents.parquet")))
+    // q165's single-partition WindowExec is fine ONLY because its
+    // input is the <=1025-row bucket-count frame (bucket = rem*1024
+    // DIV wtot). Pin that structurally: any window with an empty
+    // partition spec must sit above an aggregate grouped on `bucket`
+    // — a future edit that slides the cumulative onto a corpus-sized
+    // frame fails here, not at 100 TB.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = UrlCanon.q165(spark, dir)
+    df.collect() // force planning + AQE finalization
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val unpart = allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpart.nonEmpty, "expected q165's bounded cumulative window in the plan")
+    unpart.foreach { w =>
+      val childStr = w.child.toString
+      assert(childStr.contains("bucket"),
+        s"unpartitioned window must read the bucket aggregate, got:\n$childStr")
+    }
+    graft.core.ScratchCache.drain()
+  }
 }
