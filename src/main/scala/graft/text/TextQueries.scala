@@ -3171,6 +3171,103 @@ object TextQueries extends QueryCatalog {
        |FROM tiered GROUP BY source, tier
        |ORDER BY source, tier""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** Per-source OUT-OF-VOCABULARY rate against the corpus-trained
+    * vocabulary — the per-source twin of q173's corpus-global coverage
+    * curve, and the table that answers a different question: q173
+    * sizes the vocabulary; q209 says WHICH SOURCE the misses come
+    * from. The vocab is MIN-FREQUENCY-thresholded (types with ≥ 0.1%
+    * of corpus token mass — how word2vec's min_count and BPE's
+    * min-pair-frequency actually define membership; a mass threshold
+    * is scale-invariant where a top-K cut isn't), hard-capped for the
+    * broadcast. A source with outlier OOV ppm is a different
+    * language/domain (re-weight, retrain the vocab) or noise (gate
+    * it) — a per-source decision invisible in the global curve.
+    * Reports per source: token mass, OOV occurrences, exact OOV ppm,
+    * and distinct OOV types (many occurrences of FEW types =
+    * systematic jargon; many types = noise).
+    *
+    * The fixture's corpus words all clear the mass bar, so OOV ground
+    * truth is PLANTED: an md5 carve appends one of 16 rare jargon
+    * types per carved doc (each ~0.01% of mass — an order of magnitude
+    * under the bar at any SF, since both sides of the comparison scale
+    * with the corpus). The oracle replays the plant.
+    *
+    * Scale shape: the vocab is one token-count exchange (map-side
+    * combined) + the threshold filter + a deterministic cap cut,
+    * collected to a 1-row array and BROADCAST; per-doc OOV counting is
+    * a map-side array HOF against that broadcast; the per-source
+    * roll-up is O(1) cells. The distinct-OOV-types count is the only
+    * type-cardinality exchange: (source, token) pairs, map-side-
+    * deduped per doc via array_distinct before the explode. */
+  private val OovCap = 65536
+  private val q209PlantSql =
+    """CASE WHEN substring(md5('oov|' || CAST(doc_id AS STRING)), 1, 1) < '4'
+      |  THEN ' jargon' || CAST(doc_id % 16 AS STRING)
+      |  ELSE '' END""".stripMargin
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = ScratchCache.persist(
+      Tables.documents(s, dir)
+        .selectExpr("source", s"concat(text, $q209PlantSql) AS text")
+        .select($"source", expr(toksExpr).as("toks"))
+        .filter(size($"toks") >= 1))
+    val total = docs.agg(sum(size($"toks").cast("long")).as("n_total"))
+    val vocab = docs.selectExpr("explode(toks) AS tok")
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .where(expr("c * 1000 >= n_total"))
+      .orderBy($"c".desc, $"tok".asc).limit(OovCap)
+      .agg(sort_array(collect_list($"tok")).as("vocab"))
+    val withV = docs.crossJoin(broadcast(vocab))
+    val mass = withV
+      .select($"source", size($"toks").cast("long").as("n_toks"),
+        expr("CAST(size(filter(toks, t -> NOT array_contains(vocab, t))) AS BIGINT)").as("n_oov"))
+      .groupBy($"source")
+      .agg(sum($"n_toks").as("n_tokens"), sum($"n_oov").as("n_oov"))
+    val types = withV
+      .selectExpr("source",
+        "explode(array_distinct(filter(toks, t -> NOT array_contains(vocab, t)))) AS tok")
+      .groupBy($"source").agg(countDistinct($"tok").as("n_oov_types"))
+    mass.join(types, Seq("source"), "left")
+      .selectExpr("source", "n_tokens", "n_oov",
+        "CAST(n_oov * 1000000 DIV n_tokens AS BIGINT) AS oov_ppm",
+        "coalesce(n_oov_types, 0L) AS n_oov_types")
+      .orderBy($"source")
+  }
+  private val q209Sql =
+    s"""WITH d0 AS (
+       |  SELECT source, text || ($q209PlantSql) AS text FROM documents
+       |), docs AS (
+       |  SELECT source, $toksSql AS toks FROM d0
+       |  WHERE len($toksSql) >= 1
+       |), tot AS (
+       |  SELECT CAST(sum(len(toks)) AS BIGINT) AS n_total FROM docs
+       |), vcb AS (
+       |  SELECT list(tok ORDER BY tok) AS vocab FROM (
+       |    SELECT tok FROM (
+       |      SELECT tok, count(*) AS c FROM (
+       |        SELECT unnest(toks) AS tok FROM docs)
+       |      GROUP BY tok), tot
+       |    WHERE c * 1000 >= n_total
+       |    ORDER BY c DESC, tok LIMIT $OovCap)
+       |), mass AS (
+       |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+       |    CAST(sum(len(list_filter(toks, t -> NOT list_contains(vocab, t)))) AS BIGINT) AS n_oov
+       |  FROM docs, vcb GROUP BY source
+       |), types AS (
+       |  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_oov_types
+       |  FROM (
+       |    SELECT source, unnest(list_distinct(list_filter(toks, t -> NOT list_contains(vocab, t)))) AS tok
+       |    FROM docs, vcb)
+       |  GROUP BY source
+       |)
+       |SELECT m.source, m.n_tokens, m.n_oov,
+       |  CAST(m.n_oov * 1000000 // m.n_tokens AS BIGINT) AS oov_ppm,
+       |  CAST(coalesce(t.n_oov_types, 0) AS BIGINT) AS n_oov_types
+       |FROM mass m LEFT JOIN types t ON m.source = t.source
+       |ORDER BY m.source""".stripMargin
+
   // ---------------------------------------------------------------- q207
   /** ENCODING-HEALTH audit — the mojibake/markup-residue dashboard run
     * on every ingest batch before text ops trust the bytes: per
@@ -3376,6 +3473,7 @@ object TextQueries extends QueryCatalog {
     "q203_curriculum_phases" -> q203,
     "q206_pii_risk" -> q206,
     "q207_encoding_health" -> q207,
+    "q209_oov_rate" -> q209,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3433,5 +3531,6 @@ object TextQueries extends QueryCatalog {
     "q203_curriculum_phases" -> q203Sql,
     "q206_pii_risk" -> q206Sql,
     "q207_encoding_health" -> q207Sql,
+    "q209_oov_rate" -> q209Sql,
   )
 }
