@@ -3171,6 +3171,73 @@ object TextQueries extends QueryCatalog {
        |FROM tiered GROUP BY source, tier
        |ORDER BY source, tier""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** Per-language TOKENIZER FERTILITY — the table that converts
+    * between the three units every budget in this catalog is quoted
+    * in: characters (storage), whitespace tokens (the catalog's
+    * mixture/budget unit, q101/q110/q177), and BPE-ish pre-tokens
+    * (q56's regex — what the model actually consumes). Fertility
+    * differs BY LANGUAGE (agglutinative and unsegmented scripts emit
+    * more subword pieces per whitespace token), so a token budget
+    * allocated in whitespace units under- or over-funds languages
+    * unless multiplied by exactly this table's bpe-per-ws ratio —
+    * run it once per corpus snapshot, feed the ratios into the q110/
+    * q177 quota arithmetic. All ratios in exact integer milli-units
+    * (the established cross-engine discipline; an IEEE division would
+    * hash-drift).
+    *
+    * The fixture corpus is pure space-separated ASCII words (BPE ≡
+    * whitespace there), so fertility divergence is PLANTED on an md5
+    * carve: hyphenated/versioned/accented/CJK fragments whose BPE
+    * piece counts exceed their whitespace counts, oracle-replayed.
+    *
+    * Scale shape: both tokenizations are map-side regex/array work on
+    * ONE scan; the only exchange is the |langs|-row roll-up with O(1)
+    * sum state. */
+  private val q210PlantSql =
+    """CASE WHEN substring(md5('fert|' || CAST(doc_id AS STRING)), 1, 1) < '4'
+      |  THEN CASE CAST(doc_id % 3 AS INT)
+      |    WHEN 0 THEN ' pre-trained v2.0 state-of-the-art'
+      |    WHEN 1 THEN ' état café naïve señor'
+      |    ELSE ' 你好世界 3.14-beta über' END
+      |  ELSE '' END""".stripMargin
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("lang", s"concat(text, $q210PlantSql) AS text")
+      .select($"lang", length($"text").cast("long").as("n_chars"),
+        size(expr(toksExpr)).cast("long").as("n_ws"),
+        size(expr(raw"regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0)"))
+          .cast("long").as("n_bpe"))
+      .filter($"n_ws" >= 1L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"),
+        sum($"n_ws").as("n_ws_tokens"), sum($"n_bpe").as("n_bpe_tokens"))
+      .selectExpr("lang", "n_docs", "n_chars", "n_ws_tokens", "n_bpe_tokens",
+        "CAST(n_chars * 1000 DIV n_ws_tokens AS BIGINT) AS chars_per_ws_milli",
+        "CAST(n_chars * 1000 DIV n_bpe_tokens AS BIGINT) AS chars_per_bpe_milli",
+        "CAST(n_bpe_tokens * 1000 DIV n_ws_tokens AS BIGINT) AS bpe_per_ws_milli")
+      .orderBy($"lang")
+  }
+  private val q210Sql =
+    raw"""WITH d0 AS (
+         |  SELECT lang, text || ($q210PlantSql) AS text FROM documents
+         |), c AS (
+         |  SELECT lang, CAST(len(text) AS BIGINT) AS n_chars,
+         |    CAST(len($toksSql) AS BIGINT) AS n_ws,
+         |    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe
+         |  FROM d0
+         |), f AS (SELECT * FROM c WHERE n_ws >= 1)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_ws) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(n_chars) * 1000 // sum(n_ws) AS BIGINT) AS chars_per_ws_milli,
+         |  CAST(sum(n_chars) * 1000 // sum(n_bpe) AS BIGINT) AS chars_per_bpe_milli,
+         |  CAST(sum(n_bpe) * 1000 // sum(n_ws) AS BIGINT) AS bpe_per_ws_milli
+         |FROM f GROUP BY lang
+         |ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- q209
   /** Per-source OUT-OF-VOCABULARY rate against the corpus-trained
     * vocabulary — the per-source twin of q173's corpus-global coverage
@@ -3474,6 +3541,7 @@ object TextQueries extends QueryCatalog {
     "q206_pii_risk" -> q206,
     "q207_encoding_health" -> q207,
     "q209_oov_rate" -> q209,
+    "q210_tokenizer_fertility" -> q210,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -3532,5 +3600,6 @@ object TextQueries extends QueryCatalog {
     "q206_pii_risk" -> q206Sql,
     "q207_encoding_health" -> q207Sql,
     "q209_oov_rate" -> q209Sql,
+    "q210_tokenizer_fertility" -> q210Sql,
   )
 }
