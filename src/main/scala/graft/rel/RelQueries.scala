@@ -1611,6 +1611,94 @@ object RelQueries extends QueryCatalog {
       |FROM purchases p ASOF LEFT JOIN errors e ON p.ts >= e.error_ts
       |ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** Conversion ATTRIBUTION (first-touch vs last-touch) — the revenue-
+    * credit table marketing analytics runs on every event stream: each
+    * purchase credits the FIRST and the LAST touchpoint (click/view)
+    * in that user's trailing 7-day window, and the report compares the
+    * two models per touch type — first-touch rewards discovery, last-
+    * touch rewards closing, and the delta between them is the
+    * reallocation a model switch would cause. Purchases with no touch
+    * in the window credit '(none)', so both models' totals tile the
+    * purchase count exactly (the miss path is part of the hash).
+    *
+    * Touch selection is an argmin/argmax over the trailing RANGE frame
+    * (q148's time-frame idiom) on an ENCODED sort key — zero-padded
+    * (micros, event_id) prefixing the type — because struct-valued
+    * window min/max doesn't exist cross-engine but lexicographic min
+    * on a fixed-width encoding is the same ordering in any engine.
+    * Purchase value is credited in exact integer millis (floor
+    * half-up — the q66 discipline).
+    *
+    * Scale shape: ONE shuffle on the high-cardinality user key; each
+    * task sorts only its users' timelines, the frame is time-bounded.
+    * The roll-up is (model, touch_type) — O(1) cells. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SevenDaysUs = 604800000000L
+    val w = Window.partitionBy($"user_id").orderBy($"tu")
+      .rangeBetween(-SevenDaysUs, 0L)
+    val enc = expr("""CASE WHEN event_type IN ('click', 'view')
+      |  THEN concat(lpad(CAST(tu AS STRING), 20, '0'), '|',
+      |              lpad(CAST(event_id AS STRING), 12, '0'), '|', event_type)
+      |END""".stripMargin)
+    val scored = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_micros($"ts").as("tu"))
+      .withColumn("first_enc", min(enc).over(w))
+      .withColumn("last_enc", max(enc).over(w))
+      .filter($"event_type" === "purchase")
+      .selectExpr(
+        "coalesce(element_at(split(first_enc, '\\\\|'), 3), '(none)') AS first_touch",
+        "coalesce(element_at(split(last_enc, '\\\\|'), 3), '(none)') AS last_touch",
+        "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_milli")
+    val cached = graft.core.ScratchCache.persist(scored)
+    def roll(model: String, c: String) = cached
+      .groupBy(col(c).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"), sum($"value_milli").as("value_milli"))
+      .withColumn("model", lit(model))
+    roll("first_touch", "first_touch")
+      .unionByName(roll("last_touch", "last_touch"))
+      .select($"model", $"touch_type", $"n_conversions", $"value_milli")
+      .orderBy($"model", $"touch_type")
+  }
+  private val q211Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS tu
+      |  FROM events
+      |), enc AS (
+      |  SELECT *,
+      |    CASE WHEN event_type IN ('click', 'view')
+      |      THEN lpad(CAST(tu AS VARCHAR), 20, '0') || '|' ||
+      |           lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+      |    END AS tenc
+      |  FROM e
+      |), scored AS (
+      |  SELECT event_type, value,
+      |    min(tenc) OVER w AS first_enc,
+      |    max(tenc) OVER w AS last_enc
+      |  FROM enc
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tu
+      |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |), p AS (
+      |  SELECT coalesce(str_split(first_enc, '|')[3], '(none)') AS first_touch,
+      |    coalesce(str_split(last_enc, '|')[3], '(none)') AS last_touch,
+      |    CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_milli
+      |  FROM scored WHERE event_type = 'purchase'
+      |), u AS (
+      |  SELECT 'first_touch' AS model, first_touch AS touch_type,
+      |    CAST(count(*) AS BIGINT) AS n_conversions,
+      |    CAST(sum(value_milli) AS BIGINT) AS value_milli
+      |  FROM p GROUP BY first_touch
+      |  UNION ALL
+      |  SELECT 'last_touch', last_touch,
+      |    CAST(count(*) AS BIGINT), CAST(sum(value_milli) AS BIGINT)
+      |  FROM p GROUP BY last_touch
+      |)
+      |SELECT model, touch_type, n_conversions, value_milli
+      |FROM u ORDER BY model, touch_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
@@ -1663,6 +1751,7 @@ object RelQueries extends QueryCatalog {
     "q144_resample_ffill" -> q144,
     "q147_not_in_null_aware" -> q147,
     "q148_trailing_window" -> q148,
+    "q211_attribution" -> q211,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1717,6 +1806,7 @@ object RelQueries extends QueryCatalog {
     "q144_resample_ffill" -> q144Sql,
     "q147_not_in_null_aware" -> q147Sql,
     "q148_trailing_window" -> q148Sql,
+    "q211_attribution" -> q211Sql,
   )
 
   override val noOracleReasons: Map[String, String] = Map(
