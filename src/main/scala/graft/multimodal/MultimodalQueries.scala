@@ -671,7 +671,80 @@ object MultimodalQueries extends QueryCatalog {
        |FROM w
        |ORDER BY media_id, win_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  /** Media payload INTEGRITY audit — the transfer-damage gate run
+    * before any decode fleet touches the bytes: every media row
+    * carries a declared byte length (the upstream manifest's claim);
+    * comparing it with the actual payload catches TRUNCATED transfers
+    * (partial fetch/S3 range bug — a decoder segfault or a silently
+    * half-read clip) and PADDED payloads (double-write/concat bugs).
+    * Rolled up per (media_type, verdict) with declared/actual/delta
+    * byte mass — the delta column is the re-fetch bill.
+    *
+    * Damage is PLANTED on an md5 carve (truncate-to-half / pad by two
+    * bytes, alternating); the fixture corpus is ASCII, so the ORACLE
+    * replays the byte arithmetic on character lengths (len ≡
+    * octet_length on ASCII) while the ENGINE runs the real BINARY
+    * path — substring/concat/octet_length over the payload column,
+    * the operations a 100 TB blob store actually serves.
+    *
+    * Scale shape: per-row binary arithmetic map-side on the scan
+    * (payload bytes never shuffle); ONE (type, verdict) exchange with
+    * O(1) cells. */
+  private val q212SelSql = "substring(md5('mint|' || CAST(doc_id AS STRING)), 1, 1) < '4'"
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type",
+        "encode(text, 'UTF-8') AS media")
+      .selectExpr("doc_id", "media_type",
+        "CAST(octet_length(media) AS BIGINT) AS declared_bytes",
+        s"""CASE WHEN $q212SelSql AND doc_id % 2 = 0
+           |  THEN substring(media, 1, CAST(octet_length(media) DIV 2 AS INT))
+           |  WHEN $q212SelSql
+           |  THEN concat(media, encode('xx', 'UTF-8'))
+           |  ELSE media END AS payload""".stripMargin)
+      .selectExpr("media_type", "declared_bytes",
+        "CAST(octet_length(payload) AS BIGINT) AS actual_bytes")
+      .selectExpr("media_type", "declared_bytes", "actual_bytes",
+        """CASE WHEN actual_bytes < declared_bytes THEN 'truncated'
+          |  WHEN actual_bytes > declared_bytes THEN 'padded'
+          |  ELSE 'ok' END AS verdict""".stripMargin)
+      .groupBy($"media_type", $"verdict")
+      .agg(count(lit(1)).as("n_media"),
+        sum($"declared_bytes").as("declared_bytes"),
+        sum($"actual_bytes").as("actual_bytes"))
+      .selectExpr("media_type", "verdict", "n_media", "declared_bytes", "actual_bytes",
+        "CAST(actual_bytes - declared_bytes AS BIGINT) AS delta_bytes")
+      .orderBy($"media_type", $"verdict")
+  }
+  private val q212Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    CAST(len(text) AS BIGINT) AS declared_bytes,
+       |    CAST(CASE WHEN $q212SelSql AND doc_id % 2 = 0
+       |      THEN len(text) // 2
+       |      WHEN $q212SelSql THEN len(text) + 2
+       |      ELSE len(text) END AS BIGINT) AS actual_bytes
+       |  FROM documents
+       |), v AS (
+       |  SELECT media_type, declared_bytes, actual_bytes,
+       |    CASE WHEN actual_bytes < declared_bytes THEN 'truncated'
+       |         WHEN actual_bytes > declared_bytes THEN 'padded'
+       |         ELSE 'ok' END AS verdict
+       |  FROM m
+       |)
+       |SELECT media_type, verdict, CAST(count(*) AS BIGINT) AS n_media,
+       |  CAST(sum(declared_bytes) AS BIGINT) AS declared_bytes,
+       |  CAST(sum(actual_bytes) AS BIGINT) AS actual_bytes,
+       |  CAST(sum(actual_bytes) - sum(declared_bytes) AS BIGINT) AS delta_bytes
+       |FROM v GROUP BY media_type, verdict
+       |ORDER BY media_type, verdict""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_media_integrity" -> q212,
     "q70_multimodal_meta" -> q70,
     "q71_multimodal_frames" -> q71,
     "q72_multimodal_decode" -> q72,
@@ -684,6 +757,7 @@ object MultimodalQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q212_media_integrity" -> q212Sql,
     "q70_multimodal_meta" -> q70Sql,
     "q71_multimodal_frames" -> q71Sql,
     "q72_multimodal_decode" -> q72Sql,
