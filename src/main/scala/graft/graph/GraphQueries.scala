@@ -627,8 +627,9 @@ object GraphQueries extends QueryCatalog {
         .union(links.select($"dst".as("src"), $"src".as("dst")))
         .distinct()
         .repartition($"dst"))
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id".as("node"), $"doc_id".as("lbl"))
+    val nodes = ScratchCache.persist(
+      Tables.documents(s, dir).select($"doc_id".as("node")))
+    var labels = nodes.select($"node", $"node".as("lbl"))
     for (_ <- 1 to LpaRounds) {
       val votes = und
         .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -641,8 +642,14 @@ object GraphQueries extends QueryCatalog {
         .groupBy($"node")
         .agg(max(struct($"cnt", ($"lbl" * -1L).as("neg"))).as("m"))
         .select($"node", ($"m.neg" * -1L).as("new_lbl"))
-      labels = labels.join(best, Seq("node"), "left")
-        .select($"node", coalesce($"new_lbl", $"lbl").as("lbl"))
+      // labels is referenced ONCE per round (inside votes) and each
+      // round rebuilds from the persisted node frame, so the lineage
+      // grows LINEARLY — q133's single-reference loop discipline.
+      // Coalescing to `node` (not the previous label) is exact: every
+      // non-isolated node gets a best row each round, and an isolated
+      // node's label never leaves its own id.
+      labels = nodes.join(best, Seq("node"), "left")
+        .select($"node", coalesce($"new_lbl", $"node").as("lbl"))
     }
     labels.groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),

@@ -682,11 +682,13 @@ object MultimodalQueries extends QueryCatalog {
     * byte mass — the delta column is the re-fetch bill.
     *
     * Damage is PLANTED on an md5 carve (truncate-to-half / pad by two
-    * bytes, alternating); the fixture corpus is ASCII, so the ORACLE
-    * replays the byte arithmetic on character lengths (len ≡
-    * octet_length on ASCII) while the ENGINE runs the real BINARY
-    * path — substring/concat/octet_length over the payload column,
-    * the operations a 100 TB blob store actually serves.
+    * bytes, alternating); the ENGINE runs the real BINARY path —
+    * substring/concat/octet_length over the payload column, the
+    * operations a 100 TB blob store actually serves — and the ORACLE
+    * replays the same BYTE arithmetic via octet_length(encode(text)),
+    * so parity holds even if the fixture generator ever emits a
+    * multibyte character (r15 advice: len(text) char counts only
+    * coincided with the byte path while the corpus stayed ASCII).
     *
     * Scale shape: per-row binary arithmetic map-side on the scan
     * (payload bytes never shuffle); ONE (type, verdict) exchange with
@@ -721,13 +723,17 @@ object MultimodalQueries extends QueryCatalog {
   }
   private val q212Sql =
     s"""WITH m AS (
+       |  -- octet_length(encode(text)), NOT len(text): the engine path
+       |  -- runs byte arithmetic over the UTF-8 payload, so the oracle
+       |  -- must too — char counts only coincide while every fixture
+       |  -- doc is pure ASCII, and nothing enforces that upstream.
        |  SELECT doc_id,
        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       |    CAST(len(text) AS BIGINT) AS declared_bytes,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS declared_bytes,
        |    CAST(CASE WHEN $q212SelSql AND doc_id % 2 = 0
-       |      THEN len(text) // 2
-       |      WHEN $q212SelSql THEN len(text) + 2
-       |      ELSE len(text) END AS BIGINT) AS actual_bytes
+       |      THEN octet_length(encode(text)) // 2
+       |      WHEN $q212SelSql THEN octet_length(encode(text)) + 2
+       |      ELSE octet_length(encode(text)) END AS BIGINT) AS actual_bytes
        |  FROM documents
        |), v AS (
        |  SELECT media_type, declared_bytes, actual_bytes,

@@ -3311,7 +3311,12 @@ object TextQueries extends QueryCatalog {
        |), tot AS (
        |  SELECT CAST(sum(len(toks)) AS BIGINT) AS n_total FROM docs
        |), vcb AS (
-       |  SELECT list(tok ORDER BY tok) AS vocab FROM (
+       |  -- coalesce: list() over ZERO rows (no token reaches the 0.1%
+       |  -- mass bar) is NULL in DuckDB, and NOT list_contains(NULL, t)
+       |  -- is NULL → list_filter drops every token → n_oov=0, while
+       |  -- Spark's collect_list yields [] → every token is OOV. An
+       |  -- empty vocab must mean "everything is OOV" on BOTH sides.
+       |  SELECT coalesce(list(tok ORDER BY tok), []) AS vocab FROM (
        |    SELECT tok FROM (
        |      SELECT tok, count(*) AS c FROM (
        |        SELECT unnest(toks) AS tok FROM docs)

@@ -52,4 +52,19 @@ class LpaSpec extends SparkTestBase {
     assert(got.size > 1 && got.size < ids.length)
     assert(got.values.map(_._1).sum == ids.length.toLong, "communities must tile the nodes")
   }
+
+  test("q202 plan stays linear in rounds — labels referenced once per round") {
+    assume(fixture)
+    // the r15-advice regression this pins: a loop that references the
+    // label frame twice per round (once in votes, once in the left
+    // join) doubles the label subtree every round — 2^rounds copies of
+    // the base scan in the analyzed plan (46 leaves at 4 rounds).
+    // Rebuilding from the persisted node frame references labels once
+    // per round: 3 leaves added per round over the 1-leaf seed.
+    val df = GraphQueries.queries("q202_label_propagation")(spark, "/root/testdata/sf0.001")
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    assert(leaves.size <= 16,
+      s"plan has ${leaves.size} leaves — label lineage no longer linear per round")
+    graft.core.ScratchCache.drain()
+  }
 }
