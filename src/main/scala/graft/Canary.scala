@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.core.ScratchCache
+
+/** Fixed quiet-box CANARY set for bench-drift adjudication.
+  *
+  * Motivation (r15 verdict): every round the full-catalog sweep shows
+  * a mild round-over-round drift (1.05–1.09×) that BENCH_DRIFT.md has
+  * adjudicated by hand each time — pick the flagged queries, retime
+  * them alone on a quiet box, compare against whatever prior number
+  * was lying around. This main makes that procedure FIXED and
+  * mechanical:
+  *
+  *  - The canary set is a frozen, documented list (see [[CanarySet]])
+  *    spanning the catalog's plan families — scan+agg, broadcast star
+  *    join, window, text explode, vector HOF arithmetic, LSH
+  *    multitable (the memory-pressure-prone one), graph self-join,
+  *    the iterative checkpoint loop, regex scan, and the shared
+  *    scoring scan. Four of them (q74, q82, q143, q146) are exactly
+  *    the queries BENCH_DRIFT.md has had to adjudicate by hand in
+  *    past rounds; they are canaries because they are the ones that
+  *    move when the box is noisy.
+  *  - Each canary is timed ISOLATED — caches drained before every
+  *    attempt, N attempts (default 3), min taken. Isolation is the
+  *    point: the full sweep measures catalog-resident behavior, the
+  *    canary measures the query's reproducible floor. The gap between
+  *    the two IS the shared-box/resident-catalog constant; only a
+  *    moved floor is a real regression.
+  *  - `--stamp` writes CANARY_BASELINE.json (per-query floor secs +
+  *    sf + runs). Without it, the run LOADS that baseline and emits a
+  *    per-query verdict: OK within [[DriftBand]]× of the stamped
+  *    floor, DRIFT above it (investigate: `git log` the query's file,
+  *    `.explain` the plan against the pinned shape), FAST below 1/band
+  *    (restamp — the box or the code got faster).
+  *
+  * Output: one compact JSON line on stdout (same contract as Bench —
+  * `run / outputStrategy := StdoutOutput` keeps it parseable), with
+  * per-query {secs, base, ratio, verdict}. Exit code 0 always — drift
+  * is a report for a human, not a gate; the correctness gate is
+  * Verify, and a DRIFT verdict's meaning depends on whether the box
+  * was actually quiet, which only the operator knows.
+  *
+  * Protocol: CANARY.md at the repo root.
+  */
+object Canary {
+  /** Frozen set — do NOT grow it casually: baselines are only
+    * comparable while the set and the method stay fixed. One entry
+    * per plan family, plus the four historical drift suspects. */
+  val CanarySet: Seq[String] = Seq(
+    "q01_pricing_summary",        // lineitem scan + hash agg
+    "q03_join_star_revenue",      // broadcast star join
+    "q09_window_rank_topk",       // window function
+    "q30_wordcount",              // text explode + agg
+    "q50_sim_topk_bruteforce",    // vector HOF arithmetic
+    "q74_sim_topk_lsh_multitable",// LSH multitable — memory-pressure canary (BENCH_DRIFT r14)
+    "q82_repetition_filter",      // regex scan (BENCH_DRIFT r14)
+    "q143_triangle_count",        // graph self-join (BENCH_DRIFT r14)
+    "q146_gate_agreement",        // shared scoring scan (BENCH_DRIFT r14)
+    "q155_kcore",                 // iterative checkpoint loop — heaviest catalog family
+  )
+  /** A canary at ≤ this multiple of its stamped floor is OK. 1.3× sits
+    * above the ±25% single-sample noise measured r7→r8 on byte-
+    * identical code, below the 2× a real plan regression produces. */
+  val DriftBand = 1.3
+
+  def main(args: Array[String]): Unit = {
+    val stamp = args.contains("--stamp")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_CANARY_BASELINE",
+      "CANARY_BASELINE.json")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timeOnce(name: String): Double = {
+      ScratchCache.drain()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      ScratchCache.drain()
+      s
+    }
+    // warmup: JVM/codegen/parquet-footer costs land here, not on the
+    // first canary
+    timeOnce(CanarySet.head)
+
+    val floors: Seq[(String, Double)] = CanarySet.map { n =>
+      n -> (1 to runs).map(_ => timeOnce(n)).min
+    }
+
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val baseline: Map[String, Double] =
+      if (stamp) Map.empty
+      else {
+        val p = java.nio.file.Paths.get(basePath)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          // flat {"queries":{"name":secs,...}} — parse with a regex,
+          // no JSON dep in the build
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          raw""""(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+
+    val perQ = floors.map { case (n, s) =>
+      val b = baseline.get(n)
+      val verdict = b match {
+        case None => if (stamp) "stamped" else "no_baseline"
+        case Some(bb) if s > bb * DriftBand => "DRIFT"
+        case Some(bb) if s < bb / DriftBand => "FAST"
+        case Some(_) => "ok"
+      }
+      val extra = b.map(bb => s""","base":${r3(bb)},"ratio":${r3(s / bb)}""").getOrElse("")
+      s""""$n":{"secs":${r3(s)}$extra,"verdict":"$verdict"}"""
+    }.mkString(",")
+
+    if (stamp) {
+      val qj = floors.map { case (n, s) => s""""$n":${r3(s)}""" }.mkString(",")
+      val out = s"""{"sf":"$sfDir","runs":$runs,"band":$DriftBand,"queries":{$qj}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(basePath),
+        (out + "\n").getBytes("UTF-8"))
+    }
+    val drifted = floors.count { case (n, s) =>
+      baseline.get(n).exists(bb => s > bb * DriftBand) }
+    println(s"""{"metric":"canary","sf":"$sfDir","runs":$runs,"band":$DriftBand,"stamped":$stamp,"n_drift":$drifted,"queries":{$perQ}}""")
+    spark.stop()
+  }
+}
