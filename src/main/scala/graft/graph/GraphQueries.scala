@@ -619,14 +619,25 @@ object GraphQueries extends QueryCatalog {
     * into per-label counts before the exchange. O(rounds) linear
     * passes, exactly the PageRank/k-core loop family. */
   private val LpaRounds = 4
-  private def q202(s: SparkSession, dir: String): DataFrame = {
+
+  /** The shared UNDIRECTED edge frame (both orientations, deduped),
+    * persisted pre-partitioned on the neighbor id so every loop
+    * round's edges⋈labels join reuses the in-memory partitioning. */
+  private def undirectedOf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val links = ScratchCache.persist(linksOf(s, dir))
-    val und = ScratchCache.persist(
+    ScratchCache.persist(
       links.select($"src", $"dst")
         .union(links.select($"dst".as("src"), $"src".as("dst")))
         .distinct()
         .repartition($"dst"))
+  }
+
+  /** q202's converged (node, lbl) frame after [[LpaRounds]] synchronous
+    * sweeps — factored out so q214's modularity audit scores the SAME
+    * communities q202 reports. */
+  private def lpaLabels(s: SparkSession, dir: String, und: DataFrame): DataFrame = {
+    import s.implicits._
     val nodes = ScratchCache.persist(
       Tables.documents(s, dir).select($"doc_id".as("node")))
     var labels = nodes.select($"node", $"node".as("lbl"))
@@ -651,12 +662,21 @@ object GraphQueries extends QueryCatalog {
       labels = nodes.join(best, Seq("node"), "left")
         .select($"node", coalesce($"new_lbl", $"node").as("lbl"))
     }
+    labels
+  }
+
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = lpaLabels(s, dir, undirectedOf(s, dir))
     labels.groupBy($"lbl".as("community"))
       .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"),
         max($"node").as("max_node"))
       .orderBy($"n_nodes".desc, $"community".asc)
   }
-  private val q202Sql = {
+  /** Shared oracle CTE chain replaying [[lpaLabels]]: links → und →
+    * l0 → (votes, best, l_i) per round, ending at l[[LpaRounds]].
+    * lazy val: q214Sql composes over it (the r15 init-order rule). */
+  private lazy val lpaCtesSql = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""v$i AS (
          |  SELECT u.src AS node, l.lbl, count(*) AS cnt
@@ -673,22 +693,165 @@ object GraphQueries extends QueryCatalog {
          |  FROM l${i - 1} p LEFT JOIN b$i b ON p.node = b.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH links AS (
+    s"""links AS (
        |$linksSql
        |), und AS MATERIALIZED (
        |  SELECT src, dst FROM links UNION SELECT dst AS src, src AS dst FROM links
        |), l0 AS (
        |  SELECT doc_id AS node, doc_id AS lbl FROM documents
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+  private lazy val q202Sql =
+    s"""WITH $lpaCtesSql
        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
        |  CAST(min(node) AS BIGINT) AS min_node,
        |  CAST(max(node) AS BIGINT) AS max_node
        |FROM l$LpaRounds GROUP BY lbl
        |ORDER BY n_nodes DESC, community""".stripMargin
+
+  // ---------------------------------------------------------------- q213
+  /** ANCHOR-TEXT term profiles — the classic web-retrieval signal
+    * (anchor words pointing AT a page describe it better than its own
+    * body; every large-scale link corpus aggregates them per target
+    * before indexing). The corpus has no anchor column, so the anchor
+    * of a link is SYNTHESIZED deterministically as the first
+    * [[AnchorTerms]] tokens of the SOURCE document (the "link context"
+    * a real extractor would take around the href). Per target page:
+    * the top-3 anchor terms by inbound occurrence count (ties to the
+    * lexicographically smallest term) plus the true in-link count.
+    *
+    * Scale shape: anchors are a bounded 3-token slice taken MAP-SIDE
+    * on the document scan, so the links⋈anchors join moves 3 tokens
+    * per edge, never the document body. Term counting is one
+    * (dst, term) exchange with map-side partial counts — a mod-7
+    * hub's ~N/7 in-links combine into ≤|vocab| cells per partition
+    * before the shuffle. The top-3 is a per-dst window over those
+    * ALREADY-AGGREGATED term rows (bounded by the page's distinct
+    * anchor vocabulary, not its in-degree), never a per-link sort. */
+  private val AnchorTerms = 3
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val anchors = Tables.documents(s, dir)
+      .select($"doc_id".as("src"),
+        slice(expr(graft.text.TextQueries.toksExpr), 1, AnchorTerms).as("terms"))
+    val linked = ScratchCache.persist(
+      linksOf(s, dir).join(anchors, "src").select($"dst", $"terms"))
+    val termCnt = linked
+      .select($"dst", explode($"terms").as("term"))
+      .groupBy($"dst", $"term")
+      .agg(count(lit(1)).as("cnt"))
+    val inlinks = linked.groupBy($"dst").agg(count(lit(1)).as("n_inlinks"))
+    termCnt
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"dst").orderBy($"cnt".desc, $"term".asc)).cast("long"))
+      .filter($"rank" <= 3)
+      .join(inlinks, "dst")
+      .select($"dst".as("page_id"), $"rank", $"term", $"cnt", $"n_inlinks")
+      .orderBy($"page_id", $"rank")
   }
+  private lazy val q213Sql =
+    s"""WITH links AS (
+       |$linksSql
+       |), a AS (
+       |  SELECT doc_id AS src,
+       |    list_slice(${graft.text.TextQueries.toksSql}, 1, $AnchorTerms) AS terms
+       |  FROM documents
+       |), linked AS (
+       |  SELECT l.dst, a.terms FROM links l JOIN a USING (src)
+       |), tc AS (
+       |  SELECT dst, term, count(*) AS cnt
+       |  FROM (SELECT dst, unnest(terms) AS term FROM linked)
+       |  GROUP BY dst, term
+       |), il AS (
+       |  SELECT dst, count(*) AS n_inlinks FROM linked GROUP BY dst
+       |), r AS (
+       |  SELECT dst, term, cnt,
+       |    row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, term ASC) AS rank
+       |  FROM tc
+       |)
+       |SELECT r.dst AS page_id, CAST(r.rank AS BIGINT) AS rank, r.term,
+       |  CAST(r.cnt AS BIGINT) AS cnt, CAST(il.n_inlinks AS BIGINT) AS n_inlinks
+       |FROM r JOIN il ON r.dst = il.dst
+       |WHERE r.rank <= 3
+       |ORDER BY page_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q214
+  /** Community MODULARITY audit over q202's LPA communities — the
+    * quality score that tells you whether the propagation found real
+    * structure (Newman 2004: Q = Σ_c [e_c/m − (d_c/2m)²], the standard
+    * community-detection acceptance metric). Per community this emits
+    * the EXACT INTEGER numerator of its modularity contribution over
+    * the common denominator (2m)²:  q_num = intra_rows·2m − d_c²,
+    * where intra_rows counts both orientations of intra-community
+    * edges (= 2·e_c), 2m is the total orientation count, and d_c the
+    * community degree mass — so Σ q_num / (2m)² IS Newman's Q, with
+    * zero floating point anywhere (IEEE addition order would
+    * hash-mismatch across engines; BIGINT is exact up to ~3·10⁹
+    * orientations ≈ 10⁹ docs on this generator — the 100 TB path
+    * widens the two products to DECIMAL(38,0), same plan).
+    *
+    * Scale shape: labels come from [[lpaLabels]] (the q202 loop, built
+    * once); membership tagging is TWO node-keyed joins of the
+    * persisted edge frame (src side, then dst side — each a |E| → |V|
+    * hash join); everything after is O(1)-state hash aggregates on
+    * community keys plus one broadcast of the single-row 2m scalar. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = undirectedOf(s, dir)
+    val labels = ScratchCache.persist(lpaLabels(s, dir, und))
+    val twoM = und.agg(count(lit(1)).as("two_m"))
+    val deg = und.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val tagged = und
+      .join(labels.select($"node".as("src"), $"lbl".as("lbl_src")), "src")
+      .join(labels.select($"node".as("dst"), $"lbl".as("lbl_dst")), "dst")
+    val intra = tagged.filter($"lbl_src" === $"lbl_dst")
+      .groupBy($"lbl_src".as("community"))
+      .agg(count(lit(1)).as("intra_rows"))
+    val mass = labels.join(deg, Seq("node"), "left")
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce($"deg", lit(0L))).as("deg_sum"))
+    mass.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(twoM))
+      .select($"community", $"n_nodes",
+        coalesce($"intra_rows", lit(0L)).as("intra_rows"),
+        $"deg_sum", $"two_m",
+        (coalesce($"intra_rows", lit(0L)) * $"two_m" -
+          $"deg_sum" * $"deg_sum").as("q_num"))
+      .orderBy($"q_num".desc, $"community".asc)
+  }
+  private lazy val q214Sql =
+    s"""WITH $lpaCtesSql,
+       |tm AS (SELECT count(*) AS two_m FROM und),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+       |tagged AS (
+       |  SELECT ls.lbl AS lbl_src, ld.lbl AS lbl_dst
+       |  FROM und u
+       |  JOIN l$LpaRounds ls ON u.src = ls.node
+       |  JOIN l$LpaRounds ld ON u.dst = ld.node
+       |), intra AS (
+       |  SELECT lbl_src AS community, count(*) AS intra_rows
+       |  FROM tagged WHERE lbl_src = lbl_dst GROUP BY lbl_src
+       |), mass AS (
+       |  SELECT l.lbl AS community, count(*) AS n_nodes,
+       |    sum(coalesce(d.deg, 0)) AS deg_sum
+       |  FROM l$LpaRounds l LEFT JOIN deg d ON l.node = d.node
+       |  GROUP BY l.lbl
+       |)
+       |SELECT m.community, CAST(m.n_nodes AS BIGINT) AS n_nodes,
+       |  CAST(coalesce(i.intra_rows, 0) AS BIGINT) AS intra_rows,
+       |  CAST(m.deg_sum AS BIGINT) AS deg_sum,
+       |  CAST(tm.two_m AS BIGINT) AS two_m,
+       |  CAST(coalesce(i.intra_rows, 0) * tm.two_m
+       |       - m.deg_sum * m.deg_sum AS BIGINT) AS q_num
+       |FROM mass m LEFT JOIN intra i ON m.community = i.community, tm
+       |ORDER BY q_num DESC, m.community""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_anchor_terms" -> q213,
+    "q214_modularity" -> q214,
     "q132_reverse_links" -> q132,
     "q133_pagerank" -> q133,
     "q143_triangle_count" -> q143,
@@ -699,6 +862,8 @@ object GraphQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q213_anchor_terms" -> q213Sql,
+    "q214_modularity" -> q214Sql,
     "q132_reverse_links" -> q132Sql,
     "q133_pagerank" -> q133Sql,
     "q143_triangle_count" -> q143Sql,
