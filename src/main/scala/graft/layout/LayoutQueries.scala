@@ -1027,7 +1027,131 @@ object LayoutQueries extends QueryCatalog {
        |FROM x GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** Output SHARD PLAN audit — the balance preview run before a
+    * repartition-and-write lands 100 TB into K output shards: docs are
+    * assigned by a content-independent hash of the stable id (first
+    * md5 hex nibble → K = 16 shards, the same family a real writer's
+    * `repartition(K, hash(id))` uses), and the plan reports per shard
+    * the doc/byte/token mass plus its byte mass as a ×K ppm of the
+    * corpus (1,000,000 = perfectly balanced). A shard sitting at 1.3M
+    * ppm is the straggler task and the oversized output file; this
+    * table is how you catch it BEFORE the write, when re-keying is
+    * still free.
+    *
+    * Scale shape: the hash, byte and token counts are computed
+    * MAP-SIDE on the scan; ONE 16-cell (shard) exchange with O(1) sum
+    * state, plus a broadcast single-row total. Byte arithmetic runs
+    * octet_length(encode(text)) on BOTH engines (the q212 rule). */
+  private val ShardK = 16
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .selectExpr("substring(md5(CAST(doc_id AS STRING)), 1, 1) AS shard",
+        "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS nb",
+        s"CAST(size(${graft.text.TextQueries.toksExpr}) AS BIGINT) AS nt")
+    val perShard = d.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"nb").as("n_bytes"),
+        sum($"nt").as("n_tokens"))
+    val total = perShard.agg(sum($"n_bytes").as("tb"))
+    perShard.crossJoin(broadcast(total))
+      .selectExpr("shard", "n_docs", "n_bytes", "n_tokens",
+        s"CAST(n_bytes * $ShardK * 1000000 DIV tb AS BIGINT) AS bytes_x${ShardK}_ppm")
+      .orderBy($"shard")
+  }
+  private lazy val q215Sql =
+    s"""WITH d AS (
+       |  SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       |    octet_length(encode(text)) AS nb,
+       |    len(${graft.text.TextQueries.toksSql}) AS nt
+       |  FROM documents
+       |), s AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nb) AS BIGINT) AS n_bytes, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY shard
+       |), t AS (SELECT sum(n_bytes) AS tb FROM s)
+       |SELECT shard, n_docs, n_bytes, n_tokens,
+       |  CAST(n_bytes * $ShardK * 1000000 // tb AS BIGINT) AS bytes_x${ShardK}_ppm
+       |FROM s, t ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q217
+  /** Column-statistics collection — the ANALYZE TABLE pass every
+    * cost-based optimizer needs (row count, null count, exact NDV,
+    * min/max per column) over lineitem's six representative columns,
+    * emitted one row per column. These are the numbers that drive
+    * join reordering, broadcast decisions and zone-map pruning; at
+    * 100 TB you compute them in ONE scan or not at all.
+    *
+    * Scale shape: a single scan feeds every aggregate; the exact
+    * multi-column count(DISTINCT) is Spark's Expand-based multi-
+    * distinct plan (one Expand ×6 over the scan, then a two-phase
+    * aggregate — the same plan ANALYZE TABLE ... FOR COLUMNS runs;
+    * at 100 TB you'd flip the exact NDVs to HLL sketches and the rest
+    * of the plan is unchanged). The result is ONE row unpivoted to 6
+    * driver-tiny rows via stack(). Values are stringified for the
+    * uniform stats-row schema: BIGINT-valued columns cast via BIGINT
+    * (l_quantity is an integer-valued DOUBLE in this vintage, pinned
+    * by ColumnStatsSpec), dates via CAST(ts AS DATE) — both engines
+    * print identical canonical forms. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count($"l_orderkey").as("c1"), countDistinct($"l_orderkey").as("d1"),
+      min($"l_orderkey").cast("string").as("mn1"), max($"l_orderkey").cast("string").as("mx1"),
+      count($"l_linenumber").as("c2"), countDistinct($"l_linenumber").as("d2"),
+      min($"l_linenumber").cast("string").as("mn2"), max($"l_linenumber").cast("string").as("mx2"),
+      count($"l_quantity").as("c3"), countDistinct($"l_quantity".cast("long")).as("d3"),
+      min($"l_quantity".cast("long")).cast("string").as("mn3"), max($"l_quantity".cast("long")).cast("string").as("mx3"),
+      count($"l_returnflag").as("c4"), countDistinct($"l_returnflag").as("d4"),
+      min($"l_returnflag").as("mn4"), max($"l_returnflag").as("mx4"),
+      count($"l_linestatus").as("c5"), countDistinct($"l_linestatus").as("d5"),
+      min($"l_linestatus").as("mn5"), max($"l_linestatus").as("mx5"),
+      count($"l_shipdate").as("c6"), countDistinct($"l_shipdate".cast("date")).as("d6"),
+      min($"l_shipdate".cast("date")).cast("string").as("mn6"),
+      max($"l_shipdate".cast("date")).cast("string").as("mx6"))
+    a.selectExpr("n_rows", s"""stack(6,
+        |'l_orderkey',   c1, d1, mn1, mx1,
+        |'l_linenumber', c2, d2, mn2, mx2,
+        |'l_quantity',   c3, d3, mn3, mx3,
+        |'l_returnflag', c4, d4, mn4, mx4,
+        |'l_linestatus', c5, d5, mn5, mx5,
+        |'l_shipdate',   c6, d6, mn6, mx6) AS (col, cnt, ndv, min_val, max_val)""".stripMargin)
+      .selectExpr("col", "n_rows", "CAST(n_rows - cnt AS BIGINT) AS n_nulls",
+        "CAST(ndv AS BIGINT) AS ndv", "min_val", "max_val")
+      .orderBy($"col")
+  }
+  private val q217Sql =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(l_orderkey) AS c1, count(DISTINCT l_orderkey) AS d1,
+      |      CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+      |    count(l_linenumber) AS c2, count(DISTINCT l_linenumber) AS d2,
+      |      CAST(min(l_linenumber) AS VARCHAR) AS mn2, CAST(max(l_linenumber) AS VARCHAR) AS mx2,
+      |    count(l_quantity) AS c3, count(DISTINCT CAST(l_quantity AS BIGINT)) AS d3,
+      |      CAST(min(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS mn3, CAST(max(CAST(l_quantity AS BIGINT)) AS VARCHAR) AS mx3,
+      |    count(l_returnflag) AS c4, count(DISTINCT l_returnflag) AS d4,
+      |      min(l_returnflag) AS mn4, max(l_returnflag) AS mx4,
+      |    count(l_linestatus) AS c5, count(DISTINCT l_linestatus) AS d5,
+      |      min(l_linestatus) AS mn5, max(l_linestatus) AS mx5,
+      |    count(l_shipdate) AS c6, count(DISTINCT CAST(l_shipdate AS DATE)) AS d6,
+      |      CAST(min(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mn6, CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mx6
+      |  FROM lineitem
+      |)
+      |SELECT col, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_rows - cnt AS BIGINT) AS n_nulls,
+      |  CAST(ndv AS BIGINT) AS ndv, mn AS min_val, mx AS max_val
+      |FROM (
+      |  SELECT n_rows, 'l_orderkey' AS col, c1 AS cnt, d1 AS ndv, mn1 AS mn, mx1 AS mx FROM a
+      |  UNION ALL SELECT n_rows, 'l_linenumber', c2, d2, mn2, mx2 FROM a
+      |  UNION ALL SELECT n_rows, 'l_quantity', c3, d3, mn3, mx3 FROM a
+      |  UNION ALL SELECT n_rows, 'l_returnflag', c4, d4, mn4, mx4 FROM a
+      |  UNION ALL SELECT n_rows, 'l_linestatus', c5, d5, mn5, mx5 FROM a
+      |  UNION ALL SELECT n_rows, 'l_shipdate', c6, d6, mn6, mx6 FROM a
+      |) ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_shard_plan" -> q215,
+    "q217_column_stats" -> q217,
     "q134_bucketed_join" -> q134,
     "q135_zorder_layout" -> q135,
     "q136_compaction_plan" -> q136,
@@ -1045,6 +1169,8 @@ object LayoutQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q215_shard_plan" -> q215Sql,
+    "q217_column_stats" -> q217Sql,
     "q134_bucketed_join" -> q134Sql,
     "q135_zorder_layout" -> q135Sql,
     "q136_compaction_plan" -> q136Sql,
