@@ -469,7 +469,85 @@ object StreamQueries extends QueryCatalog {
       |FROM w WHERE rk <= 4
       |ORDER BY user_id, win_start, rk""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** Session ABANDONMENT analysis — the product-analytics read on top
+    * of q62's gap sessionization: which event a session DIED on, split
+    * by whether it converted (contained a purchase). Per (converted,
+    * last_event_type): session count, event mass, total and
+    * per-session duration in exact integer ms. The non-converted rows
+    * ARE the funnel's leak ledger (sessions whose last act was a
+    * click but no purchase = the checkout drop-off); the rare
+    * converted-but-ended-elsewhere rows are post-purchase activity.
+    *
+    * Sessionization is q62's exact contract (30-min gap, (ts,
+    * event_id) order); the last event is the deterministic
+    * row_number()=1 row under the REVERSED order, never a
+    * nondeterministic last_value.
+    *
+    * Scale shape: ONE user-keyed exchange feeds the gap flags, the
+    * session numbering, and the reversed last-event rank (three
+    * window passes over the SAME partitioning — no re-shuffle);
+    * per-session reduction is a (user, session) hash aggregate with
+    * O(1) state; the final roll-up is a ≤2×|event_types| cell
+    * exchange. Durations never float: epoch millis subtraction. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val flagged = Tables.events(s, dir)
+      .withColumn("new_session",
+        when(lag($"ts", 1).over(w).isNull ||
+          $"ts".cast("double") - lag($"ts", 1).over(w).cast("double") > 1800.0, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val lastRn = flagged.withColumn("rn_last",
+      row_number().over(Window.partitionBy($"user_id", $"session_seq")
+        .orderBy($"ts".desc, $"event_id".desc)))
+    lastRn.groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_millis(max($"ts")) - unix_millis(min($"ts"))).as("dur_ms"),
+        max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"),
+        max(when($"rn_last" === 1, $"event_type")).as("last_type"))
+      .groupBy(($"conv" === 1L).as("converted"), $"last_type")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"),
+        sum($"dur_ms").as("total_ms"))
+      .selectExpr("converted", "last_type", "n_sessions", "n_events", "total_ms",
+        "CAST(total_ms DIV n_sessions AS BIGINT) AS ms_per_session")
+      .orderBy($"converted", $"last_type")
+  }
+  private val q218Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged
+      |), lastrn AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+      |    ORDER BY ts DESC, event_id DESC) AS rn_last
+      |  FROM numbered
+      |), sess AS (
+      |  SELECT user_id, session_seq, count(*) AS n_events,
+      |    epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur_ms,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    max(CASE WHEN rn_last = 1 THEN event_type END) AS last_type
+      |  FROM lastrn GROUP BY user_id, session_seq
+      |)
+      |SELECT conv = 1 AS converted, last_type, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events, CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+      |  CAST(sum(dur_ms) // count(*) AS BIGINT) AS ms_per_session
+      |FROM sess GROUP BY conv, last_type
+      |ORDER BY converted, last_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_session_abandonment" -> q218,
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
     "q62_sessionize" -> q62,
@@ -486,6 +564,7 @@ object StreamQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q218_session_abandonment" -> q218Sql,
     "q60_stream_tumbling" -> q60Sql,
     "q61_stream_sliding" -> q61Sql,
     "q62_sessionize" -> q62Sql,
