@@ -1307,7 +1307,81 @@ object SimilarityQueries extends QueryCatalog {
        |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
        |FROM agg ORDER BY label""".stripMargin
 
+  /** Spec hook: the vec→cell assignment exactly as q54/q78 build it
+    * (ivfRanked rn = 1) — IvfBalanceSpec checks that q219's counts
+    * audit THIS index, not a lookalike. */
+  private[sim] def ivfAssignmentForSpec(s: SparkSession, dir: String): Array[Long] = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    ivfRanked(s, dir).filter($"rn" === 1)
+      .select($"cent_id".cast("long")).collect().map(_.getLong(0))
+  }
+
+  // ---------------------------------------------------------------- q219
+  /** IVF index BALANCE audit — the health check run after every index
+    * (re)build and before the nprobe knob is trusted: per trained cell
+    * (q54's coarse quantizer, including cells that end up EMPTY — dead
+    * cells are wasted quantizer capacity and the first symptom of a
+    * bad training sample), the member count, its share of the corpus
+    * in exact ppm, and its load as ×1000 of the balanced ideal
+    * (1000 = perfectly balanced; a 4000-cell serves 4× the scan cost
+    * to every query probing it). The Σ n_vecs·load tail this table
+    * exposes is IVF's actual latency distribution — recall@nprobe
+    * numbers (AnnRecallSpec) are meaningless over a degenerate
+    * assignment.
+    *
+    * Scale shape: ONE training pass ([[trainedCents]], shared/persisted
+    * — deliberately NOT a second call through [[ivfRanked]], which
+    * would retrain), then broadcast ≤16 centroids × linear corpus
+    * scan + per-vector argmax window (the q54 assignment shape), a
+    * 16-cell count aggregate, and a broadcast 1-row total. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val cents = graft.core.ScratchCache.persist(trainedCents(s, dir))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cent_id")
+    val assigned = withVec(s, dir).crossJoin(broadcast(cents))
+      .withColumn("cs", expr("cosine_similarity(v, cv)"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cent_id".as("cell"))
+    val cnt = cents.select($"cent_id".as("cell"))
+      .join(assigned, Seq("cell"), "left")
+      .groupBy($"cell").agg(count($"vec_id").as("n_vecs"))
+    val tot = cnt.agg(sum($"n_vecs").as("n_all"), count(lit(1)).as("n_cells"))
+    cnt.crossJoin(broadcast(tot))
+      .selectExpr("cell", "n_vecs",
+        "CAST(n_vecs * 1000000 DIV n_all AS BIGINT) AS share_ppm",
+        "CAST(n_vecs * n_cells * 1000 DIV n_all AS BIGINT) AS load_x1000",
+        "n_vecs = 0 AS is_dead")
+      .orderBy($"cell")
+  }
+  private lazy val q219Sql =
+    s"""WITH e AS ($withVecSql),
+       |$trainedCentsSqlCtes,
+       |asg AS (
+       |  SELECT cell FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv) / (e.norm * c.cnorm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |),
+       |cnt AS (
+       |  SELECT c.cent_id AS cell, count(a.cell) AS n_vecs
+       |  FROM cents c LEFT JOIN asg a ON a.cell = c.cent_id
+       |  GROUP BY c.cent_id
+       |),
+       |t AS (SELECT sum(n_vecs) AS n_all, count(*) AS n_cells FROM cnt)
+       |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(n_vecs * 1000000 // n_all AS BIGINT) AS share_ppm,
+       |  CAST(n_vecs * n_cells * 1000 // n_all AS BIGINT) AS load_x1000,
+       |  n_vecs = 0 AS is_dead
+       |FROM cnt, t ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_ivf_balance" -> q219,
     "q204_centroid_drift" -> q204,
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -1328,6 +1402,7 @@ object SimilarityQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q219_ivf_balance" -> q219Sql,
     "q204_centroid_drift" -> q204Sql,
     "q50_sim_topk_bruteforce" -> q50Sql,
     "q51_sim_topk_lsh" -> q51Sql,
