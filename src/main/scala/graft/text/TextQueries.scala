@@ -3490,7 +3490,76 @@ object TextQueries extends QueryCatalog {
        |FROM ph GROUP BY phase, source
        |ORDER BY phase, source""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+  /** STOPWORD-PROFILE divergence — the cheapest per-source language/
+    * register drift detector there is: the corpus's [[StopK]] most
+    * frequent tokens define a function-word profile (stopword
+    * frequencies are the classic stylometric fingerprint — Mosteller &
+    * Wallace's Federalist method), and each source is scored by the L1
+    * distance between its per-token ppm rates and the corpus rates,
+    * plus its total stopword mass. A source whose l1_ppm spikes is
+    * drifting (different language, boilerplate flood, or machine-
+    * generated text with unnatural function-word rates) — caught from
+    * token counts alone, no classifier inference pass.
+    *
+    * All arithmetic is exact integer ppm (each rate is one
+    * non-negative DIV; the |a−b| differences are summed as BIGINTs),
+    * so both engines agree bit-for-bit.
+    *
+    * Scale shape: ONE token-count exchange with map-side combine
+    * builds both the global top-K (a 20-row broadcast) and the
+    * per-source totals; the per-(source, stopword) counts are a
+    * second map-side-combined exchange bounded by |sources|×K cells;
+    * the K-row-per-source grid is a broadcast cross join, never a
+    * corpus-sized shuffle. */
+  private val StopK = 20
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = ScratchCache.persist(
+      Tables.documents(s, dir).selectExpr("source", s"explode($toksExpr) AS tok"))
+    val tot = tok.agg(count(lit(1)).as("n_all"))
+    val stop = tok.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc).limit(StopK)
+    val stot = tok.groupBy($"source").agg(count(lit(1)).as("n_src"))
+    val sc = tok.join(broadcast(stop.select($"tok")), "tok")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("scnt"))
+    stot.crossJoin(broadcast(stop)).crossJoin(broadcast(tot))
+      .join(sc, Seq("source", "tok"), "left")
+      .select($"source", $"n_src",
+        coalesce($"scnt", lit(0L)).as("scnt"), $"cnt", $"n_all")
+      .groupBy($"source")
+      .agg(max($"n_src").as("n_tokens"),
+        expr("CAST(sum(scnt) * 1000000 DIV max(n_src) AS BIGINT)").as("stop_mass_ppm"),
+        expr("CAST(sum(abs(scnt * 1000000 DIV n_src - cnt * 1000000 DIV n_all)) AS BIGINT)").as("l1_ppm"))
+      .orderBy($"source")
+  }
+  private val q220Sql =
+    s"""WITH tok AS (
+       |  SELECT source, unnest($toksSql) AS tok FROM documents
+       |), tot AS (
+       |  SELECT count(*) AS n_all FROM tok
+       |), stop AS (
+       |  SELECT tok, cnt FROM (
+       |    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+       |    ORDER BY cnt DESC, tok LIMIT $StopK)
+       |), stot AS (
+       |  SELECT source, count(*) AS n_src FROM tok GROUP BY source
+       |), sc AS (
+       |  SELECT t.source, t.tok, count(*) AS scnt
+       |  FROM tok t JOIN stop s ON t.tok = s.tok
+       |  GROUP BY t.source, t.tok
+       |), grid AS (
+       |  SELECT st.source, st.n_src, s.tok, s.cnt, coalesce(sc.scnt, 0) AS scnt, tot.n_all
+       |  FROM stot st CROSS JOIN stop s CROSS JOIN tot
+       |  LEFT JOIN sc ON sc.source = st.source AND sc.tok = s.tok
+       |)
+       |SELECT source, CAST(max(n_src) AS BIGINT) AS n_tokens,
+       |  CAST(sum(scnt) * 1000000 // max(n_src) AS BIGINT) AS stop_mass_ppm,
+       |  CAST(sum(abs(scnt * 1000000 // n_src - cnt * 1000000 // n_all)) AS BIGINT) AS l1_ppm
+       |FROM grid GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_stopword_divergence" -> q220,
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
     "q32_ngrams" -> q32,
@@ -3550,6 +3619,7 @@ object TextQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q220_stopword_divergence" -> q220Sql,
     "q30_wordcount" -> q30Sql,
     "q31_inverted_index" -> q31Sql,
     "q32_ngrams" -> q32Sql,
