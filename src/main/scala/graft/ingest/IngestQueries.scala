@@ -1316,7 +1316,65 @@ object IngestQueries extends QueryCatalog {
        |  CAST(count(*) FILTER (WHERE CAST(tl AS BIGINT) * 1000000 < 700000 * CAST(hl AS BIGINT)) AS BIGINT) AS n_low_text
        |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** LICENSE-MIX accounting — the data-governance ledger a training
+    * run is audited against: every document carries a license class
+    * (here carved deterministically from an md5 of the doc id into
+    * four equal-prior buckets — the corpus has no license column, and
+    * the carve makes the ledger arithmetic oracle-checkable end to
+    * end), and the ledger reports per (license, lang): doc and token
+    * mass, each license-lang cell's share of total training tokens in
+    * exact ppm, and the trainable verdict (everything but
+    * `restricted`). The Σ(trainable tokens) this table exposes is the
+    * number a model card's "trained on N tokens of licensed data"
+    * claim is audited against.
+    *
+    * Scale shape: license classification and token counting are
+    * MAP-SIDE on the scan; ONE (license, lang) exchange with O(1) sum
+    * state (≤ 4×|langs| cells at any corpus size) plus a broadcast
+    * single-row token total. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lic = """CASE
+      | WHEN substring(md5(concat('lic|', CAST(doc_id AS STRING))), 1, 1) < '4' THEN 'cc-by'
+      | WHEN substring(md5(concat('lic|', CAST(doc_id AS STRING))), 1, 1) < '8' THEN 'cc0'
+      | WHEN substring(md5(concat('lic|', CAST(doc_id AS STRING))), 1, 1) < 'c' THEN 'web-crawl'
+      | ELSE 'restricted' END""".stripMargin
+    val d = Tables.documents(s, dir)
+      .selectExpr(s"$lic AS license", "lang",
+        s"CAST(size(${graft.text.TextQueries.toksExpr}) AS BIGINT) AS nt")
+    val cells = d.groupBy($"license", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    val tot = cells.agg(sum($"n_tokens").as("all_t"))
+    cells.crossJoin(broadcast(tot))
+      .selectExpr("license", "lang", "n_docs", "n_tokens",
+        "CAST(n_tokens * 1000000 DIV all_t AS BIGINT) AS token_share_ppm",
+        "license <> 'restricted' AS trainable")
+      .orderBy($"license", $"lang")
+  }
+  private lazy val q221Sql = {
+    val lic = """CASE
+      | WHEN substring(md5('lic|' || CAST(doc_id AS VARCHAR)), 1, 1) < '4' THEN 'cc-by'
+      | WHEN substring(md5('lic|' || CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 'cc0'
+      | WHEN substring(md5('lic|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'web-crawl'
+      | ELSE 'restricted' END""".stripMargin
+    s"""WITH d AS (
+       |  SELECT $lic AS license, lang,
+       |    CAST(len(${graft.text.TextQueries.toksSql}) AS BIGINT) AS nt
+       |  FROM documents
+       |), cells AS (
+       |  SELECT license, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY license, lang
+       |), t AS (SELECT sum(n_tokens) AS all_t FROM cells)
+       |SELECT license, lang, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // all_t AS BIGINT) AS token_share_ppm,
+       |  license <> 'restricted' AS trainable
+       |FROM cells, t ORDER BY license, lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_license_mix" -> q221,
     "q156_jsonl_ingest" -> q156,
     "q157_csv_ingest" -> q157,
     "q158_crawl_admission" -> q158,
@@ -1336,6 +1394,7 @@ object IngestQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q221_license_mix" -> q221Sql,
     "q156_jsonl_ingest" -> q156Sql,
     "q157_csv_ingest" -> q157Sql,
     "q158_crawl_admission" -> q158Sql,
