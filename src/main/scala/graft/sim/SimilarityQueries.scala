@@ -1380,8 +1380,73 @@ object SimilarityQueries extends QueryCatalog {
        |  n_vecs = 0 AS is_dead
        |FROM cnt, t ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+  /** IVF PROBE-COST curve — q219's companion decision table: per
+    * nprobe setting, the exact expected fraction of the corpus a
+    * query scans (every vector plays the query role once, probing its
+    * nprobe nearest cells; cost = Σ over queries of the probed cells'
+    * member counts, as ppm of the all-pairs N² baseline). Read this
+    * against AnnRecallSpec's recall@nprobe to pick the operating
+    * point: recall is what nprobe BUYS, this table is what it COSTS —
+    * on a balanced index cost grows ≈ nprobe/16 linearly; a skewed
+    * index front-loads it, which is exactly what the curve exposes.
+    *
+    * Scale shape: the ranked (vector × ≤16 centroids) frame is built
+    * once (broadcast centroids, argmax window — q54's shape) and
+    * pays N×16 rows; everything after is a 16-cell size aggregate
+    * broadcast back, a 16-row per-rank sum, and a 16-row running
+    * window — driver-tiny at any corpus size. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val cents = graft.core.ScratchCache.persist(trainedCents(s, dir))
+    val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cent_id")
+    val ranked = graft.core.ScratchCache.persist(
+      withVec(s, dir).crossJoin(broadcast(cents))
+        .withColumn("cs", expr("cosine_similarity(v, cv)"))
+        .withColumn("rn", row_number().over(w))
+        .select($"vec_id", $"cent_id", $"rn"))
+    val cellSize = ranked.filter($"rn" === 1)
+      .groupBy($"cent_id").agg(count(lit(1)).as("csize"))
+    val nAll = ranked.filter($"rn" === 1).agg(count(lit(1)).as("n_all"))
+    val perRank = ranked.join(broadcast(cellSize), "cent_id")
+      .groupBy($"rn").agg(sum($"csize").as("rank_cost"))
+    perRank.crossJoin(broadcast(nAll))
+      .withColumn("cum_cost", sum($"rank_cost").over(
+        Window.orderBy($"rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .selectExpr("CAST(rn AS BIGINT) AS nprobe", "rank_cost", "CAST(cum_cost AS BIGINT) AS cum_cost",
+        "CAST(cum_cost * 1000000 DIV (n_all * n_all) AS BIGINT) AS scanned_ppm")
+      .orderBy($"nprobe")
+  }
+  private lazy val q223Sql =
+    s"""WITH e AS ($withVecSql),
+       |$trainedCentsSqlCtes,
+       |ranked AS (
+       |  SELECT vec_id, cent_id, rn FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv) / (e.norm * c.cnorm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |),
+       |cs AS (SELECT cent_id, count(*) AS csize FROM ranked WHERE rn = 1 GROUP BY cent_id),
+       |t AS (SELECT count(*) AS n_all FROM ranked WHERE rn = 1),
+       |pr AS (
+       |  SELECT r.rn, sum(c.csize) AS rank_cost
+       |  FROM ranked r JOIN cs c ON r.cent_id = c.cent_id
+       |  GROUP BY r.rn
+       |)
+       |SELECT CAST(rn AS BIGINT) AS nprobe, CAST(rank_cost AS BIGINT) AS rank_cost,
+       |  CAST(sum(rank_cost) OVER (ORDER BY rn
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cost,
+       |  CAST(sum(rank_cost) OVER (ORDER BY rn
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+       |       // (t.n_all * t.n_all) AS BIGINT) AS scanned_ppm
+       |FROM pr, t ORDER BY nprobe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q219_ivf_balance" -> q219,
+    "q223_probe_cost_curve" -> q223,
     "q204_centroid_drift" -> q204,
     "q50_sim_topk_bruteforce" -> q50,
     "q51_sim_topk_lsh" -> q51,
@@ -1403,6 +1468,7 @@ object SimilarityQueries extends QueryCatalog {
 
   val oracleSql: Map[String, String] = Map(
     "q219_ivf_balance" -> q219Sql,
+    "q223_probe_cost_curve" -> q223Sql,
     "q204_centroid_drift" -> q204Sql,
     "q50_sim_topk_bruteforce" -> q50Sql,
     "q51_sim_topk_lsh" -> q51Sql,
