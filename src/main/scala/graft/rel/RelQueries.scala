@@ -1699,7 +1699,60 @@ object RelQueries extends QueryCatalog {
       |SELECT model, touch_type, n_conversions, value_milli
       |FROM u ORDER BY model, touch_type""".stripMargin
 
+  // ---------------------------------------------------------------- q225
+  /** DAU/WAU/MAU STICKINESS table — the canonical product-engagement
+    * dashboard (per day: daily actives, trailing-7-day and trailing-
+    * 30-day distinct actives, DAU/WAU stickiness in exact ppm). The
+    * ratio is the retention headline every event warehouse serves;
+    * computing it EXACTLY requires distinct-user sets over trailing
+    * windows, which no running aggregate composes — the standard
+    * exact shape is the day-grid range join below (the approximate
+    * shape swaps in per-day HLL sketch merges; q25's machinery).
+    *
+    * Scale shape: the corpus compacts FIRST to the distinct
+    * (day, user) activity frame — one exchange, and the only pass
+    * over raw events; the trailing windows are a |days|-row broadcast
+    * range-joined against that compacted frame (≤ |days|×|users|
+    * rows, ×7/×30 duplication bounded by the window length), then
+    * per-day distinct aggregates. Raw events never enter a window. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = graft.core.ScratchCache.persist(
+      Tables.events(s, dir).select(to_date($"ts").as("d"), $"user_id").distinct())
+    val days = du.select($"d").distinct()
+    val dau = du.groupBy($"d").agg(count(lit(1)).as("dau"))
+    def trailing(n: Int, name: String) =
+      broadcast(days.select($"d".as("dd"))).join(du, $"d".between(date_sub($"dd", n - 1), $"dd"))
+        .groupBy($"dd").agg(countDistinct($"user_id").as(name))
+        .withColumnRenamed("dd", "d")
+    dau.join(trailing(7, "wau"), "d").join(trailing(30, "mau"), "d")
+      .selectExpr("CAST(d AS STRING) AS day", "dau", "wau", "mau",
+        "CAST(dau * 1000000 DIV wau AS BIGINT) AS dau_wau_ppm")
+      .orderBy($"day")
+  }
+  private val q225Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events
+      |), days AS (SELECT DISTINCT d FROM du),
+      |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+      |wau AS (
+      |  SELECT days.d, count(DISTINCT du.user_id) AS wau
+      |  FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      |  GROUP BY days.d
+      |),
+      |mau AS (
+      |  SELECT days.d, count(DISTINCT du.user_id) AS mau
+      |  FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 29 DAY AND days.d
+      |  GROUP BY days.d
+      |)
+      |SELECT CAST(dau.d AS VARCHAR) AS day, CAST(dau.dau AS BIGINT) AS dau,
+      |  CAST(wau.wau AS BIGINT) AS wau, CAST(mau.mau AS BIGINT) AS mau,
+      |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS dau_wau_ppm
+      |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_stickiness" -> q225,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_join_star_revenue" -> q03,
@@ -1755,6 +1808,7 @@ object RelQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q225_stickiness" -> q225Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_star_revenue" -> q03Sql,
