@@ -1197,7 +1197,97 @@ object LayoutQueries extends QueryCatalog {
       |FROM cells GROUP BY key_name
       |ORDER BY key_name""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+  /** JOIN-CARDINALITY estimate audit — q217's stats put to work: for
+    * each join, the textbook CBO estimate |A|·|B| / max(ndv_A, ndv_B)
+    * against the EXACT cardinality, with the error in ppm. The three
+    * FK joins are the calibration rows (uniform FK distributions →
+    * the estimator is exact, err 0 — the case a CBO is trusted on);
+    * the fourth row is the PLANTED failure: a derived key
+    * least(l_orderkey % 100, 9) concentrates ~91% of rows on one
+    * value, and the independence/uniformity assumption under-estimates
+    * the self-join by ~8× — the exact miss that motivates AQE's
+    * runtime re-planning and q181's key profiler. Its true size
+    * (~3·10⁹ at sf0.1) is computed as Σ count², never materialized —
+    * also how you'd measure it at 100 TB.
+    *
+    * Scale shape: per-table stats are single-scan aggregates; the FK
+    * actuals are the joins themselves (broadcast/SMJ as the planner
+    * picks); the skew actual is one ≤100-cell count aggregate. Row
+    * products ride DECIMAL(38,0)/HUGEINT so the arithmetic survives
+    * corpus sizes whose products overflow int64. */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val prt = Tables.part(s, dir)
+    val cst = Tables.customer(s, dir)
+    def statsOf(df: DataFrame, key: String) =
+      df.agg(count(lit(1)).as("rows"), countDistinct(col(key)).as("ndv"))
+    def fkRow(name: String, a: DataFrame, ka: String, b: DataFrame, kb: String) = {
+      val actual = a.join(b, a(ka) === b(kb)).agg(count(lit(1)).as("actual"))
+      statsOf(a, ka).crossJoin(statsOf(b, kb).withColumnRenamed("rows", "rows_b")
+          .withColumnRenamed("ndv", "ndv_b"))
+        .crossJoin(actual)
+        .selectExpr(s"'$name' AS join_name", "rows AS rows_a", "ndv AS ndv_a",
+          "rows_b", "ndv_b", "actual")
+    }
+    val skewKey = "least(l_orderkey % 100, 9L)"
+    val skewCells = li.selectExpr(s"$skewKey AS k").groupBy($"k")
+      .agg(count(lit(1)).as("c"))
+    val skewRow = statsOf(li.selectExpr(s"$skewKey AS sk"), "sk")
+      .crossJoin(statsOf(li.selectExpr(s"$skewKey AS sk"), "sk")
+        .withColumnRenamed("rows", "rows_b").withColumnRenamed("ndv", "ndv_b"))
+      .crossJoin(skewCells.agg(
+        sum($"c".cast(org.apache.spark.sql.types.DecimalType(38, 0)) * $"c").as("actual")))
+      .selectExpr("'skewed_self_mod100cap' AS join_name", "rows AS rows_a",
+        "ndv AS ndv_a", "rows_b", "ndv_b", "CAST(actual AS BIGINT) AS actual")
+    fkRow("lineitem_orders", li, "l_orderkey", ord, "o_orderkey")
+      .union(fkRow("lineitem_part", li, "l_partkey", prt, "p_partkey"))
+      .union(fkRow("orders_customer", ord, "o_custkey", cst, "c_custkey"))
+      .union(skewRow)
+      .selectExpr("join_name", "rows_a", "ndv_a", "rows_b", "ndv_b",
+        """CAST(CAST(rows_a AS DECIMAL(38,0)) * rows_b
+          |  DIV greatest(ndv_a, ndv_b) AS BIGINT) AS est_rows""".stripMargin,
+        "CAST(actual AS BIGINT) AS actual_rows")
+      .selectExpr("join_name", "rows_a", "ndv_a", "rows_b", "ndv_b", "est_rows",
+        "actual_rows",
+        """CAST(abs(CAST(est_rows AS DECIMAL(38,0)) - actual_rows) * 1000000
+          |  DIV actual_rows AS BIGINT) AS err_ppm""".stripMargin)
+      .orderBy($"join_name")
+  }
+  private val q226Sql =
+    """WITH st AS (
+      |  SELECT 'lineitem_orders' AS join_name,
+      |    (SELECT count(*) FROM lineitem) AS rows_a, (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_a,
+      |    (SELECT count(*) FROM orders) AS rows_b, (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_b,
+      |    (SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) AS actual
+      |  UNION ALL
+      |  SELECT 'lineitem_part',
+      |    (SELECT count(*) FROM lineitem), (SELECT count(DISTINCT l_partkey) FROM lineitem),
+      |    (SELECT count(*) FROM part), (SELECT count(DISTINCT p_partkey) FROM part),
+      |    (SELECT count(*) FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+      |  UNION ALL
+      |  SELECT 'orders_customer',
+      |    (SELECT count(*) FROM orders), (SELECT count(DISTINCT o_custkey) FROM orders),
+      |    (SELECT count(*) FROM customer), (SELECT count(DISTINCT c_custkey) FROM customer),
+      |    (SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT 'skewed_self_mod100cap',
+      |    (SELECT count(*) FROM lineitem), (SELECT count(DISTINCT least(l_orderkey % 100, 9)) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem), (SELECT count(DISTINCT least(l_orderkey % 100, 9)) FROM lineitem),
+      |    (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) FROM (
+      |       SELECT count(*) AS c FROM lineitem GROUP BY least(l_orderkey % 100, 9)))
+      |)
+      |SELECT join_name, CAST(rows_a AS BIGINT) AS rows_a, CAST(ndv_a AS BIGINT) AS ndv_a,
+      |  CAST(rows_b AS BIGINT) AS rows_b, CAST(ndv_b AS BIGINT) AS ndv_b,
+      |  CAST(CAST(rows_a AS HUGEINT) * rows_b // greatest(ndv_a, ndv_b) AS BIGINT) AS est_rows,
+      |  CAST(actual AS BIGINT) AS actual_rows,
+      |  CAST(abs(CAST(rows_a AS HUGEINT) * rows_b // greatest(ndv_a, ndv_b) - actual) * 1000000 // actual AS BIGINT) AS err_ppm
+      |FROM st ORDER BY join_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_cardinality_audit" -> q226,
     "q224_partition_key_audit" -> q224,
     "q215_shard_plan" -> q215,
     "q217_column_stats" -> q217,
@@ -1218,6 +1308,7 @@ object LayoutQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q226_cardinality_audit" -> q226Sql,
     "q224_partition_key_audit" -> q224Sql,
     "q215_shard_plan" -> q215Sql,
     "q217_column_stats" -> q217Sql,
