@@ -55,4 +55,27 @@ class AnchorTermsSpec extends SparkTestBase {
       assert(byPage(h).size <= 3)
     }
   }
+
+  test("q213 plan: the rank<=3 filter runs as WindowGroupLimit — hub-skew safety") {
+    assume(fixture)
+    val df = GraphQueries.queries("q213_anchor_terms")(spark, dir)
+    df.collect()
+    graft.core.ScratchCache.drain()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    // Spark rewrites row_number()<=k into WindowGroupLimitExec: each
+    // task forwards at most 3 term rows per dst BEFORE the final
+    // window sort — so a hub's anchor vocabulary never serializes
+    // through one task unbounded. If this pin breaks, the top-3 is
+    // running as a full per-dst window again.
+    val names = nodes(df.queryExecution.executedPlan).map(_.getClass.getSimpleName)
+    assert(names.exists(_.contains("WindowGroupLimit")),
+      s"no WindowGroupLimitExec in q213's executed plan: ${names.distinct.mkString(",")}")
+  }
 }

@@ -56,4 +56,31 @@ class SessionAbandonSpec extends SparkTestBase {
     // non-vacuity: both converted and abandoned sessions exist
     assert(got.keys.exists(_._1) && got.keys.exists(!_._1))
   }
+
+  test("q218 plan: ONE user-keyed shuffle feeds all three windows and the session aggregate") {
+    assume(fixture)
+    val df = StreamQueries.queries("q218_session_abandonment")(spark, dir)
+    df.collect()
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    val shuffles = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // the scale claim: gap flags, session numbering, reversed last-event
+    // rank AND the (user, session) aggregate all ride the single
+    // hash(user_id) exchange (HashPartitioning(user) satisfies the
+    // (user, session) clustering); only the ≤2×|types| roll-up and the
+    // final orderBy shuffle again
+    val userShuffles = shuffles.filter(_.outputPartitioning.toString.contains("user_id"))
+    assert(userShuffles.size == 1,
+      s"expected exactly 1 user-keyed exchange, got ${userShuffles.size}")
+    assert(shuffles.size <= 3,
+      s"plan re-shuffles: ${shuffles.size} exchanges (user + tiny roll-up + sort expected)")
+  }
 }
