@@ -1751,8 +1751,144 @@ object RelQueries extends QueryCatalog {
       |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q227
+  /** CONVERSION-LATENCY histogram — q118 reports WHETHER users
+    * convert; this reports HOW LONG it takes: per user, the gap from
+    * first view to the first purchase at-or-after it, binned into
+    * exact power-of-two minute buckets (length(bin(minutes)); bucket
+    * 0 = same-minute), with share and cumulative share in exact ppm.
+    * The cum_ppm column read at a candidate attribution window IS the
+    * coverage that window buys — this table is how q211's 7-day
+    * lookback gets justified instead of guessed.
+    *
+    * Scale shape: two conditional-min aggregates over one user-keyed
+    * exchange (q118's first-occurrence discipline — the purchase min
+    * is conditioned on ts ≥ first_view via a join that reuses the
+    * user partitioning), then a ≤~30-cell bucket aggregate and a
+    * bucket-count-sized running window. Raw events never enter a
+    * window. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.core.ScratchCache.persist(
+      Tables.events(s, dir).select($"user_id", $"event_type", $"ts"))
+    val fv = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("first_view"))
+    val fp = ev.filter($"event_type" === "purchase")
+      .join(fv, "user_id")
+      .filter($"ts" >= $"first_view")
+      .groupBy($"user_id").agg(min($"ts").as("first_purchase"),
+        min($"first_view").as("first_view"))
+    val lat = fp.select(
+      ((unix_millis($"first_purchase") - unix_millis($"first_view")) / lit(60000L))
+        .cast("long").as("mins"))
+    val buckets = lat
+      .select(when($"mins" <= 0L, 0L)
+        .otherwise(length(bin($"mins")).cast("long")).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_users"))
+    val tot = buckets.agg(sum($"n_users").as("n_conv"))
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("cum", sum($"n_users").over(
+        Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .selectExpr("bucket", "n_users",
+        "CAST(n_users * 1000000 DIV n_conv AS BIGINT) AS share_ppm",
+        "CAST(cum * 1000000 DIV n_conv AS BIGINT) AS cum_ppm")
+      .orderBy($"bucket")
+  }
+  private val q227Sql =
+    """WITH fv AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id
+      |), fp AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS first_purchase,
+      |    min(fv.first_view) AS first_view
+      |  FROM events e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= fv.first_view
+      |  GROUP BY e.user_id
+      |), lat AS (
+      |  SELECT (epoch_ms(first_purchase) - epoch_ms(first_view)) // 60000 AS mins FROM fp
+      |), b AS (
+      |  SELECT CASE WHEN mins <= 0 THEN 0 ELSE length(bin(mins)) END AS bucket,
+      |    count(*) AS n_users
+      |  FROM lat GROUP BY 1
+      |), t AS (SELECT sum(n_users) AS n_conv FROM b)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_users * 1000000 // n_conv AS BIGINT) AS share_ppm,
+      |  CAST(sum(n_users) OVER (ORDER BY bucket
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // n_conv AS BIGINT) AS cum_ppm
+      |FROM b, t ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q228
+  /** REFERENTIAL-INTEGRITY audit — the FK orphan scan a warehouse
+    * runs on every load before trusting joins: per FK edge, child
+    * rows whose parent key is missing (orphans), in count, exact ppm,
+    * and distinct missing parents (one deleted parent vs scattered
+    * corruption — different incidents). An inner join silently DROPS
+    * orphans (q03's revenue would just be missing rows); this table
+    * is how that loss is detected instead of shipped. The fixture's
+    * FKs are clean, so damage is PLANTED on an md5 carve of the
+    * lineitem→orders edge (key pushed out of the parent domain); the
+    * oracle replays the plant, so the two clean edges staying at
+    * exactly 0 is part of the hash.
+    *
+    * Scale shape: each edge is one LEFT join on its key (the planner
+    * broadcasts the small parent sides) with counting done in the
+    * aggregate — no orphan rows materialize; output is 3 rows. */
+  private val q228SelSql =
+    "substring(md5(concat('fk|', CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))), 1, 1) < '2'"
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame =
+      child.join(parent.select(col(pk).as("__pk"), lit(1).as("hit")),
+          child(ck) === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan"),
+          countDistinct(when(col("hit").isNull, col(ck))).as("n_missing_parents"))
+        .selectExpr(s"'$name' AS fk_edge", "n_child", "n_orphan", "n_missing_parents")
+    val li = Tables.lineitem(s, dir)
+    val liDamaged = li.selectExpr(
+      s"CASE WHEN $q228SelSql THEN l_orderkey + 1000000000L ELSE l_orderkey END AS k",
+      "l_partkey")
+    edge("lineitem_orders", liDamaged, "k", Tables.orders(s, dir), "o_orderkey")
+      .union(edge("lineitem_part", li, "l_partkey", Tables.part(s, dir), "p_partkey"))
+      .union(edge("orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .selectExpr("fk_edge", "n_child", "n_orphan",
+        "CAST(n_orphan * 1000000 DIV n_child AS BIGINT) AS orphan_ppm",
+        "n_missing_parents")
+      .orderBy($"fk_edge")
+  }
+  private val q228Sql =
+    s"""WITH lo AS (
+       |  SELECT CASE WHEN ${q228SelSql.replace("concat('fk|', CAST(l_orderkey AS STRING), '|', CAST(l_linenumber AS STRING))", "'fk|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")}
+       |    THEN l_orderkey + 1000000000 ELSE l_orderkey END AS k
+       |  FROM lineitem
+       |), e1 AS (
+       |  SELECT 'lineitem_orders' AS fk_edge, count(*) AS n_child,
+       |    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphan,
+       |    count(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN lo.k END) AS n_missing_parents
+       |  FROM lo LEFT JOIN orders o ON lo.k = o.o_orderkey
+       |), e2 AS (
+       |  SELECT 'lineitem_part', count(*), count(*) FILTER (WHERE p.p_partkey IS NULL),
+       |    count(DISTINCT CASE WHEN p.p_partkey IS NULL THEN l.l_partkey END)
+       |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       |), e3 AS (
+       |  SELECT 'orders_customer', count(*), count(*) FILTER (WHERE c.c_custkey IS NULL),
+       |    count(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
+       |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       |)
+       |SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+       |  CAST(n_orphan AS BIGINT) AS n_orphan,
+       |  CAST(n_orphan * 1000000 // n_child AS BIGINT) AS orphan_ppm,
+       |  CAST(n_missing_parents AS BIGINT) AS n_missing_parents
+       |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+       |ORDER BY fk_edge""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_stickiness" -> q225,
+    "q227_conversion_latency" -> q227,
+    "q228_fk_integrity" -> q228,
     "q01_pricing_summary" -> q01,
     "q02_filter_project" -> q02,
     "q03_join_star_revenue" -> q03,
@@ -1809,6 +1945,8 @@ object RelQueries extends QueryCatalog {
 
   val oracleSql: Map[String, String] = Map(
     "q225_stickiness" -> q225Sql,
+    "q227_conversion_latency" -> q227Sql,
+    "q228_fk_integrity" -> q228Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_star_revenue" -> q03Sql,
