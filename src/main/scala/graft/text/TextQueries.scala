@@ -3558,8 +3558,58 @@ object TextQueries extends QueryCatalog {
        |  CAST(sum(abs(scnt * 1000000 // n_src - cnt * 1000000 // n_all)) AS BIGINT) AS l1_ppm
        |FROM grid GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  /** SCORE–LENGTH confounder audit — the calibration check run before
+    * a quality classifier is allowed to gate a corpus: per
+    * power-of-two token-count bucket, doc count, token mass, raw
+    * score mass, and the score PER TOKEN in exact milli-units. A
+    * per-token score that trends with the bucket means the
+    * "quality" signal is partly a LENGTH signal — gating on it
+    * silently reshapes the length distribution (and with it topic
+    * and source mix), the classic curation artifact this table
+    * catches before q105/q170 thresholds bake it in.
+    *
+    * The per-token mean divides a possibly-NEGATIVE score mass —
+    * verified on this DuckDB vintage (v1.0.0) that BIGINT `//`
+    * TRUNCATES toward zero exactly like Spark's integral DIV
+    * (−2096000 // 279 = −7512 on both engines; the floor/truncation
+    * divergence the catalog avoids elsewhere applies to other type
+    * combinations, not BIGINT//BIGINT), so one plain DIV is
+    * hash-exact here and ConfounderSpec pins the negative-mass case.
+    *
+    * Scale shape: scoring is the one codegen'd scan q96/q176 share;
+    * the histogram is ONE ≤~40-cell bucket exchange with O(1) sums. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 1)
+      .select(size($"toks").cast("long").as("n_toks"), expr(scoreExpr).as("score"))
+      .groupBy(length(bin($"n_toks")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("sum_tokens"),
+        sum($"score").as("sum_score"))
+      .selectExpr("bucket", "n_docs", "sum_tokens", "sum_score",
+        "CAST(sum_score * 1000 DIV sum_tokens AS BIGINT) AS score_milli_per_token")
+      .orderBy($"bucket")
+  }
+  private val q230Sql =
+    s"""WITH d AS (
+       |  SELECT len(toks) AS n_toks, $scoreSql AS score
+       |  FROM (SELECT $toksSql AS toks FROM documents) WHERE len(toks) >= 1
+       |), b AS (
+       |  SELECT CAST(length(bin(n_toks)) AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       |    CAST(sum(score) AS BIGINT) AS sum_score
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT bucket, n_docs, sum_tokens, sum_score,
+       |  CAST(sum_score * 1000 // sum_tokens AS BIGINT) AS score_milli_per_token
+       |FROM b ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_stopword_divergence" -> q220,
+    "q230_score_length_confounder" -> q230,
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
     "q32_ngrams" -> q32,
@@ -3620,6 +3670,7 @@ object TextQueries extends QueryCatalog {
 
   val oracleSql: Map[String, String] = Map(
     "q220_stopword_divergence" -> q220Sql,
+    "q230_score_length_confounder" -> q230Sql,
     "q30_wordcount" -> q30Sql,
     "q31_inverted_index" -> q31Sql,
     "q32_ngrams" -> q32Sql,
