@@ -3607,9 +3607,102 @@ object TextQueries extends QueryCatalog {
        |  CAST(sum_score * 1000 // sum_tokens AS BIGINT) AS score_milli_per_token
        |FROM b ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+  /** PADDING-WASTE audit — the FLOPs bill q85's length bucketing
+    * exists to cut, measured instead of asserted: under pad-to-longest
+    * batching (batch capacity = n_docs × max_len), the padded token
+    * mass, payload mass, and waste ppm per scheme — q85's
+    * length-bucketed batches side by side with the UNBUCKETED
+    * baseline (same 32-doc batches, same shards, no length grouping).
+    * Every padding token is a trained-but-empty position; the delta
+    * between the two schemes' waste_ppm is dynamic batching's
+    * measured savings, the number that justifies the extra layout
+    * pass before a 100 TB training run.
+    *
+    * Scale shape: q85's exact anti-serialization shape twice — the
+    * batch windows partition by (bucket, shard) / (shard) with the
+    * derived shard count keeping every window partition ≈ constant;
+    * the per-batch reduction is an O(1)-state hash aggregate and the
+    * scheme roll-up is ≤ ~40 cells. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sized = ScratchCache.persist(
+      Tables.documents(s, dir)
+        .select($"doc_id", size(expr(toksExpr)).cast("long").as("n_toks"))
+        .filter($"n_toks" > 0))
+    val n = sized.agg(greatest(lit(1L),
+      ceil(count(lit(1)).cast("double") / lit(TargetShardDocs.toDouble))).as("n_shards"))
+    val base = sized.crossJoin(broadcast(n))
+      .withColumn("bucket", length(bin($"n_toks")).cast("long"))
+      .withColumn("shard", $"doc_id" % $"n_shards")
+    def audit(scheme: String, partCols: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(partCols.map(col): _*).orderBy($"doc_id")
+      val withBucket =
+        if (partCols.contains("bucket")) base else base.withColumn("bucket", lit(0L))
+      withBucket
+        .withColumn("batch_no", floor((row_number().over(w) - 1) / 32).cast("long"))
+        .groupBy($"bucket", $"shard", $"batch_no")
+        .agg(count(lit(1)).as("n_docs"), max($"n_toks").as("mx"), sum($"n_toks").as("payload"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_batches"), sum($"n_docs").as("n_docs"),
+          sum($"payload").as("payload_tokens"),
+          sum($"n_docs" * $"mx").as("padded_tokens"))
+        .selectExpr(s"'$scheme' AS scheme", "bucket", "n_batches", "n_docs",
+          "payload_tokens", "padded_tokens",
+          "CAST((padded_tokens - payload_tokens) * 1000000 DIV padded_tokens AS BIGINT) AS waste_ppm")
+    }
+    audit("bucketed", Seq("bucket", "shard"))
+      .union(audit("unbucketed", Seq("shard")))
+      .orderBy($"scheme", $"bucket")
+  }
+  private val q232Sql =
+    s"""WITH sized AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents WHERE len($toksSql) > 0
+       |),
+       |n AS (
+       |  SELECT greatest(1, CAST(ceil(count(*) / $TargetShardDocs.0) AS BIGINT)) AS n_shards
+       |  FROM sized
+       |),
+       |base AS (
+       |  SELECT doc_id, n_toks, CAST(length(bin(n_toks)) AS BIGINT) AS bucket,
+       |    doc_id % n.n_shards AS shard
+       |  FROM sized, n
+       |),
+       |bk AS (
+       |  SELECT bucket, shard,
+       |    CAST(floor((row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1) / 32) AS BIGINT) AS batch_no,
+       |    n_toks
+       |  FROM base
+       |),
+       |ub AS (
+       |  SELECT CAST(0 AS BIGINT) AS bucket, shard,
+       |    CAST(floor((row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1) / 32) AS BIGINT) AS batch_no,
+       |    n_toks
+       |  FROM base
+       |),
+       |agg AS (
+       |  SELECT 'bucketed' AS scheme, bucket, shard, batch_no,
+       |    count(*) AS n_docs, max(n_toks) AS mx, sum(n_toks) AS payload
+       |  FROM bk GROUP BY bucket, shard, batch_no
+       |  UNION ALL
+       |  SELECT 'unbucketed', bucket, shard, batch_no,
+       |    count(*), max(n_toks), sum(n_toks)
+       |  FROM ub GROUP BY bucket, shard, batch_no
+       |)
+       |SELECT scheme, bucket, CAST(count(*) AS BIGINT) AS n_batches,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(payload) AS BIGINT) AS payload_tokens,
+       |  CAST(sum(n_docs * mx) AS BIGINT) AS padded_tokens,
+       |  CAST((sum(n_docs * mx) - sum(payload)) * 1000000 // sum(n_docs * mx) AS BIGINT) AS waste_ppm
+       |FROM agg GROUP BY scheme, bucket
+       |ORDER BY scheme, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_stopword_divergence" -> q220,
     "q230_score_length_confounder" -> q230,
+    "q232_padding_waste" -> q232,
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
     "q32_ngrams" -> q32,
@@ -3671,6 +3764,7 @@ object TextQueries extends QueryCatalog {
   val oracleSql: Map[String, String] = Map(
     "q220_stopword_divergence" -> q220Sql,
     "q230_score_length_confounder" -> q230Sql,
+    "q232_padding_waste" -> q232Sql,
     "q30_wordcount" -> q30Sql,
     "q31_inverted_index" -> q31Sql,
     "q32_ngrams" -> q32Sql,
