@@ -3699,10 +3699,111 @@ object TextQueries extends QueryCatalog {
        |FROM agg GROUP BY scheme, bucket
        |ORDER BY scheme, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q233
+  /** CHUNK-BOUNDARY STABILITY under edits — CDC's selling point
+    * (q91's scaladoc asserts it; this measures it): an md5-carved 25%
+    * of docs receive a one-token INSERTION near the start (the
+    * worst-case edit position — everything after it shifts), both
+    * versions are chunked under q91's content gate AND under a
+    * fixed-stride-8 control, and each scheme reports how many of the
+    * original chunks survive the edit byte-identically. CDC
+    * resynchronizes at the next content gate, so survival is high;
+    * fixed stride shifts every block after the edit, so survival
+    * collapses — the measured gap IS the reason chunk-level dedup
+    * (q91) uses content-defined boundaries at 100 TB, where every
+    * recrawl is an edited near-copy.
+    *
+    * Scale shape: purely per-doc array arithmetic on one scan (both
+    * chunkings of both versions are HOF expressions over the same
+    * token array — no shuffle touches chunk payloads); ONE 2-cell
+    * scheme roll-up. */
+  private val q233EditSql =
+    "substring(md5(concat('edit|', CAST(doc_id AS STRING))), 1, 1) < '4'"
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def starts(t: String) =
+      s"concat(array(1), filter(sequence(5, greatest(size($t), 5)), " +
+        s"p -> p <= size($t) AND substr(md5(concat_ws(' ', slice($t, p - 4, 4))), 1, 1) = '0'))"
+    def cdc(t: String, st: String, en: String) =
+      s"zip_with($st, $en, (st, en) -> md5(concat_ws(' ', slice($t, st, en - st))))"
+    def stride(t: String) =
+      s"transform(sequence(0, (size($t) + 7) DIV 8 - 1), i -> md5(concat_ws(' ', slice($t, i * 8 + 1, 8))))"
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", expr(toksExpr).as("toks"))
+      .filter(size($"toks") >= 12 && expr(q233EditSql))
+      .withColumn("toks_e",
+        expr("concat(slice(toks, 1, 3), array('zzedit'), slice(toks, 4, size(toks) - 3))"))
+      .withColumn("st_o", expr(starts("toks")))
+      .withColumn("st_e", expr(starts("toks_e")))
+      .withColumn("en_o", expr("concat(slice(st_o, 2, size(st_o) - 1), array(size(toks) + 1))"))
+      .withColumn("en_e", expr("concat(slice(st_e, 2, size(st_e) - 1), array(size(toks_e) + 1))"))
+      .select(
+        expr(s"array_distinct(${cdc("toks", "st_o", "en_o")})").as("cdc_o"),
+        expr(s"array_distinct(${cdc("toks_e", "st_e", "en_e")})").as("cdc_e"),
+        expr(s"array_distinct(${stride("toks")})").as("str_o"),
+        expr(s"array_distinct(${stride("toks_e")})").as("str_e"))
+      .selectExpr(
+        "CAST(size(cdc_o) AS BIGINT) AS cdc_n",
+        "CAST(size(array_intersect(cdc_o, cdc_e)) AS BIGINT) AS cdc_shared",
+        "CAST(size(str_o) AS BIGINT) AS str_n",
+        "CAST(size(array_intersect(str_o, str_e)) AS BIGINT) AS str_shared")
+    base
+      .selectExpr("stack(2, 'cdc', cdc_n, cdc_shared, 'stride8', str_n, str_shared) AS (scheme, n, shared)")
+      .groupBy($"scheme")
+      .agg(count(lit(1)).as("n_docs_edited"), sum($"n").as("chunks_orig"),
+        sum($"shared").as("chunks_survived"))
+      .selectExpr("scheme", "n_docs_edited", "chunks_orig", "chunks_survived",
+        "CAST(chunks_survived * 1000000 DIV chunks_orig AS BIGINT) AS survival_ppm")
+      .orderBy($"scheme")
+  }
+  private val q233Sql = {
+    def starts(t: String) =
+      s"list_concat([1], list_filter(generate_series(5, len($t)), " +
+        s"p -> substr(md5(array_to_string(list_slice($t, p - 4, p - 1), ' ')), 1, 1) = '0'))"
+    def stride(t: String) =
+      s"list_transform(generate_series(0, (len($t) + 7) // 8 - 1), i -> md5(array_to_string(list_slice($t, i * 8 + 1, i * 8 + 8), ' ')))"
+    s"""WITH t AS (
+       |  SELECT doc_id, toks,
+       |    list_concat(list_concat(list_slice(toks, 1, 3), ['zzedit']), list_slice(toks, 4, len(toks))) AS toks_e
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) >= 12 AND ${q233EditSql.replace("concat('edit|', CAST(doc_id AS STRING))", "'edit|' || CAST(doc_id AS VARCHAR)")}
+       |), st AS (
+       |  SELECT doc_id, toks, toks_e,
+       |    ${starts("toks")} AS st_o, ${starts("toks_e")} AS st_e
+       |  FROM t
+       |), x AS (
+       |  SELECT doc_id, toks, toks_e, st_o, st_e,
+       |    list_concat(list_slice(st_o, 2, len(st_o)), [len(toks) + 1]) AS en_o,
+       |    list_concat(list_slice(st_e, 2, len(st_e)), [len(toks_e) + 1]) AS en_e
+       |  FROM st
+       |), h AS (
+       |  SELECT
+       |    list_distinct(list_transform(generate_series(1, len(st_o)),
+       |      k -> md5(array_to_string(list_slice(toks, st_o[k], en_o[k] - 1), ' ')))) AS cdc_o,
+       |    list_distinct(list_transform(generate_series(1, len(st_e)),
+       |      k -> md5(array_to_string(list_slice(toks_e, st_e[k], en_e[k] - 1), ' ')))) AS cdc_e,
+       |    list_distinct(${stride("toks")}) AS str_o,
+       |    list_distinct(${stride("toks_e")}) AS str_e
+       |  FROM x
+       |), rows_ AS (
+       |  SELECT 'cdc' AS scheme, CAST(len(cdc_o) AS BIGINT) AS n,
+       |    CAST(len(list_intersect(cdc_o, cdc_e)) AS BIGINT) AS shared FROM h
+       |  UNION ALL
+       |  SELECT 'stride8', CAST(len(str_o) AS BIGINT),
+       |    CAST(len(list_intersect(str_o, str_e)) AS BIGINT) FROM h
+       |)
+       |SELECT scheme, CAST(count(*) AS BIGINT) AS n_docs_edited,
+       |  CAST(sum(n) AS BIGINT) AS chunks_orig,
+       |  CAST(sum(shared) AS BIGINT) AS chunks_survived,
+       |  CAST(sum(shared) * 1000000 // sum(n) AS BIGINT) AS survival_ppm
+       |FROM rows_ GROUP BY scheme ORDER BY scheme""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q220_stopword_divergence" -> q220,
     "q230_score_length_confounder" -> q230,
     "q232_padding_waste" -> q232,
+    "q233_chunk_stability" -> q233,
     "q30_wordcount" -> q30,
     "q31_inverted_index" -> q31,
     "q32_ngrams" -> q32,
@@ -3765,6 +3866,7 @@ object TextQueries extends QueryCatalog {
     "q220_stopword_divergence" -> q220Sql,
     "q230_score_length_confounder" -> q230Sql,
     "q232_padding_waste" -> q232Sql,
+    "q233_chunk_stability" -> q233Sql,
     "q30_wordcount" -> q30Sql,
     "q31_inverted_index" -> q31Sql,
     "q32_ngrams" -> q32Sql,
