@@ -99,17 +99,44 @@ object Canary {
     }
 
     def r3(d: Double) = math.rint(d * 1000) / 1000
+    // Baseline stamps are only comparable under the SAME settings: a
+    // stamp taken at sf0.1 read against an sf1 run would flag every
+    // canary DRIFT against the wrong floor. Parse the stamp's own
+    // sf/runs/band and refuse (→ no_baseline) on an sf mismatch; a
+    // runs/band difference only warps the floor mildly, so it is
+    // surfaced as a warning in the output JSON rather than discarded.
+    var baselineNote = ""
     val baseline: Map[String, Double] =
       if (stamp) Map.empty
       else {
         val p = java.nio.file.Paths.get(basePath)
         if (!java.nio.file.Files.exists(p)) Map.empty
         else {
-          // flat {"queries":{"name":secs,...}} — parse with a regex,
-          // no JSON dep in the build
+          // flat {"sf":...,"runs":N,"band":B,"queries":{"name":secs,..}}
+          // — parse with regexes, no JSON dep in the build (the query
+          // regex only matches q-prefixed keys, so the meta fields
+          // never collide with it)
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          raw""""(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
-            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val stampSf = raw""""sf"\s*:\s*"([^"]*)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          val stampRuns = raw""""runs"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toInt)
+          val stampBand = raw""""band"\s*:\s*([0-9.]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          if (stampSf.exists(_ != sfDir)) {
+            baselineNote =
+              s""","baseline_mismatch":"stamped at sf=${stampSf.get}, running sf=$sfDir -- verdicts downgraded to no_baseline""""
+            Map.empty
+          } else {
+            val warns = Seq(
+              stampRuns.filter(_ != runs).map(r => s"stamped runs=$r, running runs=$runs"),
+              stampBand.filter(_ != DriftBand).map(b => s"stamped band=$b, judging with band=$DriftBand")
+            ).flatten
+            if (warns.nonEmpty)
+              baselineNote = s""","baseline_warning":"${warns.mkString("; ")}""""
+            raw""""(q\d+[a-z0-9_]*)"\s*:\s*([0-9.]+)""".r
+              .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
         }
       }
 
@@ -133,7 +160,7 @@ object Canary {
     }
     val drifted = floors.count { case (n, s) =>
       baseline.get(n).exists(bb => s > bb * DriftBand) }
-    println(s"""{"metric":"canary","sf":"$sfDir","runs":$runs,"band":$DriftBand,"stamped":$stamp,"n_drift":$drifted,"queries":{$perQ}}""")
+    println(s"""{"metric":"canary","sf":"$sfDir","runs":$runs,"band":$DriftBand,"stamped":$stamp$baselineNote,"n_drift":$drifted,"queries":{$perQ}}""")
     spark.stop()
   }
 }

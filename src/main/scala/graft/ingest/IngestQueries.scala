@@ -1332,7 +1332,14 @@ object IngestQueries extends QueryCatalog {
     * Scale shape: license classification and token counting are
     * MAP-SIDE on the scan; ONE (license, lang) exchange with O(1) sum
     * state (≤ 4×|langs| cells at any corpus size) plus a broadcast
-    * single-row token total. */
+    * single-row token total.
+    *
+    * Headroom: `n_tokens * 1000000` is BIGINT — exact while a cell
+    * holds < 2^63/1e6 ≈ 9.2e12 tokens (~37 TB of text at ~4 B/token —
+    * under the 100 TB design point). Spark would WRAP silently past
+    * that where DuckDB errors, so the 100 TB path widens the product
+    * to DECIMAL(38,0)/HUGEINT before the multiply (q214's
+    * discipline) — same plan, one cast. */
   private def q221(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lic = """CASE

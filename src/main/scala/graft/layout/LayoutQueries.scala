@@ -1042,7 +1042,14 @@ object LayoutQueries extends QueryCatalog {
     * Scale shape: the hash, byte and token counts are computed
     * MAP-SIDE on the scan; ONE 16-cell (shard) exchange with O(1) sum
     * state, plus a broadcast single-row total. Byte arithmetic runs
-    * octet_length(encode(text)) on BOTH engines (the q212 rule). */
+    * octet_length(encode(text)) on BOTH engines (the q212 rule).
+    *
+    * Headroom: `n_bytes * 16 * 1e6` is BIGINT — exact while a shard
+    * holds < 2^63/1.6e7 ≈ 5.8e11 bytes (~0.58 TB/shard; ~9 TB corpus
+    * at K=16). Spark would WRAP silently past that where DuckDB
+    * errors, so the 100 TB path widens the product to
+    * DECIMAL(38,0)/HUGEINT before the multiply (q214's discipline) —
+    * same plan, one cast. */
   private val ShardK = 16
   private def q215(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
