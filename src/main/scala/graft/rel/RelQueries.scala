@@ -1633,35 +1633,52 @@ object RelQueries extends QueryCatalog {
     * Scale shape: ONE shuffle on the high-cardinality user key; each
     * task sorts only its users' timelines, the frame is time-bounded.
     * The roll-up is (model, touch_type) — O(1) cells. */
-  private def q211(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val SevenDaysUs = 604800000000L
-    val w = Window.partitionBy($"user_id").orderBy($"tu")
-      .rangeBetween(-SevenDaysUs, 0L)
+  /** Per-purchase attribution CREDIT LEDGER — q211's intermediate at
+    * purchase granularity, shared (package-private) with the streaming
+    * twin q235 and its convergence spec: for each purchase, the
+    * first/last touch type in the trailing window plus the exact
+    * integer credit. The window frame, encoded-key argmin/argmax, miss
+    * path and millis discipline are exactly q211's (scaladoc above). */
+  private[graft] def attributionCredits(events: DataFrame,
+                                        windowDays: Int = 7): DataFrame = {
+    val windowUs = windowDays * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tu"))
+      .rangeBetween(-windowUs, 0L)
     val enc = expr("""CASE WHEN event_type IN ('click', 'view')
       |  THEN concat(lpad(CAST(tu AS STRING), 20, '0'), '|',
       |              lpad(CAST(event_id AS STRING), 12, '0'), '|', event_type)
       |END""".stripMargin)
-    val scored = Tables.events(s, dir)
-      .select($"event_id", $"user_id", $"event_type", $"value",
-        unix_micros($"ts").as("tu"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("tu"))
       .withColumn("first_enc", min(enc).over(w))
       .withColumn("last_enc", max(enc).over(w))
-      .filter($"event_type" === "purchase")
-      .selectExpr(
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id AS purchase_id",
         "coalesce(element_at(split(first_enc, '\\\\|'), 3), '(none)') AS first_touch",
         "coalesce(element_at(split(last_enc, '\\\\|'), 3), '(none)') AS last_touch",
         "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_milli")
-    val cached = graft.core.ScratchCache.persist(scored)
+  }
+
+  /** (model, touch_type) roll-up over an [[attributionCredits]]-shaped
+    * frame — q211's report stage, shared with the streaming spec so
+    * the streamed ledger can be rolled up by the same code. */
+  private[graft] def attributionRollup(credits: DataFrame): DataFrame = {
+    val cached = graft.core.ScratchCache.persist(
+      credits.select(col("first_touch"), col("last_touch"), col("value_milli")))
     def roll(model: String, c: String) = cached
       .groupBy(col(c).as("touch_type"))
-      .agg(count(lit(1)).as("n_conversions"), sum($"value_milli").as("value_milli"))
+      .agg(count(lit(1)).as("n_conversions"), sum(col("value_milli")).as("value_milli"))
       .withColumn("model", lit(model))
     roll("first_touch", "first_touch")
       .unionByName(roll("last_touch", "last_touch"))
-      .select($"model", $"touch_type", $"n_conversions", $"value_milli")
-      .orderBy($"model", $"touch_type")
+      .select(col("model"), col("touch_type"), col("n_conversions"), col("value_milli"))
+      .orderBy(col("model"), col("touch_type"))
   }
+
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    attributionRollup(attributionCredits(Tables.events(s, dir)))
+
   private val q211Sql =
     """WITH e AS (
       |  SELECT event_id, user_id, event_type, value,

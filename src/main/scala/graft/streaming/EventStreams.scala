@@ -418,4 +418,108 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming first/last-touch ATTRIBUTION — the continuous twin of
+    * q211's batch credit table (q235 is the oracle-checked batch
+    * formulation): each purchase is credited to the FIRST and LAST
+    * touch (click/view) in that user's trailing `windowDays` window,
+    * emitted as one ledger row (user_id, purchase_id, first_touch,
+    * last_touch, value_milli) ONCE — when the watermark passes the
+    * purchase's event time, the point where no in-watermark touch at
+    * or before it can still arrive. Purchases with no touch in the
+    * window credit '(none)' (q211's miss path); credit is exact
+    * integer millis, floor half-up, identical to the batch twin.
+    *
+    * Convergence, the property AttributionStreamSpec pins: first/last
+    * over a time-bounded set are order-independent argmin/argmax
+    * accumulators (the encoded (tu, event_id) key is a total order),
+    * so however arrivals split or reorder across micro-batches —
+    * including a late-but-in-watermark touch arriving after the
+    * purchase — the emitted ledger is EXACTLY the batch twin's, and
+    * its roll-up is exactly q211's report. Emission never fires early
+    * (the q139 emit-once discipline): a purchase is held in state
+    * until the EventTimeTimeout confirms its trailing window can no
+    * longer change.
+    *
+    * State per live user: touches inside the trailing horizon
+    * (pruned each firing to tu ≥ min(live purchase, watermark) −
+    * window — nothing older can enter any still-finalizable window)
+    * plus the pending purchases (held only until the watermark passes
+    * their event time, i.e. at most the watermark delay). Both are
+    * bounded by event RATE × horizon, never by history; a drained
+    * user's state is removed entirely. At 100 TB/day the state store
+    * holds (touches in 7 days + purchases in the watermark horizon)
+    * per ACTIVE user — the same bound the batch window pays per task,
+    * made incremental.
+    *
+    * A NULL purchase `value` is carried as a Long.MinValue sentinel in
+    * state and emitted as NULL value_milli (the batch twin's NULL
+    * floor) — boxed nulls don't survive tuple state encoding. */
+  def attributionStream(events: DataFrame, windowDays: Int = 7,
+                        watermark: String = "30 minutes")
+      : Dataset[(Long, Long, String, String, java.lang.Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowDays > 0, "windowDays must be positive")
+    val WindowUs = windowDays * 86400L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    // watermarked ts column must reach the stateful operator (the
+    // quotaStream note); value travels as boxed Double so NULLs survive
+    val withTime = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(java.sql.Timestamp, Long, String, Long, java.lang.Double)]
+    // state: (touches (tu, id, type), pending purchases (tu, id, milli))
+    withTime
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(java.sql.Timestamp, Long, String, Long, java.lang.Double)],
+         state: GroupState[(List[(Long, Long, String)], List[(Long, Long, Long)])]) =>
+          val (touches0, pending0) = state.getOption.getOrElse((Nil, Nil))
+          // watermark the engine used to late-filter THIS batch: every
+          // incoming row has tu >= wmUs, so a pending purchase with
+          // pt < wmUs can never gain another in-window touch — final
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var touches = touches0
+          var pending = pending0
+          if (!state.hasTimedOut) batch.foreach { case (ts, _, et, id, v) =>
+            val tu = micros(ts)
+            et match {
+              case "click" | "view" => touches = (tu, id, et) :: touches
+              case "purchase" =>
+                val milli = if (v == null) Long.MinValue
+                            else math.floor(v * 1000 + 0.5).toLong
+                pending = (tu, id, milli) :: pending
+              case _ => ()
+            }
+          }
+          val (done, live) = pending.partition(_._1 < wmUs)
+          val out = done.sortBy(p => (p._1, p._2)).map { case (pt, pid, milli) =>
+            val win = touches.filter(t => t._1 >= pt - WindowUs && t._1 <= pt)
+            val first = if (win.isEmpty) "(none)" else win.minBy(t => (t._1, t._2))._3
+            val last = if (win.isEmpty) "(none)" else win.maxBy(t => (t._1, t._2))._3
+            (user, pid, first, last,
+              if (milli == Long.MinValue) null else java.lang.Long.valueOf(milli))
+          }
+          // prune: future purchases arrive at tu >= wmUs, so no touch
+          // below min(live, wm) - window can enter any window again
+          val floorTu = (wmUs :: live.map(_._1)).min - WindowUs
+          touches = touches.filter(_._1 >= floorTu)
+          if (touches.isEmpty && live.isEmpty) state.remove()
+          else {
+            state.update((touches, live))
+            // wake when the earliest pending purchase becomes final, or
+            // when the oldest touch ages out (so touch-only state
+            // drains); floored just above the current watermark (a
+            // timeout at/below it throws — the quotaStream note)
+            val targetUs =
+              if (live.nonEmpty) live.map(_._1).min + 1000L
+              else touches.map(_._1).min + WindowUs + 1000L
+            state.setTimeoutTimestamp(math.max(targetUs, wmUs + 1000000L) / 1000L)
+          }
+          out.iterator
+      }
+  }
 }

@@ -546,7 +546,57 @@ object StreamQueries extends QueryCatalog {
       |FROM sess GROUP BY conv, last_type
       |ORDER BY converted, last_type""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+  /** Batch twin of the streaming attribution ledger
+    * ([[EventStreams.attributionStream]]): the per-purchase credit
+    * table — for every purchase, the first/last touch type in the
+    * trailing 7-day window and the exact integer credit. In batch the
+    * credit rule IS q211's trailing-RANGE window argmin/argmax at
+    * purchase granularity ([[graft.rel.RelQueries.attributionCredits]]
+    * — the SAME code q211 rolls up, so ledger and report can never
+    * disagree); the streaming-only behavior — emit-once when the
+    * watermark passes the purchase, horizon-bounded touch state,
+    * late-but-in-watermark touches still landing in an unemitted
+    * purchase's window, convergence of the ledger AND of its q211
+    * roll-up under shuffled replay — is AttributionStreamSpec's job.
+    *
+    * Scale shape: q211's exactly — ONE user-keyed exchange, time-
+    * bounded frames, purchase-granularity output (≈|purchases| rows,
+    * the ledger a downstream revenue system joins on purchase_id). */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.rel.RelQueries.attributionCredits(Tables.events(s, dir))
+      .orderBy($"purchase_id")
+  }
+  private val q235Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS tu
+      |  FROM events
+      |), enc AS (
+      |  SELECT *,
+      |    CASE WHEN event_type IN ('click', 'view')
+      |      THEN lpad(CAST(tu AS VARCHAR), 20, '0') || '|' ||
+      |           lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+      |    END AS tenc
+      |  FROM e
+      |), scored AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    min(tenc) OVER w AS first_enc,
+      |    max(tenc) OVER w AS last_enc
+      |  FROM enc
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tu
+      |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, event_id AS purchase_id,
+      |  coalesce(str_split(first_enc, '|')[3], '(none)') AS first_touch,
+      |  coalesce(str_split(last_enc, '|')[3], '(none)') AS last_touch,
+      |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS value_milli
+      |FROM scored WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_attribution_ledger" -> q235,
     "q218_session_abandonment" -> q218,
     "q60_stream_tumbling" -> q60,
     "q61_stream_sliding" -> q61,
@@ -564,6 +614,7 @@ object StreamQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q235_attribution_ledger" -> q235Sql,
     "q218_session_abandonment" -> q218Sql,
     "q60_stream_tumbling" -> q60Sql,
     "q61_stream_sliding" -> q61Sql,
