@@ -20,9 +20,11 @@ class MediaIntegritySpec extends SparkTestBase {
 
   test("q212 equals the JVM replay; verdicts are exactly the carve; matrix tiles") {
     assume(fixture)
+    // declared payload length replayed from Multimodal.syntheticMedia's
+    // contract: (8 + id%25) md5 blocks of 16 bytes, trimmed by id%7
     val docs = graft.core.Tables.documents(spark, dir)
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length.toLong))
+      .select("doc_id").collect()
+      .map(r => (r.getLong(0), (8 + r.getLong(0) % 25) * 16 - r.getLong(0) % 7))
     val perDoc = docs.map { case (id, n) =>
       val mt = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
       val actual =
