@@ -1293,7 +1293,64 @@ object LayoutQueries extends QueryCatalog {
       |  CAST(abs(CAST(rows_a AS HUGEINT) * rows_b // greatest(ndv_a, ndv_b) - actual) * 1000000 // actual AS BIGINT) AS err_ppm
       |FROM st ORDER BY join_name""".stripMargin
 
+  // ---------------------------------------------------------------- q238
+  /** APPROXIMATE column statistics — the 100 TB form q217's scaladoc
+    * promises: the same single-scan ANALYZE pass with the exact
+    * multi-column count(DISTINCT) swapped for HLL++ sketches
+    * (approx_count_distinct, rsd 0.05). The exact form pays Spark's
+    * Expand-based multi-distinct plan — a ×6 row expansion of the
+    * whole scan (q217 is the catalog's slowest query at 8–10 s for
+    * exactly this reason); sketches collapse that to ONE pass with six
+    * O(kB) accumulators and NO Expand (ApproxStatsSpec pins the plan
+    * difference literally), which is the only shape that survives a
+    * 100 TB ANALYZE.
+    *
+    * No DuckDB oracle BY DESIGN (q25's discipline): DuckDB's
+    * approx_distinct is a different sketch, so the twin would compare
+    * two unrelated estimators. Correctness evidence instead:
+    * ApproxStatsSpec calibrates every ndv_approx against q217's exact
+    * NDVs (small cardinalities exact via HLL++'s sparse mode, large
+    * within the advertised rsd envelope) and the exact-row md5 twin is
+    * q217 itself (n_rows/n_nulls/min/max identical by construction). */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count($"l_orderkey").as("c1"), approx_count_distinct($"l_orderkey").as("d1"),
+      min($"l_orderkey").cast("string").as("mn1"), max($"l_orderkey").cast("string").as("mx1"),
+      count($"l_linenumber").as("c2"), approx_count_distinct($"l_linenumber").as("d2"),
+      min($"l_linenumber").cast("string").as("mn2"), max($"l_linenumber").cast("string").as("mx2"),
+      count($"l_quantity").as("c3"), approx_count_distinct($"l_quantity".cast("long")).as("d3"),
+      min($"l_quantity".cast("long")).cast("string").as("mn3"), max($"l_quantity".cast("long")).cast("string").as("mx3"),
+      count($"l_returnflag").as("c4"), approx_count_distinct($"l_returnflag").as("d4"),
+      min($"l_returnflag").as("mn4"), max($"l_returnflag").as("mx4"),
+      count($"l_linestatus").as("c5"), approx_count_distinct($"l_linestatus").as("d5"),
+      min($"l_linestatus").as("mn5"), max($"l_linestatus").as("mx5"),
+      count($"l_shipdate").as("c6"), approx_count_distinct($"l_shipdate".cast("date")).as("d6"),
+      min($"l_shipdate".cast("date")).cast("string").as("mn6"),
+      max($"l_shipdate".cast("date")).cast("string").as("mx6"))
+    a.selectExpr("n_rows", s"""stack(6,
+        |'l_orderkey',   c1, d1, mn1, mx1,
+        |'l_linenumber', c2, d2, mn2, mx2,
+        |'l_quantity',   c3, d3, mn3, mx3,
+        |'l_returnflag', c4, d4, mn4, mx4,
+        |'l_linestatus', c5, d5, mn5, mx5,
+        |'l_shipdate',   c6, d6, mn6, mx6) AS (col, cnt, ndv_approx, min_val, max_val)""".stripMargin)
+      .selectExpr("col", "n_rows", "CAST(n_rows - cnt AS BIGINT) AS n_nulls",
+        "CAST(ndv_approx AS BIGINT) AS ndv_approx", "min_val", "max_val")
+      .orderBy($"col")
+  }
+
+  override val noOracleReasons: Map[String, String] = Map(
+    "q238_column_stats_approx" ->
+      ("UNVERIFIABLE BY DESIGN: approx_count_distinct is a HyperLogLog++ sketch whose " +
+        "estimate DuckDB cannot reproduce (its approx_distinct is a different sketch) — " +
+        "gated instead by ApproxStatsSpec, which calibrates every ndv_approx against " +
+        "q217's exact NDVs (the oracle-checked md5 twin for the non-sketch columns) and " +
+        "pins the no-Expand single-pass plan that is this query's reason to exist."))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_column_stats_approx" -> q238,
     "q226_cardinality_audit" -> q226,
     "q224_partition_key_audit" -> q224,
     "q215_shard_plan" -> q215,
