@@ -45,7 +45,7 @@ class BitextMiningSpec extends SparkTestBase {
         .map { case (tok, _) => s"$lang¦$tok" } // what the plant emits
       // the miner strips the prefix back off (inverse lexicon)
       val ntoks = kept.map(_.stripPrefix(s"$lang¦"))
-      (id + 10000000L, lang, shingles(ntoks, ntoks.mkString(" ")))
+      (id + 10000000000L, lang, shingles(ntoks, ntoks.mkString(" ")))
     }
     val distract = docs.filter(_._2 != "en").map { case (id, l, t) =>
       (id, l, shingles(toks(t), t))
@@ -74,7 +74,7 @@ class BitextMiningSpec extends SparkTestBase {
 
     // 1. banding is COMPLETE for the plants: every planted pair is a
     //    candidate (P[miss] ~ (1-J)^8; deterministic here)
-    val plantPairs = planted.map(p => (p._1 - 10000000L, p._1)).toSet
+    val plantPairs = planted.map(p => (p._1 - 10000000000L, p._1)).toSet
     assert(plantPairs.nonEmpty && plantPairs.forall(candidates.contains),
       s"banding missed plants: ${plantPairs.filterNot(candidates.contains)}")
 
@@ -94,10 +94,10 @@ class BitextMiningSpec extends SparkTestBase {
     //    are candidates-but-not-mined (doc 116 at sf0.01: a 10-token
     //    doc that lost 2 tokens, J = 3/11 = 0.27 — found by banding,
     //    correctly rejected by verification)
-    val minedPlantEn = got.collect { case (_, en, x, _) if x == en + 10000000L => en }
+    val minedPlantEn = got.collect { case (_, en, x, _) if x == en + 10000000000L => en }
     val rejected = plantPairs.map(_._1).diff(minedPlantEn)
     rejected.foreach { en =>
-      val (jppm, _) = jac(src(en), xx(en + 10000000L)._2)
+      val (jppm, _) = jac(src(en), xx(en + 10000000000L)._2)
       assert(jppm < 300000L, s"plant $en rejected but J=$jppm >= gate")
     }
     info(s"plants: ${plantPairs.size}, mined plants: ${minedPlantEn.size}, " +
