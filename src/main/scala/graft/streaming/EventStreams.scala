@@ -454,9 +454,18 @@ object EventStreams {
     *
     * A NULL purchase `value` is carried as a Long.MinValue sentinel in
     * state and emitted as NULL value_milli (the batch twin's NULL
-    * floor) — boxed nulls don't survive tuple state encoding. */
+    * floor) — boxed nulls don't survive tuple state encoding.
+    *
+    * At-least-once inputs: redelivered PURCHASE rows would emit their
+    * credit twice (touches are safe — argmin/argmax are duplicate-
+    * insensitive), so production chains [[dedupStream]] in front;
+    * `inputsPreWatermarked` composes after its stateful stage exactly
+    * like [[clickPurchaseLeftJoinStream]] (Spark forbids redefining a
+    * watermark past a stateful operator) — StreamSoakSpec drives the
+    * full chain over shuffled + redelivered files. */
   def attributionStream(events: DataFrame, windowDays: Int = 7,
-                        watermark: String = "30 minutes")
+                        watermark: String = "30 minutes",
+                        inputsPreWatermarked: Boolean = false)
       : Dataset[(Long, Long, String, String, java.lang.Long)] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -466,8 +475,8 @@ object EventStreams {
       (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     // watermarked ts column must reach the stateful operator (the
     // quotaStream note); value travels as boxed Double so NULLs survive
-    val withTime = events
-      .withWatermark("ts", watermark)
+    val withTime = (if (inputsPreWatermarked) events
+                    else events.withWatermark("ts", watermark))
       .select(col("ts"), col("user_id").cast("long"), col("event_type"),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[(java.sql.Timestamp, Long, String, Long, java.lang.Double)]

@@ -176,6 +176,54 @@ class StreamSoakSpec extends SparkTestBase {
   // in-flight state mid-replay
   private val SpanMinutes = 45000
 
+  test("q235 attribution under shuffled + redelivered files: dedup + ledger converge to the batch twin") {
+    assume(ready)
+    import org.apache.spark.sql.functions.col
+    // the full production chain: at-least-once file replay -> dedup
+    // repair -> attribution ledger. Redelivered PURCHASES would emit
+    // twice without the dedup stage; shuffled mtimes mean purchases
+    // can arrive before their touches and vice versa.
+    val (stage, stream, batchEvents, nFiles) = stagedDisordered(12, dupEvery = 3)
+    val deduped = EventStreams.dedupStream(stream, watermark = s"$SpanMinutes minutes")
+    val q = EventStreams.attributionStream(deduped, inputsPreWatermarked = true)
+      .toDF("user_id", "purchase_id", "first_touch", "last_touch", "value_milli")
+      .writeStream.format("memory").queryName("soak_q235").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      multiBatch(q, nFiles)
+      // the 45000-minute watermark sits behind every event until the
+      // pusher below arrives — nothing may finalize during the replay
+      assert(spark.table("soak_q235").count() == 0,
+        "no purchase may emit before the watermark passes it")
+      // two pusher files (touch-only rows for user 0, months ahead):
+      // the first advances the watermark past every purchase, the
+      // second triggers the armed timeouts
+      def pusher(id: Long, t: String) = batchEvents.limit(1).selectExpr(
+        s"CAST($id AS BIGINT) AS event_id", s"timestamp'$t' AS ts",
+        "CAST(0 AS BIGINT) AS user_id", "'view' AS event_type",
+        "CAST(0.0 AS DOUBLE) AS value", "props")
+      pusher(999999901L, "2024-06-01 00:00:00")
+        .write.mode("append").parquet(s"$stage/events")
+      q.processAllAvailable()
+      pusher(999999902L, "2024-06-01 00:01:00")
+        .write.mode("append").parquet(s"$stage/events")
+      q.processAllAvailable()
+      def tuples(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+          if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)))).toSet
+      val streamed = tuples(spark.table("soak_q235"))
+      val batch = tuples(graft.rel.RelQueries.attributionCredits(batchEvents)
+        .select(col("user_id"), col("purchase_id"), col("first_touch"),
+          col("last_touch"), col("value_milli")))
+      assert(batch.size > 1000, s"soak fixture too small: ${batch.size} purchases")
+      assert(streamed == batch,
+        s"ledger divergence: onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   test("q102 under shuffled + redelivered files: dedup repair converges to the batch twin") {
     assume(ready)
     val (stage, stream, batchEvents, nFiles) = stagedDisordered(8, dupEvery = 2)
