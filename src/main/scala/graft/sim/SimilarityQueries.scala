@@ -1460,9 +1460,14 @@ object SimilarityQueries extends QueryCatalog {
     * LEARNED adapter; the plumbing that is this query's point —
     * two modality pipelines meeting in one bucketed index, candidates
     * generated by bucket equality, never all-pairs — is exactly the
-    * production shape). 4 hyperplanes (md5-stream signs, plane ids
-    * 90–93, disjoint from q51/q74's) → 16 buckets; each query probes
-    * its bucket + 4 Hamming-1 neighbors. Measured on sf0.01
+    * production shape). Hyperplane signs come from the md5 stream
+    * (plane ids 90+, disjoint from q51/q74's); the PLANE COUNT is
+    * ADAPTIVE via [[xmPlanes]] — cells sized to ~2k docs so per-query
+    * candidate work stays bounded as the corpus grows (4 planes / 16
+    * buckets at every oracle-checked SF; 7 planes at the 100× replica,
+    * where fixed-4 measured 398 s for the 51.5k-query batch and
+    * adaptive-7 is the fix). Each query probes its bucket + one
+    * Hamming-1 neighbor per plane. Measured on sf0.01
     * (CrossModalRecallSpec): recall@10 vs the brute-force cross-modal
     * baseline, candidates a strict subset of the corpus.
     *
@@ -1475,14 +1480,28 @@ object SimilarityQueries extends QueryCatalog {
     * ∝ corpus/cell) and q74's multi-table trick raise recall/cut
     * candidates, same plan. Measured (CrossModalRecallSpec, sf0.01):
     * recall@10 = 0.833 (50/60) scanning 35% of the corpus. */
-  private val XmPlanes = 4
-  private def xmBucketExpr(v: String): String =
-    (0 until XmPlanes).map { p =>
+  private val XmMinPlanes = 4
+  private val XmTargetCell = 2000L
+  /** ADAPTIVE plane count — the scale policy the fixed-plane form
+    * lacked (measured: at the 100× replica, 51.5k query media × a
+    * 200k-doc index through 16 fixed buckets scored 3.2B candidate
+    * pairs, 398 s — quadratic, because BOTH sides scale; with planes
+    * grown to hold ~[[XmTargetCell]] docs per cell the same batch is
+    * ~2 ms/query). Resolves to exactly [[XmMinPlanes]] (=4) at every
+    * oracle-checked SF (500/5k/20k/22k docs → 4), so the DuckDB twin
+    * and the recall spec pin the 4-plane configuration bit-for-bit
+    * while the 100× path gets 7 planes — same expression, one
+    * constant. Pinned by CrossModalRecallSpec. */
+  private[sim] def xmPlanes(nDocs: Long): Int =
+    math.min(12, math.max(XmMinPlanes,
+      math.ceil(math.log(math.max(1.0, nDocs.toDouble / XmTargetCell)) / math.log(2)).toInt))
+  private def xmBucketExpr(v: String, planes: Int): String =
+    (0 until planes).map { p =>
       val dot = (0 until 8).map(d => s"$v[$d] * ${planeSign(90 + p, d)}").mkString(" + ")
       s"(CASE WHEN ($dot) > 0D THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
-  private def xmBucketSql(v: String): String =
-    (0 until XmPlanes).map { p =>
+  private def xmBucketSql(v: String, planes: Int): String =
+    (0 until planes).map { p =>
       val dot = (0 until 8).map(d => s"$v[${d + 1}] * ${planeSign(90 + p, d)}").mkString(" + ")
       s"(CASE WHEN ($dot) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
@@ -1492,18 +1511,18 @@ object SimilarityQueries extends QueryCatalog {
   /** Doc-side index frame (vec_id, label, dv, bucket) — shared with
     * CrossModalRecallSpec so the measured recall certifies the exact
     * production index. */
-  private[sim] def xmDocIndex(s: SparkSession, dir: String): DataFrame = {
+  private[sim] def xmDocIndex(s: SparkSession, dir: String, planes: Int = XmMinPlanes): DataFrame = {
     import s.implicits._
     val fold = "array(" + (0 until 8).map(foldTerm("v", _, oneBased = false)).mkString(", ") + ")"
     withVec(s, dir)
       .selectExpr("vec_id", "label", s"$fold AS dv")
       .withColumn("dnorm", sqrt(expr("aggregate(dv, 0D, (acc, x) -> acc + x * x)")))
       .filter($"dnorm" > 0)
-      .withColumn("bucket", expr(xmBucketExpr("dv")).cast("int"))
+      .withColumn("bucket", expr(xmBucketExpr("dv", planes)).cast("int"))
   }
   /** Query-side frame (media_id, qv, qbucket) — the decode-fleet
     * output for the md5%97 query carve. */
-  private[sim] def xmQueries(s: SparkSession, dir: String): DataFrame = {
+  private[sim] def xmQueries(s: SparkSession, dir: String, planes: Int = XmMinPlanes): DataFrame = {
     import s.implicits._
     val qdocs = graft.core.Tables.documents(s, dir).filter(pmod($"doc_id", lit(97)) === 0)
     graft.multimodal.Multimodal.decodeFeatures(
@@ -1511,17 +1530,20 @@ object SimilarityQueries extends QueryCatalog {
       .selectExpr("media_id", "feature AS qv")
       .withColumn("qnorm", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
       .filter($"qnorm" > 0)
-      .withColumn("qbucket", expr(xmBucketExpr("qv")).cast("int"))
+      .withColumn("qbucket", expr(xmBucketExpr("qv", planes)).cast("int"))
   }
   private def q236(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    val probes = xmQueries(s, dir)
+    // plane count from the index cardinality — a parquet-footer count,
+    // the 1-row plan-build probe discipline (AsOfJoin/SaltedJoin)
+    val planes = xmPlanes(graft.core.Tables.embeddings(s, dir).count())
+    val probes = xmQueries(s, dir, planes)
       .select($"media_id", $"qv",
-        explode(array($"qbucket" +: (0 until XmPlanes).map(p =>
+        explode(array($"qbucket" +: (0 until planes).map(p =>
           $"qbucket".bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
-    xmDocIndex(s, dir)
+    xmDocIndex(s, dir, planes)
       .join(broadcast(probes), $"bucket" === $"probe")
       .withColumn("cos", expr("cosine_similarity(dv, qv)"))
       .withColumn("rk", row_number().over(
@@ -1532,13 +1554,16 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy($"media_id", $"rk")
   }
   private val q236Sql = {
+    // the oracle pins the XmMinPlanes=4 configuration — xmPlanes
+    // resolves to exactly 4 at every oracle-checked fixture size
+    // (asserted in CrossModalRecallSpec), so engine and twin agree
     val fold = "[" + (0 until 8).map(foldTerm("v", _, oneBased = true)).mkString(", ") + "]"
-    val probeList = "[qbucket" + (0 until XmPlanes).map(p => s", xor(qbucket, ${1 << p})").mkString + "]"
+    val probeList = "[qbucket" + (0 until XmMinPlanes).map(p => s", xor(qbucket, ${1 << p})").mkString + "]"
     s"""WITH e AS ($withVecSql),
        |docs AS (
        |  SELECT vec_id, label, dv,
        |    sqrt(list_dot_product(dv, dv)) AS dnorm,
-       |    CAST(${xmBucketSql("dv")} AS INT) AS bucket
+       |    CAST(${xmBucketSql("dv", XmMinPlanes)} AS INT) AS bucket
        |  FROM (SELECT vec_id, label, $fold AS dv FROM e)
        |  WHERE sqrt(list_dot_product(dv, dv)) > 0
        |),
@@ -1567,7 +1592,7 @@ object SimilarityQueries extends QueryCatalog {
        |), q AS (
        |  SELECT media_id, qv,
        |    sqrt(list_dot_product(qv, qv)) AS qnorm,
-       |    CAST(${xmBucketSql("qv")} AS INT) AS qbucket
+       |    CAST(${xmBucketSql("qv", XmMinPlanes)} AS INT) AS qbucket
        |  FROM qv WHERE sqrt(list_dot_product(qv, qv)) > 0
        |),
        |probes AS (SELECT media_id, qv, qnorm, unnest($probeList) AS probe FROM q),

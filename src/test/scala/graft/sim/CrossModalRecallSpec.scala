@@ -96,4 +96,17 @@ class CrossModalRecallSpec extends SparkTestBase {
     info(f"candidate fraction = $frac%.3f") // measured 0.352
     assert(frac < 0.4, f"index pruning regressed: $frac%.3f")
   }
+
+  test("adaptive plane policy: every oracle-checked SF resolves to the pinned 4 planes") {
+    // the DuckDB twin and this spec's replay hard-code 4 planes; the
+    // policy must return 4 at every fixture size the oracle runs
+    // (sf0.001/0.01/0.1 = 50/500/5000, 10x replica 20k, skew 22k) and
+    // grow cells-constant beyond (100x replica 200k -> 7 planes;
+    // capped at 12)
+    for (n <- Seq(50L, 500L, 5000L, 20000L, 22000L))
+      assert(SimilarityQueries.xmPlanes(n) == 4, s"n=$n")
+    assert(SimilarityQueries.xmPlanes(200000L) == 7)
+    assert(SimilarityQueries.xmPlanes(2000000L) == 10)
+    assert(SimilarityQueries.xmPlanes(Long.MaxValue / 2) == 12)
+  }
 }
