@@ -149,4 +149,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(scans <= 6, s"$scans corpus scans in q54's plan — training lineage leaked:\n$p")
     graft.core.ScratchCache.drain()
   }
+
+  test("q235: ONE user-keyed exchange feeds both attribution windows (no re-shuffle)") {
+    assume(ready)
+    val p = plan("q235_attribution_ledger")
+    // min-enc and max-enc windows must ride the SAME user partitioning:
+    // exactly one hash exchange on user_id before the windows (the
+    // second Exchange in the plan is the output rangepartitioning sort)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Window ".r.findAllIn(p).size + "Window\\b".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q236: probe side broadcasts; corpus never shuffles for the join; top-k is group-limited map-side") {
+    assume(ready)
+    val p = plan("q236_crossmodal_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // WindowGroupLimit appears twice: the partial (pre-exchange,
+    // map-side top-k pushdown over candidates) and the final — the
+    // property that keeps per-query work candidate-bounded at scale
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q238: the approximate ANALYZE never Expands and stays one partial+final pass") {
+    assume(ready)
+    val p = plan("q238_column_stats_approx")
+    assert(!p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
 }
