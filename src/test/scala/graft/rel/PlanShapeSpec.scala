@@ -160,14 +160,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert("Window ".r.findAllIn(p).size + "Window\\b".r.findAllIn(p).size >= 2, p)
   }
 
-  test("q236: probe side broadcasts; corpus never shuffles for the join; top-k is group-limited map-side") {
+  test("q236: small fleets dispatch to a probe-side broadcast; corpus never shuffles for the join; top-k is group-limited map-side") {
     assume(ready)
+    // at sf0.001 the fleet (×(planes+1) probes) is far below
+    // XmBroadcastMaxProbeRows, so the AUTO dispatch must pick broadcast
     val p = plan("q236_crossmodal_topk")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     // WindowGroupLimit appears twice: the partial (pre-exchange,
     // map-side top-k pushdown over candidates) and the final — the
     // property that keeps per-query work candidate-bounded at scale
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+    graft.core.ScratchCache.drain()
+  }
+
+  test("q236: above the probe-row cap the dispatch is a salted shuffled hash join — no broadcast that grows with the corpus, no sort") {
+    assume(ready)
+    val p = graft.sim.SimilarityQueries
+      .q236Plan(spark, dir, forcePath = Some("shuffle"))
+      .queryExecution.executedPlan.toString
+    // probes build the per-partition hash table; corpus streams
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+    // the map-side top-k pushdown must survive the dispatch
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
     graft.core.ScratchCache.drain()
   }
