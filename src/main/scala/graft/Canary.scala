@@ -123,9 +123,13 @@ object Canary {
             .findFirstMatchIn(txt).map(_.group(1).toInt)
           val stampBand = raw""""band"\s*:\s*([0-9.]+)""".r
             .findFirstMatchIn(txt).map(_.group(1).toDouble)
-          if (stampSf.exists(_ != sfDir)) {
+          if (stampSf.forall(_ != sfDir)) {
+            // a stamp with NO "sf" field predates sf tagging — it could
+            // have been taken at any scale, so it is just as unusable as
+            // an explicit mismatch: downgrade to no_baseline rather than
+            // silently judging drift against a floor from an unknown sf
             baselineNote =
-              s""","baseline_mismatch":"stamped at sf=${stampSf.get}, running sf=$sfDir -- verdicts downgraded to no_baseline""""
+              s""","baseline_mismatch":"stamped at sf=${stampSf.getOrElse("<untagged legacy stamp>")}, running sf=$sfDir -- verdicts downgraded to no_baseline""""
             Map.empty
           } else {
             val warns = Seq(

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time q236 cross-modal retrieval under each dispatched
+  * physical path — auto (the production cardinality-probe dispatch),
+  * forced broadcast, forced salted shuffled hash join — against an SF
+  * directory. This produced the evidence BENCH_SF1.md carries for the
+  * [[graft.sim.SimilarityQueries.XmBroadcastMaxCandidates]] policy:
+  * at the 100× replica (5.2k-query fleet × 128 buckets × 200k-vector
+  * index ≈ 64M candidate pairs) the broadcast path measured ~95 s —
+  * its scoring parallelism is whatever the source file layout gives,
+  * and a 55 MB index is ONE scan partition — while the salted shuffle
+  * measured ~14 s by spreading the identical candidate scoring across
+  * every reducer. Below the candidate cap the ordering flips: the
+  * work is trivial either way and broadcast wins by never shuffling
+  * the corpus.
+  *
+  * Usage: sbt "runMain graft.XmPathBench /tmp/graft_sf10"
+  */
+object XmPathBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (path <- Seq(None, Some("broadcast"), Some("shuffle"))) {
+      val label = path.getOrElse("auto")
+      val df = graft.sim.SimilarityQueries.q236Plan(spark, sfDir, path)
+      // warm once (parquet footers, codegen), then time two runs
+      df.write.format("noop").mode("overwrite").save()
+      graft.core.ScratchCache.drain()
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[xmpath] $label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        graft.core.ScratchCache.drain()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -662,7 +662,21 @@ object SimilarityQueries extends QueryCatalog {
     * [[SemDedupCellCap]] via the same row_number truncation guard as
     * q45's label blocks (C(cap,2) pairs per cell worst case — a
     * degenerate mega-cell cannot go quadratic). Output: the surviving
-    * (vec_id, cell) corpus. */
+    * (vec_id, cell) corpus.
+    *
+    * Boundary-miss bound (SemDedupBoundarySpec, measured against this
+    * exact quantizer): pairs the within-cell pass cannot see are pairs
+    * assigned different cells. On 100 planted near-identical copies
+    * (cos ≥ 0.98) retrained into the corpus, top-1 cell assignment
+    * separates 0/100 pairs — the approximation is COMPLETE in the
+    * regime semantic dedup exists for — and a boundary-probe audit
+    * pass (each vector also compared in its 2nd-closest cell, the IVF
+    * nprobe trick) has 0 residual. The misses concentrate entirely in
+    * the loose tau floor: natural cos∈[0.25,0.5) pairs straddle cells
+    * at 0.776 (they are mildly similar, not near-dups — co-location
+    * was never the premise there); miss rate is measured monotone
+    * non-increasing in cos. Raising recall at a given tau is therefore
+    * an nprobe-style boundary pass, not a smaller cell count. */
   private val SemDedupTau = 0.25
   private val SemDedupCellCap = 256
   private def q90(s: SparkSession, dir: String): DataFrame = {
@@ -1475,15 +1489,18 @@ object SimilarityQueries extends QueryCatalog {
     * no shuffle) over the ~1% query carve; the doc index is one
     * map-side projection+bucket pass, built once and reusable; the
     * search is ONE equi-join of the corpus-bucket frame against the
-    * probe set, AUTO-DISPATCHED by the measured fleet size
-    * ([[q236Plan]]): below [[XmBroadcastMaxProbeRows]] exploded probe
-    * rows the probe side broadcasts (corpus never shuffles); above it
-    * — the probe fleet grows linearly with the corpus under the %97
-    * carve, so an unconditional broadcast would hit the driver/exec
-    * memory ceiling near ~10⁷ queries — both sides shuffle on a
-    * salted (bucket, salt) key (probes replicated [[XmShuffleSalt]]×,
-    * corpus split by hash(vec_id), so the low-cardinality bucket key
-    * can't collapse parallelism to 2^planes reducers). Top-k per
+    * probe set, AUTO-DISPATCHED from the two plan-build counts
+    * ([[q236Plan]]): broadcast while the probe frame fits memory
+    * ([[XmBroadcastMaxProbeRows]] — the fleet grows linearly with the
+    * corpus under the %97 carve, so an unconditional broadcast would
+    * hit the memory ceiling near ~10⁷ queries) AND the estimated
+    * candidate mass stays small ([[XmBroadcastMaxCandidates]] — the
+    * 100×-measured bound: broadcast ties scoring parallelism to the
+    * source file layout, the shuffle guarantees reducer-wide spread);
+    * otherwise both sides shuffle on a salted (bucket, salt) key
+    * (probes replicated [[XmShuffleSalt]]×, corpus split by
+    * hash(vec_id), so the low-cardinality bucket key can't collapse
+    * parallelism to 2^planes reducers). Top-k per
     * query by window over candidates only either way. At 100 TB: more
     * planes (buckets ∝ corpus/cell) and q74's multi-table trick raise
     * recall/cut candidates, same dispatched plan. Measured
@@ -1562,12 +1579,22 @@ object SimilarityQueries extends QueryCatalog {
     * a media_id + 8-double qv + probe int (~150 B with row overhead),
     * so 400k rows ≈ 60 MB — comfortably inside executor memory but an
     * order of magnitude under where a linearly-growing fleet would
-    * start evicting cache / OOMing the driver. The 100× replica's
-    * fleet (51,546 queries × 8 probes = 412k rows) lands just ABOVE
-    * the cap, so the shuffled path has measured evidence at the
-    * largest tier (BENCH_SF1.md round-18 addendum: within the judge's
-    * 1.5× of forced-broadcast at that fleet size). */
+    * start evicting cache / OOMing the driver. */
   private[graft] val XmBroadcastMaxProbeRows = 400000L
+  /** Candidate-mass ceiling for the broadcast path — the dispatch key
+    * the 100× measurement forced (XmPathBench, BENCH_SF1.md r18):
+    * estimated candidates = probeRows × corpus/2^planes. Broadcast
+    * scoring parallelism is whatever the SOURCE layout provides (a
+    * 200k-vector index is ~55 MB of parquet = ONE scan partition, so
+    * 64M candidate cosines ran on a couple of tasks: 95 s), while the
+    * salted shuffle spreads the same scoring across every reducer
+    * regardless of file layout (same tier: 14 s, 6.8× faster). Below
+    * the cap the candidate work is trivial either way and broadcast
+    * wins by not shuffling the corpus at all; above it the scoring
+    * dominates and guaranteed reducer-wide parallelism wins. Resolved
+    * per tier: sf0.001/0.01/0.1 ≈ 33k, sf1 ≈ 3.2M → broadcast (the
+    * oracle-pinned plan); 100× ≈ 64M → shuffle. */
+  private[graft] val XmBroadcastMaxCandidates = 8000000L
   /** Salt width for the shuffled path — bucket cardinality is only
     * 2^planes (16–4096), far below a big cluster's reducer count, so
     * the corpus side splits each bucket [[XmShuffleSalt]] ways by
@@ -1589,7 +1616,8 @@ object SimilarityQueries extends QueryCatalog {
     // query-carve cardinality — two cheap plan-build probes (the
     // AsOfJoin/SaltedJoin 1-row-probe discipline); both are single
     // pruned-column counts, not data-side work
-    val planes = xmPlanes(graft.core.Tables.embeddings(s, dir).count())
+    val corpus = graft.core.Tables.embeddings(s, dir).count()
+    val planes = xmPlanes(corpus)
     val fleet = graft.core.Tables.documents(s, dir)
       .filter(pmod($"doc_id", lit(97)) === 0).count()
     val probes = xmQueries(s, dir, planes)
@@ -1600,7 +1628,11 @@ object SimilarityQueries extends QueryCatalog {
     val useBroadcast = forcePath match {
       case Some("broadcast") => true
       case Some("shuffle")   => false
-      case _ => fleet * (planes + 1) <= XmBroadcastMaxProbeRows
+      case _ =>
+        val probeRows = fleet * (planes + 1)
+        val candidates = probeRows * (corpus >> planes)
+        probeRows <= XmBroadcastMaxProbeRows &&
+          candidates <= XmBroadcastMaxCandidates
     }
     val cand =
       if (useBroadcast) index.join(broadcast(probes), $"bucket" === $"probe")

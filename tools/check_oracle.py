@@ -74,11 +74,18 @@ def col_equal_fast(ga: pd.Series, wa: pd.Series):
         ok = (a == b) | (pd.isna(a) & pd.isna(b))
         return True if ok.all() else None
     if k == "O":
-        # object columns: strings (and tuples from canon). Strict ==
-        # proves equality; anything unequal may still pass cells_equal
-        # (str() fallback, nested tolerance) -> undecided.
+        # object columns: strings only. Python == is LOOSER than
+        # cells_equal for numbers (5 == 5.0, (1,2) == (1.0,2.0)) while
+        # cells_equal deliberately FAILS int-vs-float (the driver's
+        # stringified-hash strictness), so trusting == on numeric or
+        # tuple objects would green a type drift the real driver flags.
+        # Fast-path ONLY all-str columns, where == and cells_equal
+        # agree; everything else is undecided -> per-cell loop.
         try:
-            ok = (ga == wa) | (ga.isna() & wa.isna())
+            if not (ga.map(lambda v: isinstance(v, str)).all()
+                    and wa.map(lambda v: isinstance(v, str)).all()):
+                return None
+            ok = ga == wa
             return True if bool(ok.all()) else None
         except Exception:
             return None
