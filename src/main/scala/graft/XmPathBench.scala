@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
   * directory. This produced the evidence BENCH_SF1.md carries for the
   * [[graft.sim.SimilarityQueries.XmBroadcastMaxCandidates]] policy:
   * at the 100× replica (5.2k-query fleet × 128 buckets × 200k-vector
-  * index ≈ 64M candidate pairs) the broadcast path measured ~95 s —
+  * index ≈ 64M candidate pairs) the broadcast path measured ~100 s —
   * its scoring parallelism is whatever the source file layout gives,
-  * and a 55 MB index is ONE scan partition — while the salted shuffle
+  * and a 55 MB index packs into a handful of scan partitions — while
+  * the salted shuffle
   * measured ~14 s by spreading the identical candidate scoring across
   * every reducer. Below the candidate cap the ordering flips: the
   * work is trivial either way and broadcast wins by never shuffling

@@ -1585,8 +1585,9 @@ object SimilarityQueries extends QueryCatalog {
     * the 100× measurement forced (XmPathBench, BENCH_SF1.md r18):
     * estimated candidates = probeRows × corpus/2^planes. Broadcast
     * scoring parallelism is whatever the SOURCE layout provides (a
-    * 200k-vector index is ~55 MB of parquet = ONE scan partition, so
-    * 64M candidate cosines ran on a couple of tasks: 95 s), while the
+    * 200k-vector index is ~55 MB of parquet — a handful of scan
+    * partitions after small-file packing — so 64M candidate cosines
+    * ran on a few of the 32 cores: ~100 s), while the
     * salted shuffle spreads the same scoring across every reducer
     * regardless of file layout (same tier: 14 s, 6.8× faster). Below
     * the cap the candidate work is trivial either way and broadcast
