@@ -255,15 +255,17 @@ object MultimodalQueries extends QueryCatalog {
     * q126 rolls them up to media-pair verdicts. */
   private[multimodal] def nearDupFramePairs(fingerprints: DataFrame): DataFrame = {
     // band rows carry the full fingerprint (8 bytes) so pairs emerge
-    // scored map-side; ord = unique frame id for the deterministic cap.
-    // Envelope: media_id < 2^31 and frame_no < 2^32 (256 GiB / clip at
-    // 64-byte frames) keep the packed ord collision-free in a Long —
-    // an aliased ord would make the cap's row_number tie-break
-    // partition-dependent and break oracle determinism
+    // scored map-side; ord = unique frame id for the deterministic cap
+    // (an aliased ord would make the cap's row_number tie-break
+    // partition-dependent and break oracle determinism). The pack is
+    // DECIMAL, not Long: a Long pack caps media_id at 2^31, and the
+    // 100× replica's offset ids (~10^10) overflowed it under ANSI —
+    // decimal(38,0) keeps the same (media_id, frame_no) lexicographic
+    // order with no id-scale envelope at all
     val bands = graft.core.ScratchCache.persist(Banding.capBuckets(
       fingerprints.select(col("media_id"), col("frame_no"),
         col("b0"), col("b1"), col("b2"), col("b3"),
-        (col("media_id") * lit(4294967296L) + col("frame_no")).as("ord"),
+        (col("media_id").cast("decimal(28,0)") * lit(4294967296L) + col("frame_no")).as("ord"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("band_no", "band_key"))),
       "band_key", "ord"))
     val pairs = bands.as("a").join(bands.as("b"),
@@ -330,7 +332,7 @@ object MultimodalQueries extends QueryCatalog {
        |bands AS (
        |  SELECT * FROM (
        |    SELECT media_id, frame_no, b0, b1, b2, b3,
-       |      media_id * 4294967296 + frame_no AS ord,
+       |      CAST(media_id AS HUGEINT) * 4294967296 + frame_no AS ord,
        |      unnest([0, 1, 2, 3]) AS band_no,
        |      unnest([b0, b1, b2, b3]) AS band_key
        |    FROM fp)
