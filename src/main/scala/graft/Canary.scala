@@ -58,6 +58,7 @@ object Canary {
     "q143_triangle_count",        // graph self-join (BENCH_DRIFT r14)
     "q146_gate_agreement",        // shared scoring scan (BENCH_DRIFT r14)
     "q155_kcore",                 // iterative checkpoint loop — heaviest catalog family
+    "q236_crossmodal_topk",       // dispatched probe join — stamped r19 once the dispatch stabilized (BENCH_DRIFT r18)
   )
   /** A canary at ≤ this multiple of its stamped floor is OK. 1.3× sits
     * above the ±25% single-sample noise measured r7→r8 on byte-

@@ -260,8 +260,11 @@ object MultimodalQueries extends QueryCatalog {
     // partition-dependent and break oracle determinism). The pack is
     // DECIMAL, not Long: a Long pack caps media_id at 2^31, and the
     // 100× replica's offset ids (~10^10) overflowed it under ANSI —
-    // decimal(38,0) keeps the same (media_id, frame_no) lexicographic
-    // order with no id-scale envelope at all
+    // decimal(28,0) media_id × 2^32 (decimal(38,0) after the widening
+    // arithmetic) removes the media_id envelope entirely; frame_no
+    // must still stay < 2^32 or it would alias into the media_id
+    // slot, but at FrameBytes-sized frames that is ~256 GiB of frames
+    // in one clip — practically unreachable
     val bands = graft.core.ScratchCache.persist(Banding.capBuckets(
       fingerprints.select(col("media_id"), col("frame_no"),
         col("b0"), col("b1"), col("b2"), col("b3"),

@@ -1613,14 +1613,12 @@ object SimilarityQueries extends QueryCatalog {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    // plane count from the index cardinality, fleet size from the
-    // query-carve cardinality — two cheap plan-build probes (the
-    // AsOfJoin/SaltedJoin 1-row-probe discipline); both are single
-    // pruned-column counts, not data-side work
+    // plane count from the index cardinality — one cheap plan-build
+    // probe (the AsOfJoin/SaltedJoin 1-row-probe discipline): a
+    // filterless parquet count() is answered from row-group metadata,
+    // no column decode
     val corpus = graft.core.Tables.embeddings(s, dir).count()
     val planes = xmPlanes(corpus)
-    val fleet = graft.core.Tables.documents(s, dir)
-      .filter(pmod($"doc_id", lit(97)) === 0).count()
     val probes = xmQueries(s, dir, planes)
       .select($"media_id", $"qv",
         explode(array($"qbucket" +: (0 until planes).map(p =>
@@ -1630,7 +1628,19 @@ object SimilarityQueries extends QueryCatalog {
       case Some("broadcast") => true
       case Some("shuffle")   => false
       case _ =>
-        val probeRows = fleet * (planes + 1)
+        // fleet estimate, not a measurement: the query carve is the
+        // deterministic doc_id % 97 == 0 slice of contiguous ids, so
+        // fleet = docs/97 (±1) — derived from the documents metadata
+        // count instead of a filtered doc_id column scan, which at the
+        // 100× tier cost up to ~2× the whole query (r18 measured
+        // 22.8–29.8 s auto vs 14.8–15.5 s forced-shuffle, probes alone
+        // the difference). ±1 can never flip the dispatch: the
+        // thresholds are 400k rows / 8M candidates, three decades
+        // above the estimate's error. Only the auto branch pays this
+        // count at all — forced paths (specs, XmPathBench) plan with
+        // zero probe jobs beyond the planes count.
+        val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
+        val probeRows = fleetEst * (planes + 1)
         val candidates = probeRows * (corpus >> planes)
         probeRows <= XmBroadcastMaxProbeRows &&
           candidates <= XmBroadcastMaxCandidates

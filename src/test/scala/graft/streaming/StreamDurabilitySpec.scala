@@ -105,7 +105,7 @@ class StreamDurabilitySpec extends SparkTestBase {
           // the provider actually in use is RocksDB (progress carries
           // its custom metrics), not a silent fallback to HDFS-backed
           assert(q2.recentProgress.exists(_.json.contains("rocksdb")),
-            s"expected RocksDB state store metrics in: ${q2.lastProgress.json}")
+            s"expected RocksDB state store metrics in: ${Option(q2.lastProgress).map(_.json).getOrElse("<no progress>")}")
           // push the watermark past every purchase, then fire timeouts
           val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
           def plusDays(d: Int) = new java.sql.Timestamp(maxTs.getTime + d * 86400000L)
@@ -155,7 +155,7 @@ class StreamDurabilitySpec extends SparkTestBase {
         try {
           q2.processAllAvailable()
           assert(q2.recentProgress.exists(_.json.contains("rocksdb")),
-            s"expected RocksDB state store metrics in: ${q2.lastProgress.json}")
+            s"expected RocksDB state store metrics in: ${Option(q2.lastProgress).map(_.json).getOrElse("<no progress>")}")
           val maxTs = batch.agg(max(col("ts"))).collect()(0).getTimestamp(0)
           def plusDays(d: Int) = new java.sql.Timestamp(maxTs.getTime + d * 86400000L)
           pushSentinel(root, plusDays(100), 999001L); q2.processAllAvailable()

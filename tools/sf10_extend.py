@@ -40,6 +40,11 @@ def main():
             entry["oracle_rows"] = len(want)
             entry["rows_match"] = len(got) == len(want)
             entry["schema_match"] = sorted(got.columns) == sorted(want.columns)
+            if not entry["rows_match"]:
+                entry["err"] = f"row count: spark={len(got)} oracle={len(want)}"
+            elif not entry["schema_match"]:
+                entry["err"] = (f"schema: spark={sorted(got.columns)} "
+                                f"oracle={sorted(want.columns)}")
             if entry["rows_match"] and entry["schema_match"]:
                 bad = None
                 for col in got.columns:
