@@ -157,7 +157,7 @@ object Bench {
     // the cluster-label artifact) and triggers its lazy build —
     // preflighted AFTER the timed builds below so the build cost lands
     // in q94_sigstore_build / q75_labelstore_build, not the preflight.
-    val lazyBuilds = Set("q94_incremental_dedup",
+    val lazyBuilds = Set("q94_incremental_dedup", "q239_ivf_incremental",
       "q75_dedup_clusters", "q100_canonical_docs", "q134_bucketed_join",
       "q151_partition_pruning", "q153_incremental_agg",
       "q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission",
@@ -200,6 +200,12 @@ object Bench {
     }
     val sigStoreBuildSec = timedBuild(Seq("q94_incremental_dedup"), "sigstore") {
       graft.dedup.DedupQueries.ensureSigStore(spark, sfDir); ()
+    }
+    // q239's trained-IVF index — run N's one-off artifact (centroids +
+    // per-cell corpus loads); timed q239 runs measure the batch-side
+    // incremental replay only, the plan a daily-ingest user runs
+    val ivfStoreBuildSec = timedBuild(Seq("q239_ivf_incremental"), "ivfstore") {
+      graft.sim.SimilarityQueries.ensureIvfStore(spark, sfDir); ()
     }
     // the q75/q100 shared connected-components labeling — one fixpoint
     // per corpus dir, replayed by both queries (see ensureLabelStore)
@@ -397,7 +403,7 @@ object Bench {
     val preflightDetail = preflightFailed.toSeq.sortBy(_._1)
       .map { case (k, m) => s"${qstr(k)}:${qstr(m)}" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"q75_labelstore_build":${fmt(labelStoreBuildSec)},"q134_bucketstore_build":${fmt(bucketStoreBuildSec)},"q151_partstore_build":${fmt(partStoreBuildSec)},"q153_aggstore_build":${fmt(aggStoreBuildSec)},"q156_rawstore_build":${fmt(rawStoreBuildSec)},"q162_prevstore_build":${fmt(prevStoreBuildSec)},"q166_orcstore_build":${fmt(orcStoreBuildSec)},"q167_robotsstore_build":${fmt(robotsStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"preflight_failed":$preflightDetail,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"q94_sigstore_build":${fmt(sigStoreBuildSec)},"q239_ivfstore_build":${fmt(ivfStoreBuildSec)},"q75_labelstore_build":${fmt(labelStoreBuildSec)},"q134_bucketstore_build":${fmt(bucketStoreBuildSec)},"q151_partstore_build":${fmt(partStoreBuildSec)},"q153_aggstore_build":${fmt(aggStoreBuildSec)},"q156_rawstore_build":${fmt(rawStoreBuildSec)},"q162_prevstore_build":${fmt(prevStoreBuildSec)},"q166_orcstore_build":${fmt(orcStoreBuildSec)},"q167_robotsstore_build":${fmt(robotsStoreBuildSec)},"queries":${obj(qsFull)},"queries_median":${obj(qsMed)},"queries_max":${obj(qsMax)},"queries_retimed":${obj(retimed.toSeq.sortBy(_._1))},"retime_attempts":${objArr(retimeAttempts.toSeq.sortBy(_._1))},"queries_adjudicated":$adjDetail,"preflight_failed":$preflightDetail,"failed":$failed,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))

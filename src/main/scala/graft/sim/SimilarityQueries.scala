@@ -50,7 +50,7 @@ object SimilarityQueries extends QueryCatalog {
       s"(CASE WHEN ($dot) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
-  private def withVec(s: SparkSession, dir: String): DataFrame = {
+  private[sim] def withVec(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", $"label", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -102,7 +102,14 @@ object SimilarityQueries extends QueryCatalog {
     * NCells centroids × corpus scan + one partial+final integer
     * aggregation per round. Nothing quadratic, nothing collected to
     * the driver. */
-  private[sim] def trainedCents(s: SparkSession, dir: String): DataFrame = {
+  private[sim] def trainedCents(s: SparkSession, dir: String): DataFrame =
+    trainedCentsOf(s, withVec(s, dir))
+
+  /** [[trainedCents]] over an arbitrary (vec_id, v, norm) frame — the
+    * q239 index build trains on the CORPUS carve only, so new-batch
+    * vectors can never leak into the quantizer they are later assigned
+    * against. Same algorithm, same determinism contract. */
+  private[sim] def trainedCentsOf(s: SparkSession, e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     // ONE corpus scan feeds every training round (persisted, drained by
@@ -114,7 +121,7 @@ object SimilarityQueries extends QueryCatalog {
     // a full corpus pass). Same iterative-DataFrame discipline as
     // ConnectedComponents.
     val quant = graft.core.ScratchCache.persist(
-      withVec(s, dir).filter(col("norm") > 0)
+      e.filter(col("norm") > 0)
         .select(col("vec_id"), col("v"),
           expr("transform(v, x -> CAST(floor(x / norm * 1000000D + 0.5D) AS BIGINT))").as("q")))
     var cents = quant.filter(col("vec_id") < NCells)
@@ -1727,7 +1734,211 @@ object SimilarityQueries extends QueryCatalog {
        |ORDER BY media_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------- q239 incremental IVF
+  /** Deterministic ingest carve for the incremental-index story: ~1/8
+    * of vectors (md5 prefix of vec_id) are the NEW BATCH arriving at
+    * run N+1; the rest are the corpus run N indexed. q94's carve
+    * discipline, applied to the similarity store. */
+  private[sim] val q239CarveExpr =
+    "substring(md5(concat('ingest|', CAST(vec_id AS STRING))), 1, 1) IN ('0', '1')"
+  private val q239CarveSql =
+    "substring(md5(concat('ingest|', CAST(vec_id AS VARCHAR))), 1, 1) IN ('0', '1')"
+  /** Retrain gate: flag when the batch's cell-share L1 distance from
+    * the corpus exceeds this multiple of the EXPECTED SAMPLING NOISE
+    * Σ_cells √(p_c(1−p_c)/B). A fixed ppm threshold is scale-wrong —
+    * a 65-vector fixture batch carries ~430k ppm of pure carve noise
+    * while a 10⁹-vector production batch carries ~100 ppm — so the
+    * gate scales with the batch: noise shrinks as 1/√B and any real
+    * model/corpus shift (which does NOT shrink) eventually flags.
+    * Each cell's noise term is quantized to integer ppm before the
+    * sum (floor(x·10⁶+0.5) — the q66 discipline), so the total is
+    * order-independent and both engines replay it bit-for-bit.
+    * IncrementalIvfSpec pins both sides on the sf0.01 fixture:
+    * natural carve below the gate, planted batch shift above. */
+  private[sim] val IvfRetrainNoiseMult = 3L
+
+  /** The q54 cell-assignment shape as a reusable piece: argmax-cosine
+    * cell per vector against a BROADCAST centroid frame — one linear
+    * pass over `vecs`, one window over (vector × NCells) rows, nothing
+    * corpus-sized ever shuffles. */
+  private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
+    vecs.crossJoin(broadcast(cents.select(col("cent_id"), col("cv"))))
+      .withColumn("cs", expr("cosine_similarity(v, cv)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("cs", "rn", "cv")
+  }
+
+  /** Memoized per-corpus-dir trained-index artifact (the sigstore
+    * pattern, `dedup.DedupQueries.ensureSigStore`): built ONCE per JVM
+    * by the first q239 caller; Bench pre-builds it before timed sweeps
+    * so every timed q239 execution measures the incremental REPLAY —
+    * the plan a daily-ingest user actually runs. */
+  private val ivfStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ensureIvfStore(s: SparkSession, dir: String): String =
+    ivfStores.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Paths.get(graft.core.Scratch.storePath("ivfstore", dir))
+      java.nio.file.Files.createDirectories(path)
+      writeIvfIndex(s, dir, path.toString)
+      path.toString
+    })
+
+  /** Run N's one-off index build: train [[trainedCentsOf]] on the
+    * CORPUS carve only, persist the centroids and the per-cell corpus
+    * loads as parquet. Layout: `<path>/cents` = (cent_id, cv),
+    * `<path>/loads` = (cell, n_corpus). Centroid coordinates are exact
+    * integers (BIGINT sums cast to double), so the parquet round-trip
+    * is bit-exact and the DuckDB oracle can re-derive the identical
+    * centroids from the raw table. */
+  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val corpus = graft.core.ScratchCache.persist(
+      withVec(s, dir).filter(not(expr(q239CarveExpr))))
+    trainedCentsOf(s, corpus).write.mode("overwrite").parquet(s"$path/cents")
+    val cents = s.read.parquet(s"$path/cents")
+    assignCells(corpus, cents)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n_corpus"))
+      .select(col("cent_id").cast("long").as("cell"), col("n_corpus"))
+      .write.mode("overwrite").parquet(s"$path/loads")
+  }
+
+  /** Incremental IVF index maintenance — the production capability the
+    * similarity store lacked (r18 verdict's top item): a NEW batch of
+    * vectors joins the trained IVF index WITHOUT retraining and
+    * without rescanning the corpus. The batch (deterministic md5
+    * carve, ~1/8) is assigned to the PERSISTED centroids by the exact
+    * q54 assignment expression (broadcast centroids × linear batch
+    * scan + one per-vector argmax window); per-cell load deltas and a
+    * drift-gated retrain verdict come from comparing the batch's
+    * cell-share distribution against the persisted corpus loads using
+    * q204's exact cross-multiplied arithmetic — |n_b·C − n_c·B| in
+    * DECIMAL(38,0), no division until the final integral ppm, so the
+    * number is exact at any corpus size (at 100 TB, n·total exceeds
+    * int64; share ratios computed in doubles would tie-break
+    * differently across engines).
+    *
+    * Scale shape: per-ingest cost is LINEAR IN THE BATCH — one batch
+    * scan, NCells-row broadcast, one argmax window, then all
+    * arithmetic on the NCells-row cell frame. The corpus appears only
+    * as its persisted (cell, n_corpus) loads; it is never rescanned
+    * (IncrementalIvfSpec pins the replay plan corpus-scan-free). When
+    * the verdict says retrain, the q204 monitor has already measured
+    * the trigger and [[writeIvfIndex]] is the (off-path, linear)
+    * rebuild.
+    *
+    * Output per trained cell: corpus load, batch load, per-cell share
+    * delta (ppm), the global L1 share distance (ppm, constant column),
+    * the expected sampling-noise floor (ppm), and the noise-scaled retrain
+    * verdict at [[IvfRetrainNoiseMult]]× that floor. */
+  private[sim] def q239Plan(s: SparkSession, dir: String,
+                            storePath: Option[String] = None,
+                            batchShift: Double = 0.0): DataFrame = {
+    import s.implicits._
+    val path = storePath.getOrElse(ensureIvfStore(s, dir))
+    val cents = s.read.parquet(s"$path/cents")
+    val loads = s.read.parquet(s"$path/loads")
+    val batch0 = withVec(s, dir).filter(expr(q239CarveExpr))
+    // spec seam: a planted model shift on the batch side (the q204
+    // plant, applied pre-assignment) gives the retrain gate ground
+    // truth; the catalog path runs shift = 0
+    val batch = if (batchShift == 0.0) batch0
+      else batch0.withColumn("v", expr(s"transform(v, x -> x + ${batchShift}D)"))
+    val bl = assignCells(batch, cents)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n_batch"))
+      .select(col("cent_id").cast("long").as("cell"), col("n_batch"))
+    val cells = cents.select($"cent_id".cast("long").as("cell"))
+      .join(loads, Seq("cell"), "left")
+      .join(bl, Seq("cell"), "left")
+      .select($"cell",
+        coalesce($"n_corpus", lit(0L)).as("n_corpus"),
+        coalesce($"n_batch", lit(0L)).as("n_batch"))
+    val tot = cells.agg(
+      sum($"n_corpus").cast("decimal(38,0)").as("c_tot"),
+      sum($"n_batch").cast("decimal(38,0)").as("b_tot"))
+    val scored = cells.crossJoin(broadcast(tot))
+      .withColumn("num", expr(
+        "abs(CAST(n_batch AS DECIMAL(38,0)) * c_tot - CAST(n_corpus AS DECIMAL(38,0)) * b_tot)"))
+      .withColumn("den", expr(
+        "greatest(c_tot, CAST(1 AS DECIMAL(38,0))) * greatest(b_tot, CAST(1 AS DECIMAL(38,0)))"))
+      // per-cell binomial noise term in integer ppm: p_c from exact
+      // integers, one correctly-rounded double chain (÷, ×, √ — IEEE
+      // identical in both engines), quantized BEFORE the sum so the
+      // aggregate is order-independent
+      .withColumn("noise_cell_ppm", expr(
+        """CAST(floor(sqrt(
+          |  (CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
+          |  * (1.0D - CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
+          |  / CAST(greatest(b_tot, CAST(1 AS DECIMAL(38,0))) AS DOUBLE)
+          |) * 1000000D + 0.5D) AS BIGINT)""".stripMargin))
+    val l1 = scored.agg(sum($"num").as("l1num"),
+      sum($"noise_cell_ppm").as("noise_ppm"))
+    scored.crossJoin(broadcast(l1))
+      .select($"cell", $"n_corpus", $"n_batch",
+        expr("CAST((num * 1000000) DIV den AS BIGINT)").as("delta_ppm"),
+        expr("CAST((l1num * 1000000) DIV den AS BIGINT)").as("l1_ppm"),
+        $"noise_ppm",
+        expr(s"CAST(CASE WHEN (l1num * 1000000) DIV den >= $IvfRetrainNoiseMult * noise_ppm " +
+          "THEN 1 ELSE 0 END AS BIGINT)").as("retrain"))
+      .orderBy($"cell")
+  }
+  private def q239(s: SparkSession, dir: String): DataFrame = q239Plan(s, dir)
+  private val q239Sql =
+    s"""WITH eall AS ($withVecSql),
+       |e AS (SELECT * FROM eall WHERE NOT ($q239CarveSql)),
+       |$trainedCentsSqlCtes,
+       |corp AS (
+       |  SELECT cell, count(*) AS n_corpus FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, c.cv) / (e.norm * c.cnorm) DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rn = 1 GROUP BY 1
+       |),
+       |b AS (SELECT * FROM eall WHERE ($q239CarveSql)),
+       |bl AS (
+       |  SELECT cell, count(*) AS n_batch FROM (
+       |    SELECT b.vec_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        list_dot_product(b.v, c.cv) / (b.norm * c.cnorm) DESC, c.cent_id) AS rn
+       |    FROM b CROSS JOIN cents c
+       |  ) WHERE rn = 1 GROUP BY 1
+       |),
+       |cells AS (
+       |  SELECT CAST(c.cent_id AS BIGINT) AS cell,
+       |    CAST(coalesce(corp.n_corpus, 0) AS BIGINT) AS n_corpus,
+       |    CAST(coalesce(bl.n_batch, 0) AS BIGINT) AS n_batch
+       |  FROM cents c
+       |  LEFT JOIN corp ON CAST(c.cent_id AS BIGINT) = corp.cell
+       |  LEFT JOIN bl ON CAST(c.cent_id AS BIGINT) = bl.cell
+       |),
+       |tot AS (SELECT CAST(sum(n_corpus) AS HUGEINT) AS c_tot,
+       |               CAST(sum(n_batch) AS HUGEINT) AS b_tot FROM cells),
+       |scored AS (
+       |  SELECT cell, n_corpus, n_batch,
+       |    abs(CAST(n_batch AS HUGEINT) * c_tot - CAST(n_corpus AS HUGEINT) * b_tot) AS num,
+       |    greatest(c_tot, 1) * greatest(b_tot, 1) AS den,
+       |    CAST(floor(sqrt(
+       |      (CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
+       |      * (1.0 - CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
+       |      / CAST(greatest(b_tot, 1) AS DOUBLE)
+       |    ) * 1000000 + 0.5) AS BIGINT) AS noise_cell_ppm
+       |  FROM cells, tot
+       |),
+       |l1 AS (SELECT sum(num) AS l1num,
+       |              CAST(sum(noise_cell_ppm) AS BIGINT) AS noise_ppm FROM scored)
+       |SELECT cell, n_corpus, n_batch,
+       |  CAST((num * 1000000) // den AS BIGINT) AS delta_ppm,
+       |  CAST((l1num * 1000000) // den AS BIGINT) AS l1_ppm,
+       |  noise_ppm,
+       |  CAST(CASE WHEN (l1num * 1000000) // den >= $IvfRetrainNoiseMult * noise_ppm
+       |       THEN 1 ELSE 0 END AS BIGINT) AS retrain
+       |FROM scored, l1
+       |ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_ivf_incremental" -> q239,
     "q236_crossmodal_topk" -> q236,
     "q219_ivf_balance" -> q219,
     "q223_probe_cost_curve" -> q223,
@@ -1751,6 +1962,7 @@ object SimilarityQueries extends QueryCatalog {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q239_ivf_incremental" -> q239Sql,
     "q236_crossmodal_topk" -> q236Sql,
     "q219_ivf_balance" -> q219Sql,
     "q223_probe_cost_curve" -> q223Sql,
