@@ -1391,6 +1391,117 @@ object TextQueries extends QueryCatalog {
        |ORDER BY n_occurrences DESC, pair
        |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+  /** Iterative multi-merge BPE TRAINER — the loop q95 (one
+    * merge-ranking round) and q150 (apply a fixed list) bracketed but
+    * never closed: [[BpeTrainRounds]] rounds of (count adjacent
+    * SEGMENT pairs over the current vocab encoding → take the top
+    * pair → re-encode the vocab with that merge), i.e. real BPE
+    * training where round i's candidates are pairs of the SYMBOLS
+    * round i−1 produced, not raw characters. Output is the merge
+    * TRAJECTORY — (round, pair, n_occurrences) for every round — so
+    * the DuckDB oracle replays the entire training loop, not just the
+    * final state (the q133/q155 trajectory discipline).
+    *
+    * Merge semantics are exactly q150's (shared contract, pinned in
+    * BpeEncodeSpec and BpeTrainSpec): symbols are chr(31)-delimited,
+    * a merge pattern `␟a␟b␟` matches only at symbol boundaries, and
+    * each merge applies in ONE leftmost-to-right non-overlapping
+    * `replace` pass (consecutive self-pairs `a a a a` → `aa a a`).
+    * Because a merged symbol's pair counts are bounded by its
+    * constituents' (every `th e` in round 2 was an `h e` in round 1),
+    * the chosen count is NON-INCREASING across rounds — asserted in
+    * BpeTrainSpec alongside a full JVM replay of the trajectory and
+    * the trainer↔q150-fold consistency check.
+    *
+    * Scale shape — the q95/q150 vocab-first discipline made
+    * ITERATIVE: the corpus is touched exactly once (the (token, cnt)
+    * aggregate — one shuffle, |vocab| rows, sub-linear in the
+    * corpus); every training round is a linear pass over the
+    * ~|vocab|-row frame (pair explode + one map-side-combined
+    * aggregate + a 1-row TakeOrdered) followed by a broadcast 1-row
+    * cross join to re-encode. Each round's vocab frame and chosen
+    * merge are eagerly localCheckpoint'ed (the trainedCents /
+    * ConnectedComponents loop discipline), so round r+1's plan starts
+    * from materialized rows instead of r nested replaces — constant
+    * driver plans, O(rounds) linear vocab passes, nothing ever
+    * collected. A 100 TB corpus with a 10 M-type vocabulary trains N
+    * merges in N short vocab-frame jobs after one corpus scan. */
+  private[text] val BpeTrainRounds = 8
+  /** Training states: per-round chosen merges (1-row frames) and the
+    * final encoded vocab (cnt, enc) — the spec seam BpeTrainSpec uses
+    * to cross-check the trainer against q150's fold encoder. */
+  private[text] def bpeTrainStates(s: SparkSession, dir: String,
+                                   rounds: Int): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
+    var v = graft.core.ScratchCache.persist(
+      Tables.documents(s, dir)
+        .select(explode(expr(toksExpr)).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .filter(expr("instr(token, chr(31)) = 0"))
+        .select($"cnt", // q150's boundary encoding; split('') emits a trailing "" under limit=-1
+          expr("concat(chr(31), concat_ws(chr(31), filter(split(token, ''), x -> x != '')), chr(31))").as("enc")))
+      .localCheckpoint()
+    val bests = (1 to rounds).map { i =>
+      val best = v
+        .select($"cnt", expr("filter(split(enc, chr(31)), x -> x != '')").as("segs"))
+        .filter(size($"segs") >= 2) // sequence(1, 0) would DESCEND — the q36 gotcha
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(segs) - 1), j -> concat(element_at(segs, j), ' ', element_at(segs, j + 1)))"))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"cnt").as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"pair")
+        .limit(1)
+        .select(lit(i.toLong).as("round"), $"pair", $"n_occurrences")
+        .localCheckpoint()
+      v = v.crossJoin(broadcast(best))
+        .select($"cnt", expr(
+          """replace(enc, concat(chr(31), replace(pair, ' ', chr(31)), chr(31)),
+            |              concat(chr(31), replace(pair, ' ', ''), chr(31)))""".stripMargin).as("enc"))
+        .localCheckpoint()
+      best
+    }
+    (bests, v)
+  }
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val (bests, _) = bpeTrainStates(s, dir, BpeTrainRounds)
+    bests.reduce(_ unionByName _).orderBy(col("round"))
+  }
+  private val q240Sql: String = {
+    val rounds = (1 to BpeTrainRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_transform(generate_series(1, len(segs) - 1),
+         |      j -> segs[j] || ' ' || segs[j + 1])) AS pair
+         |    FROM (SELECT cnt, list_filter(string_split(enc, chr(31)), x -> x <> '') AS segs
+         |          FROM v${i - 1})
+         |    WHERE len(segs) >= 2
+         |  ) GROUP BY 1
+         |),
+         |m$i AS (SELECT CAST($i AS BIGINT) AS round, pair, n AS n_occurrences
+         |        FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         |v$i AS (
+         |  SELECT v.cnt,
+         |    replace(v.enc, chr(31) || replace(m.pair, ' ', chr(31)) || chr(31),
+         |                   chr(31) || replace(m.pair, ' ', '') || chr(31)) AS enc
+         |  FROM v${i - 1} v, m$i m
+         |)""".stripMargin
+    }
+    val union = (1 to BpeTrainRounds).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH vocab AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest($toksSql) AS token FROM documents)
+       |  GROUP BY 1
+       |),
+       |v0 AS (
+       |  SELECT cnt,
+       |    concat(chr(31), array_to_string(string_split(token, ''), chr(31)), chr(31)) AS enc
+       |  FROM vocab WHERE instr(token, chr(31)) = 0
+       |),
+       |${rounds.mkString(",\n")}
+       |SELECT round, pair, n_occurrences FROM ($union) ORDER BY round""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q150
   /** BPE merge APPLICATION — the other half of q95 (which ranks the
     * merges): encode the corpus with its own learned top-20 merges and
@@ -3829,6 +3940,7 @@ object TextQueries extends QueryCatalog {
     "q92_bm25_search" -> q92,
     "q145_bm25_champions" -> q145,
     "q150_bpe_encode" -> q150,
+    "q240_bpe_train" -> q240,
     "q93_rare_bigram_rate" -> q93,
     "q95_bpe_merges" -> q95,
     "q96_quality_classifier" -> q96,
@@ -3892,6 +4004,7 @@ object TextQueries extends QueryCatalog {
     "q92_bm25_search" -> q92Sql,
     "q145_bm25_champions" -> q145Sql,
     "q150_bpe_encode" -> q150Sql,
+    "q240_bpe_train" -> q240Sql,
     "q93_rare_bigram_rate" -> q93Sql,
     "q95_bpe_merges" -> q95Sql,
     "q96_quality_classifier" -> q96Sql,
