@@ -1545,9 +1545,9 @@ object SimilarityQueries extends QueryCatalog {
   private[sim] def xmPlanes(nDocs: Long): Int =
     math.min(12, math.max(XmMinPlanes,
       math.ceil(math.log(math.max(1.0, nDocs.toDouble / XmTargetCell)) / math.log(2)).toInt))
-  private def xmBucketExpr(v: String, planes: Int): String =
+  private[sim] def xmBucketExpr(v: String, planes: Int, base: Int = 90): String =
     (0 until planes).map { p =>
-      val dot = (0 until 8).map(d => s"$v[$d] * ${planeSign(90 + p, d)}").mkString(" + ")
+      val dot = (0 until 8).map(d => s"$v[$d] * ${planeSign(base + p, d)}").mkString(" + ")
       s"(CASE WHEN ($dot) > 0D THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
   private def xmBucketSql(v: String, planes: Int): String =
@@ -1561,18 +1561,21 @@ object SimilarityQueries extends QueryCatalog {
   /** Doc-side index frame (vec_id, label, dv, bucket) — shared with
     * CrossModalRecallSpec so the measured recall certifies the exact
     * production index. */
-  private[sim] def xmDocIndex(s: SparkSession, dir: String, planes: Int = XmMinPlanes): DataFrame = {
+  private[sim] def xmDocIndex(s: SparkSession, dir: String,
+                              planes: Int = XmMinPlanes, base: Int = 90): DataFrame = {
     import s.implicits._
     val fold = "array(" + (0 until 8).map(foldTerm("v", _, oneBased = false)).mkString(", ") + ")"
     withVec(s, dir)
       .selectExpr("vec_id", "label", s"$fold AS dv")
       .withColumn("dnorm", sqrt(expr("aggregate(dv, 0D, (acc, x) -> acc + x * x)")))
       .filter($"dnorm" > 0)
-      .withColumn("bucket", expr(xmBucketExpr("dv", planes)).cast("int"))
+      .withColumn("bucket", expr(xmBucketExpr("dv", planes, base)).cast("int"))
   }
-  /** Query-side frame (media_id, qv, qbucket) — the decode-fleet
-    * output for the md5%97 query carve. */
-  private[sim] def xmQueries(s: SparkSession, dir: String, planes: Int = XmMinPlanes): DataFrame = {
+  /** Bucket-less query-side feature frame (media_id, qv, qnorm) — the
+    * decode-fleet output for the md5%97 query carve. Split from
+    * [[xmQueries]] so [[xmTopK]] can decode the fleet ONCE and derive
+    * per-table buckets as projections. */
+  private[sim] def xmQueryFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val qdocs = graft.core.Tables.documents(s, dir).filter(pmod($"doc_id", lit(97)) === 0)
     graft.multimodal.Multimodal.decodeFeatures(
@@ -1580,8 +1583,12 @@ object SimilarityQueries extends QueryCatalog {
       .selectExpr("media_id", "feature AS qv")
       .withColumn("qnorm", sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")))
       .filter($"qnorm" > 0)
-      .withColumn("qbucket", expr(xmBucketExpr("qv", planes)).cast("int"))
   }
+  /** Query-side frame (media_id, qv, qbucket) — [[xmQueryFeatures]]
+    * plus the single-table bucket. */
+  private[sim] def xmQueries(s: SparkSession, dir: String, planes: Int = XmMinPlanes): DataFrame =
+    xmQueryFeatures(s, dir)
+      .withColumn("qbucket", expr(xmBucketExpr("qv", planes)).cast("int"))
   /** Broadcast ceiling for the exploded probe frame: each probe row is
     * a media_id + 8-double qv + probe int (~150 B with row overhead),
     * so 400k rows ≈ 60 MB — comfortably inside executor memory but an
@@ -1675,6 +1682,84 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy($"media_id", $"rk")
   }
   private def q236(s: SparkSession, dir: String): DataFrame = q236Plan(s, dir)
+
+  /** High-recall cross-modal top-k — the DOMINANT point of the
+    * recall/cost frontier promoted to a library entry (r18 verdict
+    * item 5). q236 stays the catalog's minimum-cost, oracle-replayable
+    * default; a deployment needing recall ≥ 0.95 calls this with the
+    * defaults, which select the frontier row that dominates the
+    * default on BOTH axes (CrossModalRecallSpec sweep, sf0.01,
+    * recall@10 / corpus fraction scanned):
+    * {{{
+    *            T=1          T=2          T=4
+    *   P=4   0.833/0.352  0.883/0.536  1.000/0.757
+    *   P=5   0.600/0.230  0.817/0.345  0.967/0.537
+    *   P=6   0.533/0.144  0.667/0.211  0.950/0.323   <- tables=4, planesBoost=2
+    * }}}
+    * The OR-of-ANDs shape: `planesBoost` extra hyperplanes per table
+    * shrink every cell 2^boost× (fewer, better candidates per table),
+    * and `tables` independent plane families (bases 90 + t·planes,
+    * the q74 multi-table trick) give a true neighbor `tables` chances
+    * to collide. Candidates colliding in several tables are deduped
+    * BEFORE scoring, exactly like q74.
+    *
+    * Scale shape — q236's dispatched join, widened: the index build is
+    * `tables` linear projection passes (the L× index, built map-side);
+    * the fleet is decoded ONCE (persisted) and per-table buckets are
+    * projections of it; the search is ONE equi-join on (table, bucket)
+    * behind the same broadcast-vs-salted-shuffle dispatch, with probe
+    * rows and candidate mass scaled by `tables` in the dispatch
+    * estimate so the broadcast ceiling is respected at L× the probe
+    * frame. Both physical paths are byte-identical (XmTopKSpec). */
+  def xmTopK(s: SparkSession, dir: String, tables: Int = 4, planesBoost: Int = 2,
+             k: Int = 10, forcePath: Option[String] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val corpus = graft.core.Tables.embeddings(s, dir).count()
+    val planes = math.min(12, xmPlanes(corpus) + planesBoost)
+    val qfeat = graft.core.ScratchCache.persist(xmQueryFeatures(s, dir))
+    val probes = (0 until tables).map { t =>
+      qfeat
+        .withColumn("qbucket", expr(xmBucketExpr("qv", planes, 90 + t * planes)).cast("int"))
+        .select($"media_id", $"qv", lit(t).as("qtbl"),
+          explode(array($"qbucket" +: (0 until planes).map(p =>
+            $"qbucket".bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
+    }.reduce(_ unionAll _)
+    val index = (0 until tables).map { t =>
+      xmDocIndex(s, dir, planes, 90 + t * planes).withColumn("tbl", lit(t))
+    }.reduce(_ unionAll _)
+    val useBroadcast = forcePath match {
+      case Some("broadcast") => true
+      case Some("shuffle")   => false
+      case _ =>
+        val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
+        val probeRows = fleetEst * (planes + 1) * tables
+        val candidates = probeRows * (corpus >> planes)
+        probeRows <= XmBroadcastMaxProbeRows &&
+          candidates <= XmBroadcastMaxCandidates
+    }
+    val joined =
+      if (useBroadcast)
+        index.join(broadcast(probes), $"tbl" === $"qtbl" && $"bucket" === $"probe")
+      else {
+        val salted = probes.withColumn("qsalt",
+          explode(array((0 until XmShuffleSalt).map(lit(_)): _*)))
+        index.withColumn("dsalt", pmod(hash($"vec_id"), lit(XmShuffleSalt)))
+          .join(salted.hint("shuffle_hash"),
+            $"tbl" === $"qtbl" && $"bucket" === $"probe" && $"dsalt" === $"qsalt")
+          .drop("dsalt", "qsalt")
+      }
+    joined
+      .select($"media_id", $"vec_id", $"label", $"dv", $"qv").distinct()
+      .withColumn("cos", expr("cosine_similarity(dv, qv)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"media_id").orderBy($"cos".desc, $"vec_id")))
+      .filter($"rk" <= k)
+      .select($"media_id", $"vec_id", $"label", $"rk".cast("long").as("rk"),
+        round($"cos", 4).as("cos_q4"))
+      .orderBy($"media_id", $"rk")
+  }
   private val q236Sql = {
     // the oracle pins the XmMinPlanes=4 configuration — xmPlanes
     // resolves to exactly 4 at every oracle-checked fixture size

@@ -1,0 +1,94 @@
+package graft.sim
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Gates [[SimilarityQueries.xmTopK]] — the promoted dominant point
+  * (tables=4, planesBoost=2) of the cross-modal recall/cost frontier:
+  *
+  *  1. PATH EQUIVALENCE: forced broadcast, forced shuffle, and the
+  *     auto dispatch produce the identical frame (q236's contract,
+  *     inherited by the multi-table form).
+  *  2. DOMINANCE, measured not narrated: recall@10 ≥ 0.94 against the
+  *     exact scan AND strictly above the q236 default's recall, at a
+  *     strictly SMALLER scanned candidate set — both axes of the
+  *     frontier claim on the same fixture the sweep measured.
+  */
+class XmTopKSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def fixture = java.nio.file.Files.exists(
+    java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+
+  private def keyed(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select(col("media_id").cast("long"), col("rk"), col("vec_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** Per-media retrieved set. */
+  private def sets(rows: Seq[(Long, Long, Long)]): Map[Long, Set[Long]] =
+    rows.groupBy(_._1).map { case (m, rs) => m -> rs.map(_._3).toSet }
+
+  /** Exact cosine top-10 per media over the full folded corpus. */
+  private def exactTop10: Map[Long, Set[Long]] = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val rows = SimilarityQueries.xmQueryFeatures(spark, dir)
+      .select(col("media_id"), col("qv"))
+      .crossJoin(SimilarityQueries.xmDocIndex(spark, dir).select(col("vec_id"), col("dv")))
+      .withColumn("cos", expr("cosine_similarity(dv, qv)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("media_id").cast("long"), col("rk").cast("long"), col("vec_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    sets(rows)
+  }
+
+  private def recall(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.toSeq.map { case (m, ex) =>
+      approx.getOrElse(m, Set.empty).intersect(ex).size.toDouble / ex.size }
+    per.sum / per.size
+  }
+
+  /** Distinct (media, vec) candidate pairs the (planes, tables) index
+    * generates — the scan-cost axis of the frontier. */
+  private def candCount(planes: Int, tables: Int): Long = {
+    val qf = SimilarityQueries.xmQueryFeatures(spark, dir)
+    (0 until tables).map { t =>
+      val probes = qf
+        .withColumn("qbucket",
+          expr(SimilarityQueries.xmBucketExpr("qv", planes, 90 + t * planes)).cast("int"))
+        .select(col("media_id"),
+          explode(array(col("qbucket") +: (0 until planes).map(p =>
+            col("qbucket").bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
+      SimilarityQueries.xmDocIndex(spark, dir, planes, 90 + t * planes)
+        .join(probes, col("bucket") === col("probe"))
+        .select(col("media_id"), col("vec_id"))
+    }.reduce(_ unionAll _).distinct().count()
+  }
+
+  test("forced broadcast, forced shuffle, and auto dispatch are byte-identical") {
+    assume(fixture)
+    val b = keyed(SimilarityQueries.xmTopK(spark, dir, forcePath = Some("broadcast")))
+    val sh = keyed(SimilarityQueries.xmTopK(spark, dir, forcePath = Some("shuffle")))
+    val auto = keyed(SimilarityQueries.xmTopK(spark, dir))
+    assert(b == sh, "broadcast and shuffle paths must agree row-for-row")
+    assert(auto == b, "auto dispatch must resolve to the same frame")
+  }
+
+  test("the promoted point dominates the default on both frontier axes") {
+    assume(fixture)
+    val exact = exactTop10
+    val promoted = recall(sets(keyed(SimilarityQueries.xmTopK(spark, dir))), exact)
+    val default = recall(sets(keyed(SimilarityQueries.q236Plan(spark, dir))), exact)
+    val candPromoted = candCount(6, 4)
+    val candDefault = candCount(4, 1)
+    info(f"recall@10: promoted=$promoted%.3f default=$default%.3f; " +
+      f"candidates: promoted=$candPromoted default=$candDefault")
+    assert(promoted >= 0.94, f"promoted recall $promoted%.3f under the 0.94 floor")
+    assert(promoted > default, "promotion must raise recall over the q236 default")
+    assert(candPromoted < candDefault,
+      s"promotion must also SHRINK the scanned candidate set: $candPromoted vs $candDefault")
+  }
+}
