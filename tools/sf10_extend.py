@@ -17,6 +17,14 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
     con = duckdb.connect()
+    # out-of-core settings for the heaviest replays (q239's k-means
+    # training + double assignment at 200k vectors exhausted the
+    # default in-memory budget): cap threads and let blocking
+    # operators spill instead of dying
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
+    con.sql(f"SET threads={os.environ.get('GRAFT_DUCK_THREADS', '8')}")
+    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '80GB')}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -24,7 +32,9 @@ def main():
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    path = "CORRECTNESS_SF10.json"
+    # same merge logic serves the 10x tier: point GRAFT_SF_JSON at
+    # CORRECTNESS_SF1.json when extending that artifact
+    path = os.environ.get("GRAFT_SF_JSON", "CORRECTNESS_SF10.json")
     doc = json.load(open(path))
     results = doc["results"]
     for name in names:
