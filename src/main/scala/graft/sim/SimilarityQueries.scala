@@ -1930,12 +1930,19 @@ object SimilarityQueries extends QueryCatalog {
     // truth; the catalog path runs shift = 0
     val batch = if (batchShift == 0.0) batch0
       else batch0.withColumn("v", expr(s"transform(v, x -> x + ${batchShift}D)"))
-    val bl = assignCells(batch, cents)
-      .groupBy(col("cent_id")).agg(count(lit(1)).as("n_batch"))
-      .select(col("cent_id").cast("long").as("cell"), col("n_batch"))
+    // persist the NCells-row batch-count frame: the final select
+    // references it through three branches (cells itself, the tot
+    // scalar, the l1 scalar), and without the persist each branch
+    // re-derives the whole batch scan + assignment window — 3x the
+    // batch cost for identical rows (caught by the r19 plan audit).
+    // The artifact-side scans it leaves behind are O(cells) parquet.
+    val bl = graft.core.ScratchCache.persist(
+      assignCells(batch, cents)
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("n_batch"))
+        .select(col("cent_id").cast("long").as("cell"), col("n_batch")))
     val cells = cents.select($"cent_id".cast("long").as("cell"))
-      .join(loads, Seq("cell"), "left")
-      .join(bl, Seq("cell"), "left")
+      .join(broadcast(loads), Seq("cell"), "left")
+      .join(broadcast(bl), Seq("cell"), "left")
       .select($"cell",
         coalesce($"n_corpus", lit(0L)).as("n_corpus"),
         coalesce($"n_batch", lit(0L)).as("n_batch"))
