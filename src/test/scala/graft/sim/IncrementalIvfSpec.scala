@@ -75,6 +75,10 @@ class IncrementalIvfSpec extends SparkTestBase {
     // through the artifact
     val plan = natural.queryExecution.executedPlan.toString
     assert(plan.contains(store), s"replay must scan the ivfstore artifact: $store")
+    // pinned shape: every join in the replay is broadcast-built (the
+    // centroid cross join and the O(cells) artifact joins) — nothing
+    // batch- or corpus-sized ever sorts or shuffles for a join
+    assert(!plan.contains("SortMergeJoin"), "replay must not sort-merge anything")
     val rows = natural.collect()
     assert(rows.nonEmpty)
     // (4a) natural carve: sampling noise only — below the gate everywhere
