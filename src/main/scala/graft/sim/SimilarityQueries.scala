@@ -1496,8 +1496,10 @@ object SimilarityQueries extends QueryCatalog {
     * no shuffle) over the ~1% query carve; the doc index is one
     * map-side projection+bucket pass, built once and reusable; the
     * search is ONE equi-join of the corpus-bucket frame against the
-    * probe set, AUTO-DISPATCHED from the two plan-build counts
-    * ([[q236Plan]]): broadcast while the probe frame fits memory
+    * probe set, AUTO-DISPATCHED from one metadata count plus a
+    * metadata-derived fleet estimate ([[q236Plan]] — the %97 carve is
+    * a deterministic slice, so fleet = docs/97 with no filtered
+    * column scan): broadcast while the probe frame fits memory
     * ([[XmBroadcastMaxProbeRows]] — the fleet grows linearly with the
     * corpus under the %97 carve, so an unconditional broadcast would
     * hit the memory ceiling near ~10⁷ queries) AND the estimated
