@@ -31,9 +31,14 @@ object XmPathBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // second arg "xmtopk" times the promoted high-recall entry point
+    // instead of the q236 catalog default
+    val useTopK = args.lift(1).contains("xmtopk")
     for (path <- Seq(None, Some("broadcast"), Some("shuffle"))) {
-      val label = path.getOrElse("auto")
-      val df = graft.sim.SimilarityQueries.q236Plan(spark, sfDir, path)
+      val label = (if (useTopK) "xmtopk-" else "") + path.getOrElse("auto")
+      val df =
+        if (useTopK) graft.sim.SimilarityQueries.xmTopK(spark, sfDir, forcePath = path)
+        else graft.sim.SimilarityQueries.q236Plan(spark, sfDir, path)
       // warm once (parquet footers, codegen), then time two runs
       df.write.format("noop").mode("overwrite").save()
       graft.core.ScratchCache.drain()

@@ -1735,11 +1735,20 @@ object SimilarityQueries extends QueryCatalog {
       case Some("broadcast") => true
       case Some("shuffle")   => false
       case _ =>
+        // multi-table dispatch differs from q236's, by measurement:
+        // the union index gives the BROADCAST path `tables`× the scan
+        // parallelism (one branch per table), which removes the
+        // single-branch scoring bottleneck that forced q236 to
+        // shuffle, while the shuffle path pays `tables`× the index
+        // exchange volume. At the 100× tier (81M candidates — far
+        // over q236's 8M mass cap) broadcast measured 31/32 s vs
+        // 46/52 s shuffled, so the candidate-mass criterion is
+        // dropped here and the hard memory bound on the replicated
+        // probe frame decides alone; at the next decade the fleet
+        // itself (2.7M probe rows) crosses that bound and the salted
+        // shuffle takes over regardless.
         val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
-        val probeRows = fleetEst * (planes + 1) * tables
-        val candidates = probeRows * (corpus >> planes)
-        probeRows <= XmBroadcastMaxProbeRows &&
-          candidates <= XmBroadcastMaxCandidates
+        fleetEst * (planes + 1) * tables <= XmBroadcastMaxProbeRows
     }
     val joined =
       if (useBroadcast)
@@ -1753,8 +1762,15 @@ object SimilarityQueries extends QueryCatalog {
           .drop("dsalt", "qsalt")
       }
     joined
-      .select($"media_id", $"vec_id", $"label", $"dv", $"qv").distinct()
+      // score BEFORE the cross-table dedup: the cosine is computed
+      // from identical (dv, qv) inputs on every duplicate of a pair,
+      // so it is bit-identical across tables and the distinct can run
+      // on a 4-narrow-column frame instead of shuffling two 8-double
+      // arrays per candidate (measured at the 100× tier: the
+      // wide-array distinct dominated both physical paths, 58–81 s;
+      // re-scoring a duplicate costs 8 multiply-adds)
       .withColumn("cos", expr("cosine_similarity(dv, qv)"))
+      .select($"media_id", $"vec_id", $"label", $"cos").distinct()
       .withColumn("rk", row_number().over(
         Window.partitionBy($"media_id").orderBy($"cos".desc, $"vec_id")))
       .filter($"rk" <= k)
