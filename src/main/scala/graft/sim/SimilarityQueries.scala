@@ -1705,6 +1705,20 @@ object SimilarityQueries extends QueryCatalog {
     * to collide. Candidates colliding in several tables are deduped
     * BEFORE scoring, exactly like q74.
     *
+    * Scale behavior, measured (XmRecallProbe; the adaptive plane
+    * policy moves the operating point as the corpus grows, so the
+    * fixture frontier alone cannot certify scale). At the 10× replica
+    * both paths are near-exact (default 0.998, promoted 1.000). At
+    * the 100× replica (5156 queries × 200k docs, planes adapt to
+    * 7/9), recall pays for the smaller cells — and the knobs buy it
+    * back monotonically at measured cost:
+    * {{{
+    *   default   planes=7 tables=1  recall 0.600  scan  9.7%
+    *   THIS      planes=9 tables=4  recall 0.867  scan 10.6%   <- +0.27 recall at +0.9% scan
+    *   boost=1   planes=8 tables=4  recall 0.933  scan 19.2%
+    *   tables=8  planes=9 tables=8  recall 1.000  scan 27.9%   <- the recall>=0.95 recipe at 100x
+    * }}}
+    *
     * Scale shape — q236's dispatched join, widened: the index build is
     * `tables` linear projection passes (the L× index, built map-side);
     * the fleet is decoded ONCE (persisted) and per-table buckets are
