@@ -36,15 +36,20 @@ object XmPathBench {
     val useTopK = args.lift(1).contains("xmtopk")
     for (path <- Seq(None, Some("broadcast"), Some("shuffle"))) {
       val label = (if (useTopK) "xmtopk-" else "") + path.getOrElse("auto")
-      val df =
+      // REBUILD the plan per execution (Bench semantics): reusing one
+      // DataFrame across drains would time runs whose ScratchCache
+      // persists (xmTopK's qfeat decode) were already unpersisted —
+      // a plan production never runs, and one that re-decodes the
+      // fleet once per union branch (caught by the r19 self-review)
+      def build() =
         if (useTopK) graft.sim.SimilarityQueries.xmTopK(spark, sfDir, forcePath = path)
         else graft.sim.SimilarityQueries.q236Plan(spark, sfDir, path)
       // warm once (parquet footers, codegen), then time two runs
-      df.write.format("noop").mode("overwrite").save()
+      build().write.format("noop").mode("overwrite").save()
       graft.core.ScratchCache.drain()
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         println(f"[xmpath] $label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
         graft.core.ScratchCache.drain()
       }

@@ -1591,6 +1591,39 @@ object SimilarityQueries extends QueryCatalog {
   private[sim] def xmQueries(s: SparkSession, dir: String, planes: Int = XmMinPlanes): DataFrame =
     xmQueryFeatures(s, dir)
       .withColumn("qbucket", expr(xmBucketExpr("qv", planes)).cast("int"))
+  /** Distinct candidate (media_id, vec_id) pairs the (planes, tables)
+    * cross-modal index generates — the scan-cost axis of the
+    * recall/cost frontier, SHARED by XmTopKSpec and XmRecallProbe so
+    * the measured cost always certifies the production probe shape
+    * (same Hamming-1 probe explode, same 90 + t·planes bases). */
+  private[sim] def xmCandidatePairs(s: SparkSession, dir: String,
+                                    planes: Int, tables: Int): DataFrame =
+    (0 until tables).map { t =>
+      val probes = xmQueryFeatures(s, dir)
+        .withColumn("qbucket", expr(xmBucketExpr("qv", planes, 90 + t * planes)).cast("int"))
+        .select(col("media_id"),
+          explode(array(col("qbucket") +: (0 until planes).map(p =>
+            col("qbucket").bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
+      xmDocIndex(s, dir, planes, 90 + t * planes)
+        .join(probes, col("bucket") === col("probe"))
+        .select(col("media_id"), col("vec_id"))
+    }.reduce(_ unionAll _).distinct()
+  /** Exact cosine top-10 (media_id, rk, vec_id) over the full folded
+    * corpus — the recall ground truth XmTopKSpec and XmRecallProbe
+    * measure against. */
+  private[sim] def xmExactTop10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    xmQueryFeatures(s, dir)
+      .select(col("media_id"), col("qv"))
+      .crossJoin(xmDocIndex(s, dir).select(col("vec_id"), col("dv")))
+      .withColumn("cos", expr("cosine_similarity(dv, qv)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("media_id").cast("long").as("media_id"),
+        col("rk").cast("long").as("rk"), col("vec_id").cast("long").as("vec_id"))
+  }
   /** Broadcast ceiling for the exploded probe frame: each probe row is
     * a media_id + 8-double qv + probe int (~150 B with row overhead),
     * so 400k rows ≈ 60 MB — comfortably inside executor memory but an
@@ -1650,9 +1683,11 @@ object SimilarityQueries extends QueryCatalog {
         // count instead of a filtered doc_id column scan, which at the
         // 100× tier cost up to ~2× the whole query (r18 measured
         // 22.8–29.8 s auto vs 14.8–15.5 s forced-shuffle, probes alone
-        // the difference). ±1 can never flip the dispatch: the
-        // thresholds are 400k rows / 8M candidates, three decades
-        // above the estimate's error. Only the auto branch pays this
+        // the difference). The estimate's error is ±1 per contiguous
+        // id block in the dir (the ScaleUp replicas concatenate up to
+        // 100 offset blocks, so ±100 there) — still two-plus decades
+        // under the 400k-row / 8M-candidate thresholds, so it can
+        // never flip the dispatch. Only the auto branch pays this
         // count at all — forced paths (specs, XmPathBench) plan with
         // zero probe jobs beyond the planes count.
         val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
@@ -1752,15 +1787,18 @@ object SimilarityQueries extends QueryCatalog {
         // multi-table dispatch differs from q236's, by measurement:
         // the union index gives the BROADCAST path `tables`× the scan
         // parallelism (one branch per table), which removes the
-        // single-branch scoring bottleneck that forced q236 to
+        // single-branch scoring bottleneck that forces q236 to
         // shuffle, while the shuffle path pays `tables`× the index
-        // exchange volume. At the 100× tier (81M candidates — far
-        // over q236's 8M mass cap) broadcast measured 31/32 s vs
-        // 46/52 s shuffled, so the candidate-mass criterion is
-        // dropped here and the hard memory bound on the replicated
-        // probe frame decides alone; at the next decade the fleet
-        // itself (2.7M probe rows) crosses that bound and the salted
-        // shuffle takes over regardless.
+        // exchange volume. At the 100× tier (81M candidates — 10×
+        // q236's mass cap) the two paths measure statistically
+        // indistinguishable under per-run plan rebuild (broadcast
+        // 37–43 s, shuffle 39–40 s; XmPathBench xmtopk mode), so
+        // q236's candidate-mass criterion buys nothing here and is
+        // dropped: at equal wall cost broadcast never shuffles the
+        // corpus, and the hard memory bound on the replicated probe
+        // frame decides alone. At the next decade the fleet itself
+        // (2.7M probe rows) crosses that bound and the salted shuffle
+        // takes over regardless.
         val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
         fleetEst * (planes + 1) * tables <= XmBroadcastMaxProbeRows
     }
@@ -1781,8 +1819,10 @@ object SimilarityQueries extends QueryCatalog {
       // so it is bit-identical across tables and the distinct can run
       // on a 4-narrow-column frame instead of shuffling two 8-double
       // arrays per candidate (measured at the 100× tier: the
-      // wide-array distinct dominated both physical paths, 58–81 s;
-      // re-scoring a duplicate costs 8 multiply-adds)
+      // wide-array distinct dominated both physical paths — measured
+      // under one shared harness, so the relative win stands, and the
+      // shuffle-byte cut (~4×/row) is structural; re-scoring a
+      // duplicate costs 8 multiply-adds)
       .withColumn("cos", expr("cosine_similarity(dv, qv)"))
       .select($"media_id", $"vec_id", $"label", $"cos").distinct()
       .withColumn("rk", row_number().over(

@@ -1434,13 +1434,14 @@ object TextQueries extends QueryCatalog {
   private[text] def bpeTrainStates(s: SparkSession, dir: String,
                                    rounds: Int): (Seq[DataFrame], DataFrame) = {
     import s.implicits._
-    var v = graft.core.ScratchCache.persist(
-      Tables.documents(s, dir)
-        .select(explode(expr(toksExpr)).as("token"))
-        .groupBy($"token").agg(count(lit(1)).as("cnt"))
-        .filter(expr("instr(token, chr(31)) = 0"))
-        .select($"cnt", // q150's boundary encoding; split('') emits a trailing "" under limit=-1
-          expr("concat(chr(31), concat_ws(chr(31), filter(split(token, ''), x -> x != '')), chr(31))").as("enc")))
+    // the eager localCheckpoint alone materializes the vocab frame —
+    // a persist() on top would just hold a second cached copy
+    var v = Tables.documents(s, dir)
+      .select(explode(expr(toksExpr)).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter(expr("instr(token, chr(31)) = 0"))
+      .select($"cnt", // q150's boundary encoding; split('') emits a trailing "" under limit=-1
+        expr("concat(chr(31), concat_ws(chr(31), filter(split(token, ''), x -> x != '')), chr(31))").as("enc"))
       .localCheckpoint()
     val bests = (1 to rounds).map { i =>
       val best = v

@@ -32,24 +32,27 @@ class IncrementalIvfSpec extends SparkTestBase {
   private def fixture = java.nio.file.Files.exists(
     java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
 
-  private def tmp(): String = {
-    val p = java.nio.file.Files.createTempDirectory("ivfspec")
-    p.toFile.deleteOnExit(); p.toString
-  }
+  // deleteOnExit is useless for dirs that become non-empty — clean up
+  // the parquet trees explicitly when the test ends
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("ivfspec").toString
 
   test("two independent index builds produce identical centroids and loads") {
     assume(fixture)
     val (a, b) = (tmp(), tmp())
-    SimilarityQueries.writeIvfIndex(spark, dir, a)
-    SimilarityQueries.writeIvfIndex(spark, dir, b)
-    def slurp(path: String): (Set[String], Set[String]) = (
-      spark.read.parquet(s"$path/cents")
-        .select(col("cent_id").cast("string"), col("cv").cast("string"))
-        .collect().map(_.mkString("|")).toSet,
-      spark.read.parquet(s"$path/loads")
-        .select(col("cell"), col("n_corpus"))
-        .collect().map(_.mkString("|")).toSet)
-    assert(slurp(a) == slurp(b), "index artifact must be a pure function of the corpus")
+    try {
+      SimilarityQueries.writeIvfIndex(spark, dir, a)
+      SimilarityQueries.writeIvfIndex(spark, dir, b)
+      def slurp(path: String): (Set[String], Set[String]) = (
+        spark.read.parquet(s"$path/cents")
+          .select(col("cent_id").cast("string"), col("cv").cast("string"))
+          .collect().map(_.mkString("|")).toSet,
+        spark.read.parquet(s"$path/loads")
+          .select(col("cell"), col("n_corpus"))
+          .collect().map(_.mkString("|")).toSet)
+      assert(slurp(a) == slurp(b), "index artifact must be a pure function of the corpus")
+    } finally Seq(a, b).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
 
   test("stored centroids round-trip the live training frame exactly") {

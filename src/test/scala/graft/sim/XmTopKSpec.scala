@@ -13,7 +13,11 @@ import org.apache.spark.sql.DataFrame
   *  2. DOMINANCE, measured not narrated: recall@10 ≥ 0.94 against the
   *     exact scan AND strictly above the q236 default's recall, at a
   *     strictly SMALLER scanned candidate set — both axes of the
-  *     frontier claim on the same fixture the sweep measured.
+  *     frontier claim on the same fixture the sweep measured. The
+  *     candidate generator and the exact ground truth are the SHARED
+  *     production helpers ([[SimilarityQueries.xmCandidatePairs]] /
+  *     [[SimilarityQueries.xmExactTop10]]), so the measurement can
+  *     never drift from the shipped probe shape.
   */
 class XmTopKSpec extends SparkTestBase {
 
@@ -29,43 +33,10 @@ class XmTopKSpec extends SparkTestBase {
   private def sets(rows: Seq[(Long, Long, Long)]): Map[Long, Set[Long]] =
     rows.groupBy(_._1).map { case (m, rs) => m -> rs.map(_._3).toSet }
 
-  /** Exact cosine top-10 per media over the full folded corpus. */
-  private def exactTop10: Map[Long, Set[Long]] = {
-    import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftFunctions.register(spark)
-    val rows = SimilarityQueries.xmQueryFeatures(spark, dir)
-      .select(col("media_id"), col("qv"))
-      .crossJoin(SimilarityQueries.xmDocIndex(spark, dir).select(col("vec_id"), col("dv")))
-      .withColumn("cos", expr("cosine_similarity(dv, qv)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("media_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rk") <= 10)
-      .select(col("media_id").cast("long"), col("rk").cast("long"), col("vec_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    sets(rows)
-  }
-
   private def recall(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
     val per = exact.toSeq.map { case (m, ex) =>
       approx.getOrElse(m, Set.empty).intersect(ex).size.toDouble / ex.size }
     per.sum / per.size
-  }
-
-  /** Distinct (media, vec) candidate pairs the (planes, tables) index
-    * generates — the scan-cost axis of the frontier. */
-  private def candCount(planes: Int, tables: Int): Long = {
-    val qf = SimilarityQueries.xmQueryFeatures(spark, dir)
-    (0 until tables).map { t =>
-      val probes = qf
-        .withColumn("qbucket",
-          expr(SimilarityQueries.xmBucketExpr("qv", planes, 90 + t * planes)).cast("int"))
-        .select(col("media_id"),
-          explode(array(col("qbucket") +: (0 until planes).map(p =>
-            col("qbucket").bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
-      SimilarityQueries.xmDocIndex(spark, dir, planes, 90 + t * planes)
-        .join(probes, col("bucket") === col("probe"))
-        .select(col("media_id"), col("vec_id"))
-    }.reduce(_ unionAll _).distinct().count()
   }
 
   test("forced broadcast, forced shuffle, and auto dispatch are byte-identical") {
@@ -79,11 +50,11 @@ class XmTopKSpec extends SparkTestBase {
 
   test("the promoted point dominates the default on both frontier axes") {
     assume(fixture)
-    val exact = exactTop10
+    val exact = sets(keyed(SimilarityQueries.xmExactTop10(spark, dir)))
     val promoted = recall(sets(keyed(SimilarityQueries.xmTopK(spark, dir))), exact)
     val default = recall(sets(keyed(SimilarityQueries.q236Plan(spark, dir))), exact)
-    val candPromoted = candCount(6, 4)
-    val candDefault = candCount(4, 1)
+    val candPromoted = SimilarityQueries.xmCandidatePairs(spark, dir, 6, 4).count()
+    val candDefault = SimilarityQueries.xmCandidatePairs(spark, dir, 4, 1).count()
     info(f"recall@10: promoted=$promoted%.3f default=$default%.3f; " +
       f"candidates: promoted=$candPromoted default=$candDefault")
     assert(promoted >= 0.94, f"promoted recall $promoted%.3f under the 0.94 floor")

@@ -24,7 +24,13 @@ def main():
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     con.sql(f"SET threads={os.environ.get('GRAFT_DUCK_THREADS', '8')}")
-    con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '80GB')}'")
+    # spilling only kicks in as usage approaches memory_limit, so a
+    # fixed default larger than physical RAM would get OOM-killed
+    # before any spill: derive the default from the machine (60% of
+    # physical RAM), env-overridable
+    phys_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+    mem = os.environ.get("GRAFT_DUCK_MEM", f"{max(1, int(phys_gb * 0.6))}GB")
+    con.sql(f"SET memory_limit='{mem}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
