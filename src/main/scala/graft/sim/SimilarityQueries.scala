@@ -1547,6 +1547,22 @@ object SimilarityQueries extends QueryCatalog {
   private[sim] def xmPlanes(nDocs: Long): Int =
     math.min(12, math.max(XmMinPlanes,
       math.ceil(math.log(math.max(1.0, nDocs.toDouble / XmTargetCell)) / math.log(2)).toInt))
+  /** ADAPTIVE table count for the promoted [[xmTopK]] point — the r19
+    * `weak` fix: the plane count adapts to the corpus while tables was
+    * frozen at 4, so the certified recall decayed across decades
+    * (0.950 at the fixture → 0.867 at the 100× replica, XmRecallProbe
+    * r19). Every extra plane halves each table's cells, cutting the
+    * chance a true neighbor lands within the probe-1 Hamming ball of
+    * its query; more independent tables buy that chance back (the
+    * OR-of-ANDs trade). Calibrated on the measured decades: doubling
+    * tables per +3 boosted planes over the fixture's 6 holds
+    * recall@10 ≥ 0.95 at every measured tier — planes 6 → 4 tables
+    * (fixture, 0.950 pinned by XmTopKSpec), planes 9 → 8 tables (100×
+    * replica, measured 1.000 @ 27.9% scanned, BENCH_SF1.md r19
+    * addendum 2). Capped at 16: planes cap at 12, so the expression
+    * never resolves higher anyway. */
+  private[sim] def xmTables(boostedPlanes: Int): Int =
+    math.min(16, 4 << math.max(0, (boostedPlanes - 6) / 3))
   private[sim] def xmBucketExpr(v: String, planes: Int, base: Int = 90): String =
     (0 until planes).map { p =>
       val dot = (0 until 8).map(d => s"$v[$d] * ${planeSign(base + p, d)}").mkString(" + ")
@@ -1689,7 +1705,12 @@ object SimilarityQueries extends QueryCatalog {
         // under the 400k-row / 8M-candidate thresholds, so it can
         // never flip the dispatch. Only the auto branch pays this
         // count at all — forced paths (specs, XmPathBench) plan with
-        // zero probe jobs beyond the planes count.
+        // zero probe jobs beyond the planes count. Precondition: the
+        // estimate assumes doc_ids are dense contiguous blocks (the
+        // generator's/ScaleUp's layout); a sparse/filtered documents
+        // table can misestimate the %97 fleet and mis-dispatch
+        // (perf-only — the paths are byte-identical) — pass forcePath
+        // there.
         val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
         val probeRows = fleetEst * (planes + 1)
         val candidates = probeRows * (corpus >> planes)
@@ -1724,9 +1745,13 @@ object SimilarityQueries extends QueryCatalog {
     * recall/cost frontier promoted to a library entry (r18 verdict
     * item 5). q236 stays the catalog's minimum-cost, oracle-replayable
     * default; a deployment needing recall ≥ 0.95 calls this with the
-    * defaults, which select the frontier row that dominates the
-    * default on BOTH axes (CrossModalRecallSpec sweep, sf0.01,
-    * recall@10 / corpus fraction scanned):
+    * defaults: planesBoost=2 over the adaptive plane count, and the
+    * table count derived from the boosted planes by [[xmTables]]
+    * (tables ≤ 0 → adaptive; r20 fix — the r19 point froze tables=4
+    * and its recall decayed 0.950 → 0.867 across two decades). At the
+    * fixture the adaptive point resolves to the frontier row that
+    * dominates the default on BOTH axes (CrossModalRecallSpec sweep,
+    * sf0.01, recall@10 / corpus fraction scanned):
     * {{{
     *            T=1          T=2          T=4
     *   P=4   0.833/0.352  0.883/0.536  1.000/0.757
@@ -1762,22 +1787,28 @@ object SimilarityQueries extends QueryCatalog {
     * rows and candidate mass scaled by `tables` in the dispatch
     * estimate so the broadcast ceiling is respected at L× the probe
     * frame. Both physical paths are byte-identical (XmTopKSpec). */
-  def xmTopK(s: SparkSession, dir: String, tables: Int = 4, planesBoost: Int = 2,
+  def xmTopK(s: SparkSession, dir: String, tables: Int = 0, planesBoost: Int = 2,
              k: Int = 10, forcePath: Option[String] = None): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val corpus = graft.core.Tables.embeddings(s, dir).count()
     val planes = math.min(12, xmPlanes(corpus) + planesBoost)
+    // tables ≤ 0 → ADAPTIVE: derived from the boosted plane count the
+    // same way planes derive from the corpus ([[xmTables]]) — the r20
+    // fix for the r19 `weak` (recall decayed 0.950 → 0.867 across two
+    // decades with tables frozen at 4). Explicit positive values
+    // remain for the probe/spec sweeps.
+    val nTables = if (tables > 0) tables else xmTables(planes)
     val qfeat = graft.core.ScratchCache.persist(xmQueryFeatures(s, dir))
-    val probes = (0 until tables).map { t =>
+    val probes = (0 until nTables).map { t =>
       qfeat
         .withColumn("qbucket", expr(xmBucketExpr("qv", planes, 90 + t * planes)).cast("int"))
         .select($"media_id", $"qv", lit(t).as("qtbl"),
           explode(array($"qbucket" +: (0 until planes).map(p =>
             $"qbucket".bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
     }.reduce(_ unionAll _)
-    val index = (0 until tables).map { t =>
+    val index = (0 until nTables).map { t =>
       xmDocIndex(s, dir, planes, 90 + t * planes).withColumn("tbl", lit(t))
     }.reduce(_ unionAll _)
     val useBroadcast = forcePath match {
@@ -1789,18 +1820,32 @@ object SimilarityQueries extends QueryCatalog {
         // parallelism (one branch per table), which removes the
         // single-branch scoring bottleneck that forces q236 to
         // shuffle, while the shuffle path pays `tables`× the index
-        // exchange volume. At the 100× tier (81M candidates — 10×
-        // q236's mass cap) the two paths measure statistically
-        // indistinguishable under per-run plan rebuild (broadcast
-        // 37–43 s, shuffle 39–40 s; XmPathBench xmtopk mode), so
-        // q236's candidate-mass criterion buys nothing here and is
-        // dropped: at equal wall cost broadcast never shuffles the
-        // corpus, and the hard memory bound on the replicated probe
-        // frame decides alone. At the next decade the fleet itself
-        // (2.7M probe rows) crosses that bound and the salted shuffle
-        // takes over regardless.
+        // exchange volume. At the r19 100× tier (81M candidates over
+        // 4 tables — ~20M per branch, 2.5× q236's single-branch mass
+        // cap) the two paths measured statistically indistinguishable
+        // under per-run plan rebuild (broadcast 37–43 s, shuffle
+        // 39–40 s; XmPathBench xmtopk mode): the per-branch scan
+        // parallelism absorbs the mass q236's single branch cannot.
+        // So the mass ceiling here is PER TABLE BRANCH at 4× q236's
+        // cap (32M — 1.6× above the measured-parity 20M/branch
+        // point); beyond it the equivalence is extrapolation, and a
+        // corpus growing decades faster than the fleet (probe rows
+        // small, cells huge) would otherwise re-create exactly the
+        // broadcast-parallelism collapse q236's cap exists to prevent
+        // (r19 ADVICE). The probe-row memory bound is unchanged and
+        // decides first when the FLEET grows (≈2.7M probe rows at the
+        // next fleet decade → salted shuffle).
+        //
+        // fleetEst precondition: the %97 carve estimate assumes
+        // doc_ids are dense contiguous blocks (the generator's and
+        // ScaleUp's layout — error ±1 per block, two-plus decades
+        // under both ceilings). A sparse/filtered documents table
+        // breaks that assumption and can mis-dispatch (perf-only:
+        // both paths stay byte-identical, XmTopKSpec); such a
+        // deployment should pass forcePath or re-carve.
         val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
-        fleetEst * (planes + 1) * tables <= XmBroadcastMaxProbeRows
+        fleetEst * (planes + 1) * nTables <= XmBroadcastMaxProbeRows &&
+          fleetEst * (planes + 1) * (corpus >> planes) <= XmBroadcastMaxCandidates * 4
     }
     val joined =
       if (useBroadcast)
@@ -1915,18 +1960,22 @@ object SimilarityQueries extends QueryCatalog {
   private[sim] val IvfRetrainNoiseMult = 3L
 
   /** The q54 cell-assignment shape as a reusable piece: argmax-cosine
-    * cell per vector against a BROADCAST centroid frame — one linear
-    * pass over `vecs`, one window over (vector × NCells) rows, nothing
-    * corpus-sized ever shuffles. */
+    * cell per vector against a BROADCAST centroid frame → one
+    * (vec_id, cent_id) row per vector. One linear pass over `vecs`,
+    * then a `max_by` HASH AGGREGATE over the (vector × NCells) rows —
+    * Catalyst plans it partial+final, so the per-vector argmax
+    * combines map-side and nothing corpus-sized ever shuffles or
+    * sorts (the r19 plan nit: the previous row_number window forced a
+    * full per-key sort on the same rows). The max_by key
+    * struct(cs, -cent_id) replays the window's exact tie-break —
+    * highest cosine, then LOWEST cent_id — so the assignment is
+    * bit-identical to the q54/oracle argmax. */
   private def assignCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cent_id"))
     vecs.crossJoin(broadcast(cents.select(col("cent_id"), col("cv"))))
       .withColumn("cs", expr("cosine_similarity(v, cv)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("cs", "rn", "cv")
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cent_id, struct(cs, -cent_id))").as("cent_id"))
   }
 
   /** Memoized per-corpus-dir trained-index artifact (the sigstore
@@ -1950,9 +1999,21 @@ object SimilarityQueries extends QueryCatalog {
     * integers (BIGINT sums cast to double), so the parquet round-trip
     * is bit-exact and the DuckDB oracle can re-derive the identical
     * centroids from the raw table. */
-  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
-    val corpus = graft.core.ScratchCache.persist(
-      withVec(s, dir).filter(not(expr(q239CarveExpr))))
+  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit =
+    rebuildIvfIndex(s, withVec(s, dir).filter(not(expr(q239CarveExpr))), path)
+
+  /** The RETRAIN ARM the q239 gate points at — rebuild the persisted
+    * index over an arbitrary corpus frame (for the production loop,
+    * the old corpus with the flagged batch merged in). Same artifact
+    * layout and exact-integer centroid discipline as the run-N build;
+    * [[writeIvfIndex]] is this applied to the dir's corpus carve.
+    * Cost is linear in the merged corpus (the k-means passes), run
+    * OFF the ingest path only when the gate flags —
+    * IncrementalIvfSpec's retrain-arm case replays the full loop:
+    * planted shift → retrain=1 → rebuild → gate quiet on the merged
+    * corpus. */
+  def rebuildIvfIndex(s: SparkSession, corpusFrame: DataFrame, path: String): Unit = {
+    val corpus = graft.core.ScratchCache.persist(corpusFrame)
     trainedCentsOf(s, corpus).write.mode("overwrite").parquet(s"$path/cents")
     val cents = s.read.parquet(s"$path/cents")
     assignCells(corpus, cents)
@@ -1992,16 +2053,24 @@ object SimilarityQueries extends QueryCatalog {
   private[sim] def q239Plan(s: SparkSession, dir: String,
                             storePath: Option[String] = None,
                             batchShift: Double = 0.0): DataFrame = {
-    import s.implicits._
     val path = storePath.getOrElse(ensureIvfStore(s, dir))
-    val cents = s.read.parquet(s"$path/cents")
-    val loads = s.read.parquet(s"$path/loads")
     val batch0 = withVec(s, dir).filter(expr(q239CarveExpr))
     // spec seam: a planted model shift on the batch side (the q204
     // plant, applied pre-assignment) gives the retrain gate ground
     // truth; the catalog path runs shift = 0
     val batch = if (batchShift == 0.0) batch0
       else batch0.withColumn("v", expr(s"transform(v, x -> x + ${batchShift}D)"))
+    ivfGate(s, batch, path)
+  }
+
+  /** The drift gate over an arbitrary batch frame vs a persisted index
+    * — q239's body with the batch/store seams exposed so the
+    * retrain-arm spec can run the production loop (gate → rebuild →
+    * gate again on the refreshed store). */
+  private[sim] def ivfGate(s: SparkSession, batch: DataFrame, path: String): DataFrame = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$path/cents")
+    val loads = s.read.parquet(s"$path/loads")
     // persist the NCells-row batch-count frame: the final select
     // references it through three branches (cells itself, the tot
     // scalar, the l1 scalar), and without the persist each branch
@@ -2030,10 +2099,15 @@ object SimilarityQueries extends QueryCatalog {
       // integers, one correctly-rounded double chain (÷, ×, √ — IEEE
       // identical in both engines), quantized BEFORE the sum so the
       // aggregate is order-independent
+      // p_c's divisor carries the same greatest(...,1) guard as den:
+      // an empty corpus carve would otherwise give 0/0 = NaN, whose
+      // BIGINT cast is 0 in non-ANSI Spark but errors under ANSI and
+      // may differ in DuckDB — the degenerate case would silently
+      // suppress the retrain verdict (r19 ADVICE)
       .withColumn("noise_cell_ppm", expr(
         """CAST(floor(sqrt(
-          |  (CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
-          |  * (1.0D - CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
+          |  (CAST(n_corpus AS DOUBLE) / CAST(greatest(c_tot, CAST(1 AS DECIMAL(38,0))) AS DOUBLE))
+          |  * (1.0D - CAST(n_corpus AS DOUBLE) / CAST(greatest(c_tot, CAST(1 AS DECIMAL(38,0))) AS DOUBLE))
           |  / CAST(greatest(b_tot, CAST(1 AS DECIMAL(38,0))) AS DOUBLE)
           |) * 1000000D + 0.5D) AS BIGINT)""".stripMargin))
     val l1 = scored.agg(sum($"num").as("l1num"),
@@ -2084,8 +2158,8 @@ object SimilarityQueries extends QueryCatalog {
        |    abs(CAST(n_batch AS HUGEINT) * c_tot - CAST(n_corpus AS HUGEINT) * b_tot) AS num,
        |    greatest(c_tot, 1) * greatest(b_tot, 1) AS den,
        |    CAST(floor(sqrt(
-       |      (CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
-       |      * (1.0 - CAST(n_corpus AS DOUBLE) / CAST(c_tot AS DOUBLE))
+       |      (CAST(n_corpus AS DOUBLE) / CAST(greatest(c_tot, 1) AS DOUBLE))
+       |      * (1.0 - CAST(n_corpus AS DOUBLE) / CAST(greatest(c_tot, 1) AS DOUBLE))
        |      / CAST(greatest(b_tot, 1) AS DOUBLE)
        |    ) * 1000000 + 0.5) AS BIGINT) AS noise_cell_ppm
        |  FROM cells, tot

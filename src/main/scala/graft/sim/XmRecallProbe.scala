@@ -60,7 +60,11 @@ object XmRecallProbe {
     }
 
     point("default", 1, 0, SimilarityQueries.q236Plan(spark, dir))
-    point("promoted", 4, 2, SimilarityQueries.xmTopK(spark, dir))
+    // the promoted point's table count is ADAPTIVE (r20): derive it
+    // exactly as xmTopK does so the probe labels the operating point
+    // actually shipped
+    val promotedTables = SimilarityQueries.xmTables(math.min(12, basePlanes + 2))
+    point("promoted", promotedTables, 2, SimilarityQueries.xmTopK(spark, dir))
     args.drop(1).foreach { spec =>
       val Array(tb, pb) = spec.split(":").map(_.toInt)
       point("extra", tb, pb, SimilarityQueries.xmTopK(spark, dir, tables = tb, planesBoost = pb))

@@ -1468,6 +1468,95 @@ object TextQueries extends QueryCatalog {
     val (bests, _) = bpeTrainStates(s, dir, BpeTrainRounds)
     bests.reduce(_ unionByName _).orderBy(col("round"))
   }
+
+  /** BATCHED BPE trainer — the production-merge-count shape (r19
+    * verdict item 4): q240's exact loop is one driver job round-trip
+    * per merge, fine at 8 merges and an O(rounds) wall at the 10³–10⁴
+    * merges a real tokenizer trains. The standard fix: per round,
+    * take the top `batchM` pairs IN RANK ORDER whose symbols are
+    * mutually disjoint (and touch no symbol another accepted merge
+    * creates), then apply them all in ONE re-encode pass — symbol-
+    * disjoint `␟a␟b␟` patterns can never overlap or interact, so the
+    * chained replace is order-independent and equals applying each
+    * merge alone. Driver round-trips drop from `totalMerges` to
+    * ~`totalMerges / batchM`.
+    *
+    * Candidate selection collects the top `4·batchM` (pair, count)
+    * rows — a TakeOrdered over the |vocab|-derived pair frame, i.e. a
+    * merge-table-sized constant, the bounded-collect discipline of the
+    * k-row centroid list — and greedily accepts in (count desc, pair)
+    * order, rejecting any pair sharing a symbol with an accepted one
+    * or naming an accepted product. At least the top pair is always
+    * accepted, so progress is guaranteed; with batchM = 1 the loop IS
+    * q240's sequential trainer (BpeTrainSpec asserts trajectory
+    * equality).
+    *
+    * Approximation contract, stated honestly: batched greedy is the
+    * standard fast-BPE approximation, not always the sequential
+    * trajectory — a merge in this batch can create a pair (count
+    * bounded by its parent's) that sequential BPE would have ranked
+    * above this batch's lower picks. What IS exact: every applied
+    * merge's count is its true count at application time (disjointness
+    * freezes it), per-round TOP counts are non-increasing, and the
+    * final state equals q150's fold over the emitted trajectory —
+    * all pinned in BpeTrainSpec.
+    *
+    * Returns (trajectory rows (merge_idx, round, pair, n), final vocab
+    * frame). Trajectory comes back collected — selection already
+    * collected it. */
+  private[text] def bpeTrainBatchedStates(s: SparkSession, dir: String,
+      totalMerges: Int, batchM: Int): (Seq[(Long, Long, String, Long)], DataFrame) = {
+    import s.implicits._
+    var v = Tables.documents(s, dir)
+      .select(explode(expr(toksExpr)).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter(expr("instr(token, chr(31)) = 0"))
+      .select($"cnt",
+        expr("concat(chr(31), concat_ws(chr(31), filter(split(token, ''), x -> x != '')), chr(31))").as("enc"))
+      .localCheckpoint()
+    val traj = collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    var round = 0L
+    while (traj.size < totalMerges) {
+      round += 1
+      val window = math.max(4 * batchM, batchM + 8)
+      val top = v
+        .select($"cnt", expr("filter(split(enc, chr(31)), x -> x != '')").as("segs"))
+        .filter(size($"segs") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(segs) - 1), j -> concat(element_at(segs, j), ' ', element_at(segs, j + 1)))"))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"cnt").as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"pair")
+        .limit(window)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (top.isEmpty) return (traj.toSeq, v) // vocab fully merged
+      val used = collection.mutable.Set.empty[String]
+      val accepted = collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val budget = math.min(batchM, totalMerges - traj.size)
+      top.iterator.takeWhile(_ => accepted.size < budget).foreach { case (pair, n) =>
+        val Array(a, b) = pair.split(' ')
+        val prod = a + b
+        // disjointness: neither side already touched, and neither side
+        // IS a product this batch creates (its occurrences would only
+        // exist after an earlier replace ran — order-dependent)
+        if (!used(a) && !used(b) && !used(prod)) {
+          used ++= Seq(a, b, prod)
+          accepted += ((pair, n))
+        }
+      }
+      val encCol = accepted.foldLeft(col("enc")) { case (acc, (pair, _)) =>
+        val Array(a, b) = pair.split(' ')
+        call_function("replace", acc,
+          concat(lit(SepChar), lit(a), lit(SepChar), lit(b), lit(SepChar)),
+          concat(lit(SepChar), lit(a + b), lit(SepChar)))
+      }
+      v = v.select($"cnt", encCol.as("enc")).localCheckpoint()
+      accepted.foreach { case (pair, n) =>
+        traj += ((traj.size + 1L, round, pair, n)) }
+    }
+    (traj.toSeq, v)
+  }
+  private[text] val SepChar: String = 31.toChar.toString
   private val q240Sql: String = {
     val rounds = (1 to BpeTrainRounds).map { i =>
       s"""p$i AS (

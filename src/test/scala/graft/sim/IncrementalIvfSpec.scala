@@ -108,4 +108,49 @@ class IncrementalIvfSpec extends SparkTestBase {
     info(f"natural l1=$l1%d ppm vs noise floor=$noise%d ppm (ratio ${l1.toDouble / noise}%.2f); " +
       f"planted l1=${shifted.head.getLong(4)}%d ppm (ratio ${shifted.head.getLong(4).toDouble / shifted.head.getLong(5)}%.2f)")
   }
+
+  test("the retrain arm end-to-end: flagged shift -> rebuild over the merged corpus -> gate quiet") {
+    assume(fixture)
+    val storeB = tmp()
+    try {
+      val storeA = SimilarityQueries.ensureIvfStore(spark, dir)
+      // day N: a model shift arrives with the batch and the monitor flags
+      val shifted = SimilarityQueries.withVec(spark, dir)
+        .filter(expr(SimilarityQueries.q239CarveExpr))
+        .withColumn("v", expr("transform(v, x -> x + 0.5D)"))
+      val flagged = SimilarityQueries.ivfGate(spark, shifted, storeA).collect()
+      assert(flagged.forall(_.getLong(6) == 1L), "the shift must flag retrain")
+      // act on the verdict (the arm r19 never executed): merge the
+      // flagged batch into the corpus and rebuild the persisted index
+      val corpus = SimilarityQueries.withVec(spark, dir)
+        .filter(not(expr(SimilarityQueries.q239CarveExpr)))
+      val merged = corpus.unionByName(shifted)
+      val t0 = System.nanoTime()
+      SimilarityQueries.rebuildIvfIndex(spark, merged, storeB)
+      val rebuildSec = (System.nanoTime() - t0) / 1e9
+      // post-rebuild balance, q219-style: loads tile the merged corpus
+      // exactly and the refreshed quantizer is non-degenerate
+      val loads = spark.read.parquet(s"$storeB/loads")
+        .select(col("cell"), col("n_corpus")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nMerged = merged.count()
+      assert(loads.values.sum == nMerged, "rebuilt loads must tile the merged corpus")
+      assert(loads.values.count(_ > 0) > 1, "rebuilt quantizer must have >1 live cell")
+      assert(loads.values.max < nMerged, "no cell may own the whole merged corpus")
+      // day N+1: a fresh deterministic carve OF the merged distribution
+      // (an independent hash, so it is a plain random sample of the
+      // post-shift corpus) gates QUIET against the rebuilt store — the
+      // monitor is reset and ingest resumes on the incremental path
+      val next = merged.filter(expr(
+        "substring(md5(concat('day2|', CAST(vec_id AS STRING))), 1, 1) IN ('0', '1')"))
+      val quiet = SimilarityQueries.ivfGate(spark, next, storeB).collect()
+      assert(quiet.nonEmpty)
+      assert(quiet.forall(_.getLong(6) == 0L),
+        s"post-rebuild gate must be quiet: l1=${quiet.head.getLong(4)} noise=${quiet.head.getLong(5)}")
+      assert(quiet.map(_.getLong(2)).sum == next.count(),
+        "every next-day vector must land in exactly one rebuilt cell")
+      info(f"rebuild wall ${rebuildSec}%.2f s over $nMerged%d merged vectors; " +
+        f"post-rebuild l1=${quiet.head.getLong(4)}%d ppm vs noise=${quiet.head.getLong(5)}%d ppm")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(storeB))
+  }
 }

@@ -53,8 +53,16 @@ class XmTopKSpec extends SparkTestBase {
     val exact = sets(keyed(SimilarityQueries.xmExactTop10(spark, dir)))
     val promoted = recall(sets(keyed(SimilarityQueries.xmTopK(spark, dir))), exact)
     val default = recall(sets(keyed(SimilarityQueries.q236Plan(spark, dir))), exact)
-    val candPromoted = SimilarityQueries.xmCandidatePairs(spark, dir, 6, 4).count()
-    val candDefault = SimilarityQueries.xmCandidatePairs(spark, dir, 4, 1).count()
+    // derive the operating point exactly as xmTopK/q236Plan do
+    // (xmPlanes + boost, xmTables) instead of hardcoding 6/4 — if the
+    // fixture size ever moves the adaptive counts, the candidate
+    // measurement moves with the frames it certifies (r19 ADVICE)
+    val corpus = graft.core.Tables.embeddings(spark, dir).count()
+    val basePlanes = SimilarityQueries.xmPlanes(corpus)
+    val boosted = math.min(12, basePlanes + 2)
+    val candPromoted = SimilarityQueries.xmCandidatePairs(
+      spark, dir, boosted, SimilarityQueries.xmTables(boosted)).count()
+    val candDefault = SimilarityQueries.xmCandidatePairs(spark, dir, basePlanes, 1).count()
     info(f"recall@10: promoted=$promoted%.3f default=$default%.3f; " +
       f"candidates: promoted=$candPromoted default=$candDefault")
     assert(promoted >= 0.94, f"promoted recall $promoted%.3f under the 0.94 floor")
