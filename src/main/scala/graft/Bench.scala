@@ -158,6 +158,7 @@ object Bench {
     // preflighted AFTER the timed builds below so the build cost lands
     // in q94_sigstore_build / q75_labelstore_build, not the preflight.
     val lazyBuilds = Set("q94_incremental_dedup", "q239_ivf_incremental",
+      "q241_nightly_refresh", // reads the sigstore AND ivfstore artifacts
       "q75_dedup_clusters", "q100_canonical_docs", "q134_bucketed_join",
       "q151_partition_pruning", "q153_incremental_agg",
       "q156_jsonl_ingest", "q157_csv_ingest", "q158_crawl_admission",

@@ -165,7 +165,18 @@ object Canary {
     }
     val drifted = floors.count { case (n, s) =>
       baseline.get(n).exists(bb => s > bb * DriftBand) }
-    println(s"""{"metric":"canary","sf":"$sfDir","runs":$runs,"band":$DriftBand,"stamped":$stamp$baselineNote,"n_drift":$drifted,"queries":{$perQ}}""")
+    // round-over-round GEOMEAN of the isolated floors (r19 verdict item
+    // 6): the full-catalog sweep's geomean has shown a +7–12%
+    // whole-catalog constant three rounds straight, each adjudicated
+    // away via these floors — so report the floor geomean as the
+    // primary drift number and read the sweep's only alongside it. A
+    // floor geomean near 1.0 with a sweep geomean of 1.1 IS the
+    // resident-catalog/box constant, mechanically.
+    val ratios = floors.flatMap { case (n, s) => baseline.get(n).map(s / _) }
+    val geomean =
+      if (ratios.isEmpty) ""
+      else s""","floor_geomean":${r3(math.exp(ratios.map(math.log).sum / ratios.size))}"""
+    println(s"""{"metric":"canary","sf":"$sfDir","runs":$runs,"band":$DriftBand,"stamped":$stamp$baselineNote,"n_drift":$drifted$geomean,"queries":{$perQ}}""")
     spark.stop()
   }
 }

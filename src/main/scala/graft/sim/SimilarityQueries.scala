@@ -2122,10 +2122,31 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy($"cell")
   }
   private def q239(s: SparkSession, dir: String): DataFrame = q239Plan(s, dir)
-  private val q239Sql =
-    s"""WITH eall AS ($withVecSql),
+
+  /** (vec_id, cell) for the given id frame, assigned against the dir's
+    * PERSISTED IVF store — q239's exact assignment (same centroids,
+    * same max_by argmax, same tie-break) exposed as a seam for the
+    * q241 nightly-refresh pipeline (dedup package). Batch-linear: the
+    * ids frame joins the embeddings scan, the store's NCells centroids
+    * broadcast. */
+  private[graft] def assignStoredCells(s: SparkSession, dir: String, ids: DataFrame): DataFrame = {
+    val path = ensureIvfStore(s, dir)
+    val cents = s.read.parquet(s"$path/cents")
+    val vecs = withVec(s, dir).join(ids.select(col("vec_id")), Seq("vec_id"))
+    assignCells(vecs, cents)
+      .select(col("vec_id"), col("cent_id").cast("long").as("cell"))
+  }
+  /** DuckDB CTE bundle recomputing the persisted IVF store from the
+    * raw embeddings table — `eall` (all vectors), `e` (the q239
+    * corpus carve), and the trained-centroid chain ending in
+    * `cents(cent_id, cv, cnorm)`. q239's oracle preamble, exposed for
+    * q241's cross-module twin; callers append their own CTEs. */
+  private[graft] val ivfStoreSqlCtes: String =
+    s"""eall AS ($withVecSql),
        |e AS (SELECT * FROM eall WHERE NOT ($q239CarveSql)),
-       |$trainedCentsSqlCtes,
+       |$trainedCentsSqlCtes""".stripMargin
+  private val q239Sql =
+    s"""WITH $ivfStoreSqlCtes,
        |corp AS (
        |  SELECT cell, count(*) AS n_corpus FROM (
        |    SELECT e.vec_id, c.cent_id AS cell,
