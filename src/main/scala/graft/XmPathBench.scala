@@ -32,17 +32,22 @@ object XmPathBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // second arg "xmtopk" times the promoted high-recall entry point
-    // instead of the q236 catalog default
+    // instead of the q236 catalog default; optional "carve=N" third
+    // arg shrinks the fleet modulus (97 → N) to synthesize a
+    // proportionally larger query fleet from the same corpus — the
+    // next-decade dispatch-flip measurement (xmtopk mode only)
     val useTopK = args.lift(1).contains("xmtopk")
+    val carve = args.find(_.startsWith("carve=")).map(_.drop(6).toInt).getOrElse(97)
     for (path <- Seq(None, Some("broadcast"), Some("shuffle"))) {
-      val label = (if (useTopK) "xmtopk-" else "") + path.getOrElse("auto")
+      val label = (if (useTopK) "xmtopk-" else "") + path.getOrElse("auto") +
+        (if (carve != 97) s"-carve$carve" else "")
       // REBUILD the plan per execution (Bench semantics): reusing one
       // DataFrame across drains would time runs whose ScratchCache
       // persists (xmTopK's qfeat decode) were already unpersisted —
       // a plan production never runs, and one that re-decodes the
       // fleet once per union branch (caught by the r19 self-review)
       def build() =
-        if (useTopK) graft.sim.SimilarityQueries.xmTopK(spark, sfDir, forcePath = path)
+        if (useTopK) graft.sim.SimilarityQueries.xmTopK(spark, sfDir, forcePath = path, carve = carve)
         else graft.sim.SimilarityQueries.q236Plan(spark, sfDir, path)
       // warm once (parquet footers, codegen), then time two runs
       build().write.format("noop").mode("overwrite").save()

@@ -1593,9 +1593,15 @@ object SimilarityQueries extends QueryCatalog {
     * decode-fleet output for the md5%97 query carve. Split from
     * [[xmQueries]] so [[xmTopK]] can decode the fleet ONCE and derive
     * per-table buckets as projections. */
-  private[sim] def xmQueryFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[sim] def xmQueryFeatures(s: SparkSession, dir: String,
+                                   carve: Int = 97): DataFrame = {
     import s.implicits._
-    val qdocs = graft.core.Tables.documents(s, dir).filter(pmod($"doc_id", lit(97)) === 0)
+    // carve: the production fleet is the doc_id % 97 slice; a SMALLER
+    // modulus synthesizes a proportionally larger fleet from the same
+    // corpus — the XmPathBench seam that measures the next-decade
+    // dispatch flip without building a 1000x corpus (r19 verdict
+    // item 2). Catalog paths never pass it.
+    val qdocs = graft.core.Tables.documents(s, dir).filter(pmod($"doc_id", lit(carve)) === 0)
     graft.multimodal.Multimodal.decodeFeatures(
         graft.multimodal.Multimodal.syntheticMedia(qdocs))
       .selectExpr("media_id", "feature AS qv")
@@ -1788,7 +1794,8 @@ object SimilarityQueries extends QueryCatalog {
     * estimate so the broadcast ceiling is respected at L× the probe
     * frame. Both physical paths are byte-identical (XmTopKSpec). */
   def xmTopK(s: SparkSession, dir: String, tables: Int = 0, planesBoost: Int = 2,
-             k: Int = 10, forcePath: Option[String] = None): DataFrame = {
+             k: Int = 10, forcePath: Option[String] = None,
+             carve: Int = 97): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
@@ -1800,7 +1807,7 @@ object SimilarityQueries extends QueryCatalog {
     // decades with tables frozen at 4). Explicit positive values
     // remain for the probe/spec sweeps.
     val nTables = if (tables > 0) tables else xmTables(planes)
-    val qfeat = graft.core.ScratchCache.persist(xmQueryFeatures(s, dir))
+    val qfeat = graft.core.ScratchCache.persist(xmQueryFeatures(s, dir, carve))
     val probes = (0 until nTables).map { t =>
       qfeat
         .withColumn("qbucket", expr(xmBucketExpr("qv", planes, 90 + t * planes)).cast("int"))
@@ -1843,7 +1850,7 @@ object SimilarityQueries extends QueryCatalog {
         // breaks that assumption and can mis-dispatch (perf-only:
         // both paths stay byte-identical, XmTopKSpec); such a
         // deployment should pass forcePath or re-carve.
-        val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
+        val fleetEst = graft.core.Tables.documents(s, dir).count() / carve + 1
         fleetEst * (planes + 1) * nTables <= XmBroadcastMaxProbeRows &&
           fleetEst * (planes + 1) * (corpus >> planes) <= XmBroadcastMaxCandidates * 4
     }
