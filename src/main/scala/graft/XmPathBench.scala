@@ -49,14 +49,24 @@ object XmPathBench {
       def build() =
         if (useTopK) graft.sim.SimilarityQueries.xmTopK(spark, sfDir, forcePath = path, carve = carve)
         else graft.sim.SimilarityQueries.q236Plan(spark, sfDir, path)
-      // warm once (parquet footers, codegen), then time two runs
-      build().write.format("noop").mode("overwrite").save()
-      graft.core.ScratchCache.drain()
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
+      // warm once (parquet footers, codegen), then time two runs. A
+      // path that fails (e.g. a deliberately out-of-envelope forced
+      // plan at a synthetic-fleet point) is reported and the bench
+      // moves on — the failure IS a measurement.
+      try {
         build().write.format("noop").mode("overwrite").save()
-        println(f"[xmpath] $label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
         graft.core.ScratchCache.drain()
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          build().write.format("noop").mode("overwrite").save()
+          println(f"[xmpath] $label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          graft.core.ScratchCache.drain()
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[xmpath] $label FAILED: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+          graft.core.ScratchCache.drain()
       }
     }
     spark.stop()

@@ -1673,6 +1673,29 @@ object SimilarityQueries extends QueryCatalog {
     * hash(vec_id) and probes replicate 8×: parallelism = 2^planes × 8
     * while the probe-side shuffle stays ≤ 8× its (small) size. */
   private[graft] val XmShuffleSalt = 8
+  /** Ceiling on the SALTED probe frame for the `shuffle_hash` hint:
+    * ShuffledHashJoin builds the probe side as an in-memory hash map
+    * per partition, which is only safe while that side is actually
+    * small — the r20 synthetic-fleet measurement (XmPathBench
+    * carve=9 at the 100× replica) OOM'd the build at 35.6M salted
+    * rows ("not enough memory to build hash map"), while the shipped
+    * point's 3.3M salted rows ran fine. Above this bound the join is
+    * left unhinted, so Catalyst plans the salted keys as a sort-merge
+    * join — spill-safe at any fleet size, same rows (path identity is
+    * spec-asserted). 8M ≈ 2.4× the measured-good point and 4.4×
+    * under the measured-OOM point. */
+  private[graft] val XmShuffleHashMaxBuildRows = 8000000L
+  /** Broadcast probe-row ceiling for the MULTI-TABLE entry point.
+    * xmTopK inherited q236's 400k single-table constant scaled by
+    * `tables`, which tripped at the shipped 100× point (412k rows —
+    * 3% over) and dispatched the slower path: measured there,
+    * broadcast runs 91–108 s vs the salted SHJ's 124–144 s, because
+    * the union index gives broadcast `tables`× the scan parallelism.
+    * 1M rows ≈ 150 MB replicated probe frame — still an order of
+    * magnitude under executor memory, and an order under the
+    * measured-OOM 4.4M-row fleet, which dispatches to the sort-merge
+    * shuffle. */
+  private[graft] val XmTopKMaxProbeRows = 1000000L
 
   /** q236 with the dispatch seam exposed for PlanShapeSpec /
     * CrossModalRecallSpec: `forcePath` = Some("broadcast") |
@@ -1695,6 +1718,10 @@ object SimilarityQueries extends QueryCatalog {
         explode(array($"qbucket" +: (0 until planes).map(p =>
           $"qbucket".bitwiseXOR(lit(1 << p)).cast("int")): _*)).as("probe"))
     val index = xmDocIndex(s, dir, planes)
+    // lazy: forced-broadcast paths plan with zero probe jobs; the auto
+    // dispatch and the shuffle arm's join-strategy bound share one
+    // metadata-only count
+    lazy val q236FleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
     val useBroadcast = forcePath match {
       case Some("broadcast") => true
       case Some("shuffle")   => false
@@ -1717,8 +1744,7 @@ object SimilarityQueries extends QueryCatalog {
         // table can misestimate the %97 fleet and mis-dispatch
         // (perf-only — the paths are byte-identical) — pass forcePath
         // there.
-        val fleetEst = graft.core.Tables.documents(s, dir).count() / 97 + 1
-        val probeRows = fleetEst * (planes + 1)
+        val probeRows = q236FleetEst * (planes + 1)
         val candidates = probeRows * (corpus >> planes)
         probeRows <= XmBroadcastMaxProbeRows &&
           candidates <= XmBroadcastMaxCandidates
@@ -1728,11 +1754,19 @@ object SimilarityQueries extends QueryCatalog {
       else {
         // salted shuffled hash join: probes (small side) build the
         // per-partition hash table; the corpus streams — never sorts,
-        // never broadcasts anything that grows with the data
+        // never broadcasts anything that grows with the data. The
+        // shuffle_hash hint holds only while the salted probe frame is
+        // bounded (the r20 OOM lesson, XmShuffleHashMaxBuildRows);
+        // past it Catalyst plans a spill-safe sort-merge on the same
+        // salted keys.
         val salted = probes.withColumn("qsalt",
           explode(array((0 until XmShuffleSalt).map(lit(_)): _*)))
+        val probeSide =
+          if (q236FleetEst * (planes + 1) * XmShuffleSalt <= XmShuffleHashMaxBuildRows)
+            salted.hint("shuffle_hash")
+          else salted
         index.withColumn("dsalt", pmod(hash($"vec_id"), lit(XmShuffleSalt)))
-          .join(salted.hint("shuffle_hash"),
+          .join(probeSide,
             $"bucket" === $"probe" && $"dsalt" === $"qsalt")
           .drop("dsalt", "qsalt")
       }
@@ -1818,6 +1852,11 @@ object SimilarityQueries extends QueryCatalog {
     val index = (0 until nTables).map { t =>
       xmDocIndex(s, dir, planes, 90 + t * planes).withColumn("tbl", lit(t))
     }.reduce(_ unionAll _)
+    // one cheap metadata count serves the dispatch AND the shuffle
+    // arm's join-strategy bound; lazy so forced-broadcast paths plan
+    // with zero probe jobs
+    lazy val fleetEst = graft.core.Tables.documents(s, dir).count() / carve + 1
+    lazy val probeRowsEst = fleetEst * (planes + 1) * nTables
     val useBroadcast = forcePath match {
       case Some("broadcast") => true
       case Some("shuffle")   => false
@@ -1839,19 +1878,23 @@ object SimilarityQueries extends QueryCatalog {
         // corpus growing decades faster than the fleet (probe rows
         // small, cells huge) would otherwise re-create exactly the
         // broadcast-parallelism collapse q236's cap exists to prevent
-        // (r19 ADVICE). The probe-row memory bound is unchanged and
-        // decides first when the FLEET grows (≈2.7M probe rows at the
-        // next fleet decade → salted shuffle).
+        // (r19 ADVICE). The probe-row memory bound decides first when
+        // the FLEET grows — measured, not asserted (r20, XmPathBench
+        // carve=9): at the shipped 412k-row point broadcast runs
+        // 91–108 s vs the salted SHJ's 124–144 s (hence the
+        // XmTopKMaxProbeRows recalibration), and at the synthetic
+        // 4.4M-row fleet the dispatch flips to the shuffle, whose
+        // join strategy itself degrades gracefully SHJ → SMJ via
+        // XmShuffleHashMaxBuildRows.
         //
-        // fleetEst precondition: the %97 carve estimate assumes
-        // doc_ids are dense contiguous blocks (the generator's and
-        // ScaleUp's layout — error ±1 per block, two-plus decades
-        // under both ceilings). A sparse/filtered documents table
-        // breaks that assumption and can mis-dispatch (perf-only:
-        // both paths stay byte-identical, XmTopKSpec); such a
-        // deployment should pass forcePath or re-carve.
-        val fleetEst = graft.core.Tables.documents(s, dir).count() / carve + 1
-        fleetEst * (planes + 1) * nTables <= XmBroadcastMaxProbeRows &&
+        // fleetEst precondition: the %carve estimate assumes doc_ids
+        // are dense contiguous blocks (the generator's and ScaleUp's
+        // layout — error ±1 per block, two-plus decades under both
+        // ceilings). A sparse/filtered documents table breaks that
+        // assumption and can mis-dispatch (perf-only: all paths stay
+        // byte-identical, XmTopKSpec); such a deployment should pass
+        // forcePath or re-carve.
+        probeRowsEst <= XmTopKMaxProbeRows &&
           fleetEst * (planes + 1) * (corpus >> planes) <= XmBroadcastMaxCandidates * 4
     }
     val joined =
@@ -1860,8 +1903,16 @@ object SimilarityQueries extends QueryCatalog {
       else {
         val salted = probes.withColumn("qsalt",
           explode(array((0 until XmShuffleSalt).map(lit(_)): _*)))
+        // shuffle_hash builds the salted probe side in memory — only
+        // hint it while that side is bounded; past the bound Catalyst
+        // plans a spill-safe sort-merge on the same salted keys (the
+        // r20 synthetic-fleet OOM, see XmShuffleHashMaxBuildRows)
+        val probeSide =
+          if (probeRowsEst * XmShuffleSalt <= XmShuffleHashMaxBuildRows)
+            salted.hint("shuffle_hash")
+          else salted
         index.withColumn("dsalt", pmod(hash($"vec_id"), lit(XmShuffleSalt)))
-          .join(salted.hint("shuffle_hash"),
+          .join(probeSide,
             $"tbl" === $"qtbl" && $"bucket" === $"probe" && $"dsalt" === $"qsalt")
           .drop("dsalt", "qsalt")
       }
