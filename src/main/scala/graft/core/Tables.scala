@@ -11,8 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the first-order win.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Every catalog query loads at least one table through here, so this
+    // is the one choke point that guarantees the engine's native
+    // expressions (ws_tokens & co — used inside shared expr strings all
+    // over the catalog) are resolvable in whatever session the caller
+    // built. createOrReplaceTempFunction is idempotent and cheap.
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")

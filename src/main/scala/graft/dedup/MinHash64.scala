@@ -27,14 +27,16 @@ object MinHash64 {
     * every `toks[i]` access re-split the text — O(tokens²) splits per
     * document (measured 5× slower at sf0.1). */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol), col(textCol).as("__text"),
-        expr(s"filter(split($textCol, '\\\\s+'), t -> t != '')").as("toks"))
+        expr(s"ws_tokens($textCol)").as("toks"))
       .select(col(idCol),
         explode(expr(
-          "CASE WHEN size(toks) >= 3 THEN " +
-            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) " +
+          "CASE WHEN size(toks) >= 3 THEN word_ngrams(toks, 3) " +
             "ELSE array(__text) END")).as("shingle"))
+    }
 
   /** k-column MinHash signature: sig_j = min over shingles of
     * xxhash64(j, shingle). */

@@ -64,14 +64,51 @@ object GraftFunctions {
       { args =>
         require(args.length == 2, s"bloom_might_contain expects 2 arguments, got ${args.length}")
         BloomMightContain(args.head, args(1))
+      }),
+    (FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+      unaryBuilder("ws_tokens", WsTokens)),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      { args =>
+        require(args.length == 2, s"word_ngrams expects 2 arguments, got ${args.length}")
+        val n = args(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+            if lit.dataType == org.apache.spark.sql.types.IntegerType && lit.value != null =>
+            lit.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams window must be an integer literal, got $other")
+        }
+        WordNgrams(args.head, n)
+      }),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "minhash_sigs"),
+      unaryBuilder("minhash_sigs", MinhashSigs)),
+    (FunctionIdentifier("rp_bucket"),
+      new ExpressionInfo(classOf[RpBucket].getName, "rp_bucket"),
+      { args =>
+        require(args.length == 4, s"rp_bucket expects 4 arguments, got ${args.length}")
+        def intLit(e: Expression, what: String): Int = e match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+            if lit.dataType == org.apache.spark.sql.types.IntegerType && lit.value != null =>
+            lit.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"rp_bucket $what must be an integer literal, got $other")
+        }
+        RpBucket(args.head, intLit(args(1), "table"),
+          intLit(args(2), "planes"), intLit(args(3), "dims"))
       }))
 
-  /** Register all engine functions into an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register all engine functions into an existing session. Skips
+    * already-registered names so the hot Tables.table call path stays
+    * silent (createOrReplaceTempFunction WARN-logs every replacement). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     all.foreach { case (ident, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      if (!reg.functionExists(ident))
+        reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+  }
 
   /** DataFrame-side helper: `cosineSimilarity(a, b)` without SQL. */
   def cosineSimilarity(spark: SparkSession, a: Column, b: Column): Column = {

@@ -1102,21 +1102,45 @@ object LayoutQueries extends QueryCatalog {
     * print identical canonical forms. */
   private def q217(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = Tables.lineitem(s, dir).agg(
+    // r21 (guide §2.3/§4): the single agg mixed SIX countDistincts with
+    // plain min/max over STRING columns. The distinct rewrite then runs
+    // its first-level aggregate grouped by (gid, value) with the
+    // string-min/max buffers along for the ride — a non-mutable
+    // aggregation buffer, which HashAggregateExec cannot host, so the
+    // whole 7-projection Expand (7 × |lineitem| rows) fell into
+    // SortAggregate: a full sort of the expanded fact table. Splitting
+    // the plain aggregates (string buffers, but a GLOBAL agg — empty
+    // grouping, so SortAggregate degenerates to one fold pass, no sort)
+    // from the distinct-only aggregate (all-long buffers → two-phase
+    // HashAggregate over the Expand) removes the sort entirely; the two
+    // 1-row results meet in a trivial nested-loop join. Same aggregates
+    // over the same rows — the oracle twin below is unchanged.
+    // Measured: 9.2 s → see OPTIMIZATION_r21.md (plan diff:
+    // SortAggregate ×2 over Expand → HashAggregate ×2).
+    val li = Tables.lineitem(s, dir)
+    val dist = li.agg(
+      countDistinct($"l_orderkey").as("d1"),
+      countDistinct($"l_linenumber").as("d2"),
+      countDistinct($"l_quantity".cast("long")).as("d3"),
+      countDistinct($"l_returnflag").as("d4"),
+      countDistinct($"l_linestatus").as("d5"),
+      countDistinct($"l_shipdate".cast("date")).as("d6"))
+    val plain = li.agg(
       count(lit(1)).as("n_rows"),
-      count($"l_orderkey").as("c1"), countDistinct($"l_orderkey").as("d1"),
+      count($"l_orderkey").as("c1"),
       min($"l_orderkey").cast("string").as("mn1"), max($"l_orderkey").cast("string").as("mx1"),
-      count($"l_linenumber").as("c2"), countDistinct($"l_linenumber").as("d2"),
+      count($"l_linenumber").as("c2"),
       min($"l_linenumber").cast("string").as("mn2"), max($"l_linenumber").cast("string").as("mx2"),
-      count($"l_quantity").as("c3"), countDistinct($"l_quantity".cast("long")).as("d3"),
+      count($"l_quantity").as("c3"),
       min($"l_quantity".cast("long")).cast("string").as("mn3"), max($"l_quantity".cast("long")).cast("string").as("mx3"),
-      count($"l_returnflag").as("c4"), countDistinct($"l_returnflag").as("d4"),
+      count($"l_returnflag").as("c4"),
       min($"l_returnflag").as("mn4"), max($"l_returnflag").as("mx4"),
-      count($"l_linestatus").as("c5"), countDistinct($"l_linestatus").as("d5"),
+      count($"l_linestatus").as("c5"),
       min($"l_linestatus").as("mn5"), max($"l_linestatus").as("mx5"),
-      count($"l_shipdate").as("c6"), countDistinct($"l_shipdate".cast("date")).as("d6"),
+      count($"l_shipdate").as("c6"),
       min($"l_shipdate".cast("date")).cast("string").as("mn6"),
       max($"l_shipdate".cast("date")).cast("string").as("mx6"))
+    val a = plain.crossJoin(dist)
     a.selectExpr("n_rows", s"""stack(6,
         |'l_orderkey',   c1, d1, mn1, mx1,
         |'l_linenumber', c2, d2, mn2, mx2,

@@ -37,11 +37,13 @@ object SimilarityQueries extends QueryCatalog {
   /** Spark SQL expression for the bucket id of double-array column `v`
     * in hash table `t` (each table draws PLANES independent
     * hyperplanes from the same md5 stream). */
+  // r21: one native codegen call (RpBucketSpec pins bit-identity with
+  // the unrolled CASE/dot-chain formulation, which the DuckDB twin
+  // below still spells) — the unrolled tree was 384 expression nodes
+  // per table and overflowed codegen method limits when several tables
+  // shared one projection, forcing q74 into one corpus scan PER table.
   private def bucketExpr(v: String, t: Int = 0): String =
-    (0 until PLANES).map { p =>
-      val dot = (0 until DIMS).map(d => s"$v[$d] * ${planeSign(t * PLANES + p, d)}").mkString(" + ")
-      s"(CASE WHEN ($dot) > 0D THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
+    s"rp_bucket($v, $t, $PLANES, $DIMS)"
 
   /** DuckDB twin (1-based subscripts). */
   private def bucketSql(v: String, t: Int = 0): String =
@@ -58,18 +60,22 @@ object SimilarityQueries extends QueryCatalog {
   }
 
   /** Corpus exploded across `tables` independent LSH tables: one row
-    * per (vector, table) with that table's bucket. Built as a UNION of
-    * per-table branches, not one projection computing every bucket
-    * expression — a single 4×384-term projection overflows codegen
-    * method limits and ran 10×+ slower even warm (measured 6–11 s vs
-    * 0.6 s at sf0.001). Shared by q74 and the recall helpers so the
-    * catalog entry and the measurement that certifies it are the same
-    * algorithm by construction. */
-  private[sim] def tableBuckets(s: SparkSession, dir: String, tables: Int): DataFrame =
-    (0 until tables).map { t =>
-      withVec(s, dir).select(col("vec_id"), col("label"), col("v"),
-        lit(t).as("tbl"), expr(bucketExpr("v", t)).cast("int").as("bucket"))
-    }.reduce(_ unionAll _)
+    * per (vector, table) with that table's bucket. r21: ONE corpus
+    * scan emitting all tables via `stack` over compact [[
+    * graft.functions.RpBucket]] calls — the historical union-of-scans
+    * existed only because the unrolled 4×384-term projection overflowed
+    * codegen method limits (measured 6–11 s vs 0.6 s at sf0.001); the
+    * native expression removes the blowup, so the L× index build now
+    * reads the corpus once instead of `tables` times. Shared by q74 and
+    * the recall helpers so the catalog entry and the measurement that
+    * certifies it are the same algorithm by construction. */
+  private[sim] def tableBuckets(s: SparkSession, dir: String, tables: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val branches = (0 until tables)
+      .map(t => s"$t, ${bucketExpr("v", t)}").mkString(", ")
+    withVec(s, dir).selectExpr("vec_id", "label", "v",
+      s"stack($tables, $branches) AS (tbl, bucket)")
+  }
 
   // ------------------------------------------------- IVF coarse quantizer
   /** k-means-lite training rounds for the IVF coarse quantizer. Fixed

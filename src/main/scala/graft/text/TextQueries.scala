@@ -20,8 +20,16 @@ import graft.apps.{InvertedIndex, WordCount}
   */
 object TextQueries extends QueryCatalog {
 
-  /** `\s+` tokens with empties dropped, as a SQL expression over `text`. */
-  private[graft] val toksExpr = "filter(split(text, '\\\\s+'), t -> t != '')"
+  /** `\s+` tokens with empties dropped, as a SQL expression over `text`.
+    *
+    * r21: the native [[graft.functions.WsTokens]] expression (registered
+    * by GraftFunctions / Tables.table) — byte-identical to the previous
+    * `filter(split(text, '\\\\s+'), t -> t != '')` (pinned by
+    * TextOpsSpec) but whole-stage-codegen'd: no per-row regex
+    * recompilation in `split`, no CodegenFallback HOF `filter`, no
+    * intermediate array with empty tokens. This is the hottest scalar
+    * in the catalog (~66 call sites across text/dedup/ingest/graph). */
+  private[graft] val toksExpr = "ws_tokens(text)"
   /** DuckDB twin of [[toksExpr]]. */
   private[graft] val toksSql = raw"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 
@@ -62,7 +70,7 @@ object TextQueries extends QueryCatalog {
       .select(expr(toksExpr).as("toks"))
       .filter(size($"toks") >= 3)
       .select(explode(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("ngram"))
+        "word_ngrams(toks, 3)")).as("ngram"))
       .groupBy($"ngram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"ngram")
@@ -270,7 +278,7 @@ object TextQueries extends QueryCatalog {
         // guard in DedupQueries.withShingles keeps both engines on
         // md5(text) for short docs.
         when(size($"toks") >= 3,
-          expr("array_min(transform(sequence(0, size(toks)-3), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))"))
+          expr("array_min(transform(word_ngrams(toks, 3), g -> md5(g)))"))
           .otherwise(md5($"text")).as("shingle_fingerprint"))
       .orderBy($"doc_id")
   }
@@ -1312,7 +1320,7 @@ object TextQueries extends QueryCatalog {
       .select($"doc_id", expr(toksExpr).as("toks"))
       .filter(size($"toks") >= 2)
       .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+        "word_ngrams(toks, 2)")).as("bigram"))
     val tf = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy($"bigram").agg(sum($"tf").as("corpus_cnt"))
     tf.join(broadcast(cnt), "bigram")
@@ -1932,7 +1940,7 @@ object TextQueries extends QueryCatalog {
         (expr("(sum_bits * 1000000) DIV n_toks") <= 10000000L).as("g_surprisal"))
     // rare-bigram gate (q93 shape) over the same universe
     val bg = toksDf.select($"doc_id", explode(expr(
-      "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+      "word_ngrams(toks, 2)")).as("bigram"))
     val btf = bg.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("tf"))
     val bcnt = btf.groupBy($"bigram").agg(sum($"tf").as("corpus_cnt"))
     val rare = btf.join(broadcast(bcnt), "bigram")
