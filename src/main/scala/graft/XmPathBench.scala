@@ -39,8 +39,11 @@ object XmPathBench {
     val useTopK = args.lift(1).contains("xmtopk")
     val carve = args.find(_.startsWith("carve=")).map(_.drop(6).toInt).getOrElse(97)
     for (path <- Seq(None, Some("broadcast"), Some("shuffle"))) {
+      // carve only reaches xmTopK, so the label carries the suffix only
+      // in xmtopk mode — a 'carve=N' arg without 'xmtopk' would
+      // otherwise label unchanged %97-fleet rows as a synthesized fleet
       val label = (if (useTopK) "xmtopk-" else "") + path.getOrElse("auto") +
-        (if (carve != 97) s"-carve$carve" else "")
+        (if (useTopK && carve != 97) s"-carve$carve" else "")
       // REBUILD the plan per execution (Bench semantics): reusing one
       // DataFrame across drains would time runs whose ScratchCache
       // persists (xmTopK's qfeat decode) were already unpersisted —

@@ -465,23 +465,25 @@ object GraphQueries extends QueryCatalog {
     *
     * Scale shape: the [[graft.dedup.ConnectedComponents]] loop
     * discipline — every round is two id-keyed semi-joins (edges
-    * restricted to survivors) plus one degree aggregate, and each
-    * round's survivor and edge frames are EAGERLY `localCheckpoint`ed
-    * before reuse. Lazy `persist()` is NOT enough here: it caches
-    * blocks but leaves the logical plan intact, and round i's edges
-    * plan embeds round i's alive plan twice (the two semi-joins) while
-    * alive embeds round i−1's edges — so the un-truncated plan nests
-    * ~2^rounds copies and the ANALYZER's clone walk hangs the driver
-    * before a single task launches (the round-12 failure: 300+ s of
-    * plan-clone CPU at construction). Checkpointing replaces each
-    * round's lineage with its materialized rows, so every plan built on
-    * top is constant-size — the scale-limiting resource in iterative
-    * DataFrame algorithms is the DRIVER's plan, which no cluster size
-    * fixes. The per-round outputs stay lazy 1-row aggregates over the
-    * checkpointed frames (9 constant-size plans unioned into one final
-    * job — no driver-side collect per round); construction therefore
-    * runs the peeling jobs eagerly, like every other artifact-building
-    * catalog query. */
+    * restricted to survivors) plus one degree aggregate, with ONE
+    * eager `localCheckpoint` per round: the NODE-sized degree frame
+    * (r21 — previously both the survivor and edge frames were
+    * checkpointed; materializing O(V) per round instead of O(E) halves
+    * the eager jobs and, at web scale, stops writing the edge set to
+    * the block store every round). alive(i) and edges(i) are one-step
+    * lazy plans over the previous round's deg leaf, so plan depth
+    * stays CONSTANT. Lazy `persist()` is NOT enough here: it caches
+    * blocks but leaves the logical plan intact, and an un-truncated
+    * loop nests ~2^rounds plan copies and the ANALYZER's clone walk
+    * hangs the driver before a single task launches (the round-12
+    * failure: 300+ s of plan-clone CPU at construction). Checkpointing
+    * replaces each round's lineage with its materialized rows — the
+    * scale-limiting resource in iterative DataFrame algorithms is the
+    * DRIVER's plan, which no cluster size fixes. The per-round outputs
+    * stay lazy 1-row aggregates over the checkpointed frames (9
+    * constant-size plans unioned into one final job — no driver-side
+    * collect per round); construction therefore runs the peeling jobs
+    * eagerly, like every other artifact-building catalog query. */
   private val CoreK = 4L
   private val CoreRounds = 8
   private val CliqueN = 10
@@ -524,23 +526,37 @@ object GraphQueries extends QueryCatalog {
       // constant-size. localCheckpoint blocks are freed by the
       // ContextCleaner once the returned frame is dropped (same
       // lifetime story as ConnectedComponents' rounds).
-      var alive = truncate(und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
-        .distinct())
-      var edges = und
-      val rows = collection.mutable.Buffer.empty[DataFrame]
-      for (i <- 0 to CoreRounds) {
-        rows += alive.agg(count(lit(1)).as("n_alive"))
-          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+      //
+      // r21 (guide §2.4/§5): ONE checkpoint per round instead of two,
+      // and it is the NODE-sized degree frame, not the EDGE-sized
+      // survivor frame — at web scale that materializes O(V) per round
+      // instead of O(E). alive(i) and edges(i) stay LAZY one-step plans
+      // over the previous round's checkpointed deg (constant plan
+      // depth, the same driver-analyzer guarantee as before: deg is a
+      // leaf, edges references it twice, deg(i+1) references edges
+      // once). The trajectory row for round i counts the same lazy
+      // frames the next round consumes — identical values, half the
+      // eager materialization jobs (17 → 9 per run).
+      def degOf(e: DataFrame): DataFrame =
+        e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+      def roundRow(i: Int, aliveCount: DataFrame, e: DataFrame): DataFrame =
+        aliveCount.crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .select(lit(i.toLong).as("round"), $"n_alive", $"n_edges")
-        if (i < CoreRounds) {
-          val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
-            .groupBy($"v").agg(count(lit(1)).as("deg"))
-          alive = truncate(deg.filter($"deg" >= CoreK).select($"v"))
-          edges = truncate(und
-            .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-            .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-            .select($"a", $"b"))
-        }
+      // deg(i) is the ONLY checkpointed frame of round i; alive(i+1)
+      // and edges(i+1) are one-step lazy plans over that leaf.
+      // n_alive(0) = |distinct endpoints| = |deg(0)| keys.
+      var deg = truncate(degOf(und))
+      val rows = collection.mutable.Buffer.empty[DataFrame]
+      rows += roundRow(0, deg.agg(count(lit(1)).as("n_alive")), und)
+      for (i <- 1 to CoreRounds) {
+        val alive = deg.filter($"deg" >= CoreK).select($"v") // from deg(i-1)
+        val edges = und
+          .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select($"a", $"b")
+        rows += roundRow(i, alive.agg(count(lit(1)).as("n_alive")), edges)
+        if (i < CoreRounds) deg = truncate(degOf(edges))
       }
       rows.reduce(_ unionAll _).orderBy($"round")
     } finally {

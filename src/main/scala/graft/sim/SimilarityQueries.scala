@@ -1742,9 +1742,13 @@ object SimilarityQueries extends QueryCatalog {
         // id block in the dir (the ScaleUp replicas concatenate up to
         // 100 offset blocks, so ±100 there) — still two-plus decades
         // under the 400k-row / 8M-candidate thresholds, so it can
-        // never flip the dispatch. Only the auto branch pays this
-        // count at all — forced paths (specs, XmPathBench) plan with
-        // zero probe jobs beyond the planes count. Precondition: the
+        // never flip the dispatch. The auto branch always pays this
+        // count; forced-shuffle also evaluates it via the SHJ-bound
+        // check below (one extra metadata count job inside a timed
+        // forced-shuffle build — note when comparing XmPathBench
+        // forced-shuffle timings across rounds); only forced-broadcast
+        // plans with zero probe jobs beyond the planes count.
+        // Precondition: the
         // estimate assumes doc_ids are dense contiguous blocks (the
         // generator's/ScaleUp's layout); a sparse/filtered documents
         // table can misestimate the %97 fleet and mis-dispatch

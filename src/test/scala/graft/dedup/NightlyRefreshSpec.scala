@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   *     n_vecs sums to the survivors that have an embedding.
   *  4. STAGE AGREEMENT: the pipeline's near-dup stage agrees with q94
   *     on every doc both evaluate — a doc admitted by the digest gate
-  *     gets exactly q94's is_new verdict (the admitted subset can only
-  *     LOSE candidates to the band cap, never gain, so agreement here
-  *     pins that the cap restriction never flips a verdict on this
-  *     fixture).
+  *     gets exactly q94's is_new verdict (restricting the batch side
+  *     frees band-cap slots, which can only ADD corpus candidates —
+  *     lower row_number ranks — so agreement here pins that the extra
+  *     candidates never flip a verdict on this fixture).
   */
 class NightlyRefreshSpec extends SparkTestBase {
 
