@@ -98,6 +98,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r22 (guide §2.2): FLOOR on AQE's post-shuffle partition size,
+      // lowered from Spark's 1m default. AQE coalesces by BYTES, so a
+      // small-by-bytes but CPU-dense frame (q237's capped band frame:
+      // ~0.7 MB carrying the whole candidate join + Jaccard verify)
+      // collapses to ONE partition and serializes ~3 s of CPU on one
+      // core. 64k keeps ~10 partitions for such frames (measured: q237
+      // 4.1→1.7 s, everything else neutral). Scale-neutral by
+      // construction: any real shuffle at production SF is sized by
+      // advisoryPartitionSizeInBytes (64m), far above this floor —
+      // the env override exists for cluster tuning.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

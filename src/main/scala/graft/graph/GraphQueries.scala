@@ -108,6 +108,18 @@ object GraphQueries extends QueryCatalog {
       links.join(outdeg, "src").repartition($"src"))
     val nodes = ScratchCache.persist(
       Tables.documents(s, dir).select($"doc_id".as("page_id")))
+    // r22 NOTE (measured and REVERTED, guide §1): folding the rank
+    // expression into the contribution pass — linksDeg LEFT JOIN
+    // contrib with the rank formula inline, removing the per-round
+    // nodes join — was tried and is 1.4–1.8× SLOWER at bench SF
+    // (probe: 51→35 jobs but 29→76+ executor-seconds). The INNER join
+    // below keeps BOTH sides broadcastable: AQE broadcasts the
+    // persisted, round-invariant linksDeg side (BuildLeft, the SAME
+    // subtree every round → one BroadcastExchange reused by rounds
+    // 2..8) and streams only the node-sized rank frame per round. A
+    // left join can only build its right side, which forces the
+    // per-round (non-reusable) contrib to broadcast and the E-sized
+    // edge frame to stream through every round's map stage.
     var rank = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to Iters) {
       val contrib = linksDeg
@@ -193,26 +205,35 @@ object GraphQueries extends QueryCatalog {
       val byDst = ScratchCache.persist(links.repartition($"dst"))
       val nodes = ScratchCache.persist(
         Tables.documents(s, dir).select($"doc_id".as("page_id")))
+      // r22 (guide §2.3/§2.4): the per-round frames carry ONLY nodes
+      // with a non-zero raw score — a node absent from the in-link
+      // (out-link) aggregate had a = 0, so its normalized score was
+      // (0 · Scale) DIV t = 0 and it contributed exactly 0 to every
+      // downstream sum. Dropping those rows inside the loop removes
+      // the 2·Iters node-frame left joins the old loop paid per run
+      // (the O(V) nodes frame re-joined before every checkpoint),
+      // shrinks each checkpointed frame to the reachable nodes, and
+      // leaves the totals unchanged (missing rows summed as 0). The
+      // full node frame is reconstructed ONCE at the end with the same
+      // coalesce-to-0 the loop used to apply per round.
       var hub = nodes.withColumn("hub", lit(Scale))
-      var auth = nodes.withColumn("auth", lit(Scale))
+      var auth: DataFrame = null
       for (_ <- 1 to Iters) {
-        val aRaw = truncate(nodes.join(
-            bySrc.join(hub.withColumnRenamed("page_id", "src"), "src")
-              .groupBy($"dst".as("page_id")).agg(sum($"hub").as("a")),
-            Seq("page_id"), "left")
-          .select($"page_id", coalesce($"a", lit(0L)).as("a")))
+        val aRaw = truncate(
+          bySrc.join(hub.withColumnRenamed("page_id", "src"), "src")
+            .groupBy($"dst".as("page_id")).agg(sum($"hub").as("a")))
         auth = aRaw.crossJoin(broadcast(aRaw.agg(sum($"a").as("t"))))
           .selectExpr("page_id", s"CAST((a * $Scale) DIV t AS BIGINT) AS auth")
-        val hRaw = truncate(nodes.join(
-            byDst.join(auth.withColumnRenamed("page_id", "dst"), "dst")
-              .groupBy($"src".as("page_id")).agg(sum($"auth").as("h")),
-            Seq("page_id"), "left")
-          .select($"page_id", coalesce($"h", lit(0L)).as("h")))
+        val hRaw = truncate(
+          byDst.join(auth.withColumnRenamed("page_id", "dst"), "dst")
+            .groupBy($"src".as("page_id")).agg(sum($"auth").as("h")))
         hub = hRaw.crossJoin(broadcast(hRaw.agg(sum($"h").as("t"))))
           .selectExpr("page_id", s"CAST((h * $Scale) DIV t AS BIGINT) AS hub")
       }
-      auth.join(hub, "page_id")
-        .select($"page_id", $"auth", $"hub")
+      nodes.join(auth, Seq("page_id"), "left")
+        .join(hub, Seq("page_id"), "left")
+        .select($"page_id", coalesce($"auth", lit(0L)).as("auth"),
+          coalesce($"hub", lit(0L)).as("hub"))
         .orderBy($"page_id")
     } finally {
       if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
@@ -259,6 +280,14 @@ object GraphQueries extends QueryCatalog {
     import s.implicits._
     val links = ScratchCache.persist(linksIn)
     val outdeg = links.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    // r22 NOTE (measured and REVERTED): the q133-style fold-the-rank-
+    // into-the-contribution-pass rewrite (linksDeg LEFT JOIN contrib,
+    // is_seed fused into the edge frame) was tried and is ~1.5× SLOWER
+    // at bench SF for the same reason as q133 — the left join forces
+    // the per-round contrib to be the broadcast side, so the E-sized
+    // edge frame streams through every round, while the INNER join
+    // below lets AQE broadcast the round-invariant linksDeg subtree
+    // once (BuildLeft) and reuse it across all rounds.
     val linksDeg = ScratchCache.persist(
       links.join(outdeg, "src").repartition($"src"))
     val nodes = ScratchCache.persist(
@@ -540,23 +569,42 @@ object GraphQueries extends QueryCatalog {
       def degOf(e: DataFrame): DataFrame =
         e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
           .groupBy($"v").agg(count(lit(1)).as("deg"))
-      def roundRow(i: Int, aliveCount: DataFrame, e: DataFrame): DataFrame =
-        aliveCount.crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .select(lit(i.toLong).as("round"), $"n_alive", $"n_edges")
       // deg(i) is the ONLY checkpointed frame of round i; alive(i+1)
       // and edges(i+1) are one-step lazy plans over that leaf.
       // n_alive(0) = |distinct endpoints| = |deg(0)| keys.
+      //
+      // r22 (guide §2.4, ADVICE item): the trajectory row for round
+      // i < CoreRounds derives BOTH counts from checkpointed degree
+      // leaves — n_alive(i) = |{v : deg(i-1)(v) ≥ k}| and n_edges(i) =
+      // Σ deg(i) DIV 2 (each surviving edge contributes one to each
+      // endpoint) — instead of re-counting the lazy `edges` plan. The
+      // O(E) edge-restriction semi-joins of round i now execute exactly
+      // ONCE (eagerly, inside the deg(i) checkpoint job) rather than
+      // twice (again in the final unioned trajectory job): the final
+      // job reads only checkpoint blocks, plus the single live edge
+      // count of round CoreRounds, which checkpoints no degree frame.
+      // coalesce: an empty round would make sum(deg) NULL where the
+      // old count(*) said 0 (unreachable here — the planted clique has
+      // degree 9 ≥ k and survives every round — but kept exact).
+      def edgesFromDeg(d: DataFrame): DataFrame =
+        d.agg(expr("coalesce(sum(deg), 0L) DIV 2").cast("long").as("n_edges"))
       var deg = truncate(degOf(und))
       val rows = collection.mutable.Buffer.empty[DataFrame]
-      rows += roundRow(0, deg.agg(count(lit(1)).as("n_alive")), und)
+      rows += deg.agg(count(lit(1)).as("n_alive")).crossJoin(edgesFromDeg(deg))
+        .select(lit(0L).as("round"), $"n_alive", $"n_edges")
       for (i <- 1 to CoreRounds) {
         val alive = deg.filter($"deg" >= CoreK).select($"v") // from deg(i-1)
         val edges = und
           .join(alive.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(alive.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .select($"a", $"b")
-        rows += roundRow(i, alive.agg(count(lit(1)).as("n_alive")), edges)
-        if (i < CoreRounds) deg = truncate(degOf(edges))
+        val aliveCnt = alive.agg(count(lit(1)).as("n_alive"))
+        val edgeCnt = if (i < CoreRounds) {
+          deg = truncate(degOf(edges))
+          edgesFromDeg(deg)
+        } else edges.agg(count(lit(1)).as("n_edges"))
+        rows += aliveCnt.crossJoin(edgeCnt)
+          .select(lit(i.toLong).as("round"), $"n_alive", $"n_edges")
       }
       rows.reduce(_ unionAll _).orderBy($"round")
     } finally {
@@ -656,29 +704,35 @@ object GraphQueries extends QueryCatalog {
     import s.implicits._
     val nodes = ScratchCache.persist(
       Tables.documents(s, dir).select($"doc_id".as("node")))
-    var labels = nodes.select($"node", $"node".as("lbl"))
-    for (_ <- 1 to LpaRounds) {
+    // r22 (guide §2.3/§2.4): the loop iterates on the argmax frame
+    // `best` directly instead of rebuilding a full node-sized label
+    // frame per round. This is exact because the per-round join only
+    // reads labels of NEIGHBORS (und.dst), every dst of und is
+    // non-isolated, every non-isolated node appears as a src of und
+    // (both orientations are present), and every src gets a best row
+    // each round — so best covers every label the next round's join can
+    // ask for. Isolated nodes keep their own id throughout and are
+    // reattached once at the end (the same coalesce the old loop paid
+    // per round). Round 1's votes against the identity labeling
+    // labels_0(dst) = dst need no join at all: every (src, dst) vote
+    // has cnt = 1 (und is deduped), so the argmax by (cnt desc, lbl
+    // asc) is simply min(dst) per src.
+    var best = und.groupBy($"src".as("node")).agg(min($"dst").as("new_lbl"))
+    for (_ <- 2 to LpaRounds) {
       val votes = und
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(best.select($"node".as("dst"), $"new_lbl".as("lbl")), "dst")
         .groupBy($"src".as("node"), $"lbl")
         .agg(count(lit(1)).as("cnt"))
       // argmax as max(struct(cnt, -lbl)) — a HASH aggregate with O(1)
       // per-node state; (cnt desc, lbl asc) ≡ max on (cnt, -lbl)
       // since labels are non-negative ids
-      val best = votes
+      best = votes
         .groupBy($"node")
         .agg(max(struct($"cnt", ($"lbl" * -1L).as("neg"))).as("m"))
         .select($"node", ($"m.neg" * -1L).as("new_lbl"))
-      // labels is referenced ONCE per round (inside votes) and each
-      // round rebuilds from the persisted node frame, so the lineage
-      // grows LINEARLY — q133's single-reference loop discipline.
-      // Coalescing to `node` (not the previous label) is exact: every
-      // non-isolated node gets a best row each round, and an isolated
-      // node's label never leaves its own id.
-      labels = nodes.join(best, Seq("node"), "left")
-        .select($"node", coalesce($"new_lbl", $"node").as("lbl"))
     }
-    labels
+    nodes.join(best, Seq("node"), "left")
+      .select($"node", coalesce($"new_lbl", $"node").as("lbl"))
   }
 
   private def q202(s: SparkSession, dir: String): DataFrame = {

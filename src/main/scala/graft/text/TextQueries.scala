@@ -2504,11 +2504,13 @@ object TextQueries extends QueryCatalog {
           expr(s"CAST(${bucketFromHex("md5(concat('dsir|', t))")} AS BIGINT)").as("b"))
         .groupBy(col("doc_id"), col("lang"), col("b"))
         .agg(count(lit(1)).as("cnt")))
-    val raw = tf.groupBy(col("b")).agg(sum(col("cnt")).as("r_cnt"))
-    val tgt = tf.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(sum(col("cnt")).as("t_cnt"))
-    val stats = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), col("r_cnt"), coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
+    // r22 (guide §2.3): raw and target distributions in ONE aggregate
+    // pass over the persisted tf frame — sum + conditional sum — rather
+    // than two separate scans joined back together. coalesce(t_cnt, 0)
+    // of the old left join ≡ summing non-en rows as 0.
+    val stats = tf.groupBy(col("b")).agg(
+      sum(col("cnt")).as("r_cnt"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("t_cnt"))
     val tot = stats.agg(sum(col("r_cnt")).cast("long").as("r_total"),
       sum(col("t_cnt")).cast("long").as("t_total"))
     val w = stats.crossJoin(broadcast(tot))
