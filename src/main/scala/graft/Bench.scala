@@ -98,18 +98,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // r22 (guide §2.2): FLOOR on AQE's post-shuffle partition size,
-      // lowered from Spark's 1m default. AQE coalesces by BYTES, so a
-      // small-by-bytes but CPU-dense frame (q237's capped band frame:
-      // ~0.7 MB carrying the whole candidate join + Jaccard verify)
-      // collapses to ONE partition and serializes ~3 s of CPU on one
-      // core. 64k keeps ~10 partitions for such frames (measured: q237
-      // 4.1→1.7 s, everything else neutral). Scale-neutral by
-      // construction: any real shuffle at production SF is sized by
-      // advisoryPartitionSizeInBytes (64m), far above this floor —
-      // the env override exists for cluster tuning.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // r22 NOTE (measured and REVERTED): lowering AQE's post-shuffle
+      // partition-size floor (coalescePartitions.minPartitionSize,
+      // default 1m) to 64k was tried as a global default — it
+      // parallelized q237's CPU-dense-but-small band frame (4.1→1.7 s)
+      // but cost 1.5× on a band of small queries whose tiny stages
+      // genuinely belong on one core (q61 0.87→1.52, q93 1.41→2.31,
+      // q68 1.46→2.17; 256k lost q237's win while keeping most of the
+      // damage). CPU-dense small frames are handled surgically at the
+      // operator instead (q237's explicit band-key repartition).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -447,7 +444,21 @@ object Bench {
     val adjLine = obj2(adjudicated.toSeq
       .sortBy { case (_, (_, b, a)) => -(b - math.max(a, 0)) }
       .take(8).map { case (k, (_, _, a)) => key(k) -> a })
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qsLine,"queries_retimed":$retimedLine,"retimed_n":${retimed.size},"adjudicated":$adjLine,"adjudicated_n":${adjudicated.size},"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qsLine,"queries_retimed":$retimedLine,"retimed_n":${retimed.size},"adjudicated":$adjLine,"adjudicated_n":${adjudicated.size},"failed":$failed,"sf":"$sfDir"}"""
+    // r22 (PERF-pipeline protection): the stdout line is ALSO written
+    // verbatim to a file. The driver keeps only a ~2 kB stdout tail in
+    // its BENCH_r*.json record, and at 241 queries the line exceeds
+    // that window, so the STORED tail truncates the line's start — the
+    // r20→r21 comparison went dark exactly this way. The file carries
+    // the same bytes durably; stdout behavior is unchanged
+    // (additions-only, timing protocol untouched).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE", "BENCH_LINE.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write BENCH_LINE.json: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

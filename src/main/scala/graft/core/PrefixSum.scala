@@ -92,7 +92,11 @@ object PrefixSum {
       .select(col("ps_k"), col("ps_s"), col("ps_soff"))
 
     // per-key totals → offsets of higher keys; distinct-key-sized
-    // frame, the ONLY unpartitioned window, broadcast back
+    // frame, the ONLY unpartitioned window, broadcast back.
+    // Cardinality bound (r22 audit): one row per DISTINCT key value —
+    // callers key on quantized scores/classes (bounded vocabularies),
+    // never on row-unique ids, so this frame is orders of magnitude
+    // below the input row count by contract.
     val keyTot = shardTot.groupBy(col("ps_k").as("ps_k2")).agg(sum(col("ps_st")).as("ps_kt"))
     val wKey = Window.orderBy(col("ps_k2").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

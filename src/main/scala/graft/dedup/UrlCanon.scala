@@ -325,6 +325,8 @@ object UrlCanon {
     // 1024-row frame: per-bucket counts + how many domains sit in
     // strictly HIGHER buckets (bucket ranges are disjoint remainder
     // intervals, so "higher bucket" ⇔ "strictly larger remainder")
+    // unpartitioned window bound (r22 audit): bcounts has one row per
+    // remainder bucket — ≤ 1024 rows by construction, never domain-sized
     val bcounts = quoted.groupBy($"bucket").agg(count(lit(1)).as("c"))
       .withColumn("above", coalesce(sum($"c").over(
         Window.orderBy($"bucket".desc)

@@ -437,6 +437,14 @@ object GraphQueries extends QueryCatalog {
       .selectExpr(
         "CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u",
         "CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS w"))
+    // r22 (guide §1/§5): materialize the oriented cache EAGERLY. The
+    // wedge self-join's two exchange stages are independent, AQE
+    // launches them concurrently, and concurrent readers of a cold
+    // cached partition each recompute its child — measured: BOTH map
+    // stages ran the full und⋈deg⋈deg orientation pipeline (~10 s of
+    // duplicated CPU per run). One count() populates the cache once;
+    // the consumers then scan memory.
+    oriented.count()
     // wedges from out-edges of the same u, canonical (x < y by id);
     // closed against the ID-canonical undirected edge set — a single
     // equi-join (closing against `oriented` would need an OR of

@@ -1070,6 +1070,15 @@ object IngestQueries extends QueryCatalog {
       .select($"source", $"doc_id",
         when($"p_id".isNull, 1L)
           .when($"p_digest" =!= $"digest", 0L).otherwise(2L).as("prio")))
+    // r22 NOTE (measured and REVERTED): eagerly materializing this
+    // cache (cls.count() before the consumers) was tried — AQE runs the
+    // consumers' independent map stages concurrently and cold-cache
+    // readers duplicate the corpus-scan+md5 pipeline up to 4× — but the
+    // eager count is a BARRIER that serialized work the duplicates had
+    // overlapped with, and wall time got ~15% WORSE (2.7→3.3 s probe).
+    // The duplicated CPU here buys wall-clock overlap on an
+    // otherwise-idle box; q143's oriented frame is the case where the
+    // same dedup does pay.
     val bounds = cls.agg(min($"doc_id").as("mind"), max($"doc_id").as("maxd"))
       .withColumn("w", expr("greatest(1L, (maxd - mind) DIV 256 + 1)"))
     val cells = graft.core.ScratchCache.persist(

@@ -281,6 +281,8 @@ object LayoutQueries extends QueryCatalog {
     val hist = cents.crossJoin(broadcast(bounds))
       .groupBy(expr("least(255L, (c - minc) DIV w)").as("b"))
       .agg(count(lit(1)).as("cnt"))
+      // unpartitioned window bound (r22 audit): hist has one row per
+      // histogram cell — ≤ 256 rows by construction, never order-sized
       .withColumn("cum", sum($"cnt").over(
         Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("cum_before", $"cum" - $"cnt")

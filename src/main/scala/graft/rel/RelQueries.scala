@@ -1734,8 +1734,14 @@ object RelQueries extends QueryCatalog {
     * per-day distinct aggregates. Raw events never enter a window. */
   private def q225(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val du = graft.core.ScratchCache.persist(
-      Tables.events(s, dir).select(to_date($"ts").as("d"), $"user_id").distinct())
+    // r22 (guide §2.4): du is NOT persisted — q112's lesson. All four
+    // consumers (days, dau, the two trailing-window joins) share the
+    // identical distinct subtree, so the raw-event scan + dedup map
+    // side is written to ONE reused exchange and only the reduce-side
+    // dedup re-runs per consumer; the old persist replaced the reusable
+    // exchange with a columnar cache whose build + four scans cost more
+    // than the duplicated reduce sides.
+    val du = Tables.events(s, dir).select(to_date($"ts").as("d"), $"user_id").distinct()
     val days = du.select($"d").distinct()
     val dau = du.groupBy($"d").agg(count(lit(1)).as("dau"))
     def trailing(n: Int, name: String) =
@@ -1805,6 +1811,9 @@ object RelQueries extends QueryCatalog {
       .groupBy($"bucket").agg(count(lit(1)).as("n_users"))
     val tot = buckets.agg(sum($"n_users").as("n_conv"))
     buckets.crossJoin(broadcast(tot))
+      // unpartitioned window bound (r22 audit): buckets has one row per
+      // power-of-two latency class — ≤ 64 rows (bit length of a long
+      // minute count), never user-sized
       .withColumn("cum", sum($"n_users").over(
         Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .selectExpr("bucket", "n_users",

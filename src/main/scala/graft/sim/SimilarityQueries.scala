@@ -1429,17 +1429,24 @@ object SimilarityQueries extends QueryCatalog {
     graft.functions.GraftFunctions.register(s)
     val cents = graft.core.ScratchCache.persist(trainedCents(s, dir))
     val w = Window.partitionBy($"vec_id").orderBy($"cs".desc, $"cent_id")
-    val ranked = graft.core.ScratchCache.persist(
-      withVec(s, dir).crossJoin(broadcast(cents))
-        .withColumn("cs", expr("cosine_similarity(v, cv)"))
-        .withColumn("rn", row_number().over(w))
-        .select($"vec_id", $"cent_id", $"rn"))
+    // r22 (guide §2.4): NOT persisted — q112's lesson. The expensive
+    // part (crossJoin + per-pair cosine) is the MAP side of the
+    // window's vec_id exchange, written once and reused by all three
+    // consumers; only the window + filter above it re-runs per
+    // consumer, which costs less than building and re-scanning a
+    // |vecs|·K-row columnar cache.
+    val ranked = withVec(s, dir).crossJoin(broadcast(cents))
+      .withColumn("cs", expr("cosine_similarity(v, cv)"))
+      .withColumn("rn", row_number().over(w))
+      .select($"vec_id", $"cent_id", $"rn")
     val cellSize = ranked.filter($"rn" === 1)
       .groupBy($"cent_id").agg(count(lit(1)).as("csize"))
     val nAll = ranked.filter($"rn" === 1).agg(count(lit(1)).as("n_all"))
     val perRank = ranked.join(broadcast(cellSize), "cent_id")
       .groupBy($"rn").agg(sum($"csize").as("rank_cost"))
     perRank.crossJoin(broadcast(nAll))
+      // unpartitioned window bound (r22 audit): perRank has one row per
+      // centroid rank — ≤ |centroids| rows, never vector-sized
       .withColumn("cum_cost", sum($"rank_cost").over(
         Window.orderBy($"rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .selectExpr("CAST(rn AS BIGINT) AS nprobe", "rank_cost", "CAST(cum_cost AS BIGINT) AS cum_cost",

@@ -1230,6 +1230,11 @@ object TextQueries extends QueryCatalog {
       .select($"doc_id").distinct()
     val scores = graft.core.ScratchCache.persist(
       contrib.groupBy($"doc_id").agg(sum($"contrib").as("score_q")))
+    // Unpartitioned-window cardinality bounds (r22 audit): exact10's
+    // window runs over the 10 rows the preceding limit(10) kept;
+    // candRank's runs over the champion candidates — ≤ |bm25Terms|·c
+    // rows by the per-term rn ≤ c cut above (≤ 256 at production c=64,
+    // never corpus-sized).
     val exact10 = scores
       .orderBy($"score_q".desc, $"doc_id").limit(10)
       .withColumn("rank_exact", row_number().over(
@@ -1625,10 +1630,13 @@ object TextQueries extends QueryCatalog {
   private def q150(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val stCnt = graft.core.ScratchCache.persist(
-      Tables.documents(s, dir)
-        .select($"source", explode(expr(toksExpr)).as("token"))
-        .groupBy($"source", $"token").agg(count(lit(1)).as("cnt")))
+    // r22 (guide §2.4): NOT persisted — q112's lesson. Both consumers
+    // (vocab and the final encode join) share the identical aggregate
+    // subtree; the tokenize+explode map side is written to one reused
+    // exchange, so only the cheap reduce-side aggregate re-runs.
+    val stCnt = Tables.documents(s, dir)
+      .select($"source", explode(expr(toksExpr)).as("token"))
+      .groupBy($"source", $"token").agg(count(lit(1)).as("cnt"))
     val vocab = stCnt.groupBy($"token").agg(sum($"cnt").as("cnt"))
     val merges = vocab
       .filter(length($"token") >= 2)
@@ -1637,6 +1645,7 @@ object TextQueries extends QueryCatalog {
         .as("pair"))
       .groupBy($"pair").agg(sum($"cnt").as("n"))
       .orderBy($"n".desc, $"pair").limit(20)
+      // unpartitioned window bound (r22 audit): ≤ 20 rows (post-limit)
       .withColumn("rnk", row_number().over(Window.orderBy($"n".desc, $"pair")).cast("long"))
     val mergeArr = merges.agg(expr(
       """array_sort(
@@ -1779,16 +1788,27 @@ object TextQueries extends QueryCatalog {
     * LM needs anyway), a VOCABULARY-sized frame joined back BROADCAST
     * (a 10 M-type vocab is megabytes next to a 100 TB corpus), one
     * per-doc aggregation. The corpus total rides on the broadcast side
-    * as a 1-row cross join — no driver collect. The tf frame is
-    * persisted (ScratchCache, drained per query by the runners) so the
-    * corpus is tokenized ONCE — the vocab and total branches would
-    * otherwise each re-derive it from parquet (observed: 3 corpus
-    * scans in the unpersisted plan; at 100 TB each is a full pass). */
+    * as a 1-row cross join — no driver collect. The corpus is tokenized
+    * ONCE: every consumer shares the tf aggregate's exchange (AQE stage
+    * reuse), so the explode+count map pass is written to one shuffle
+    * and only reduce-side aggregates re-run per consumer (r22 — see the
+    * note in the body; the frame was previously persisted instead,
+    * which cost more than it saved). */
   private def q97(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = graft.core.ScratchCache.persist(Tables.documents(s, dir)
+    // r22 (guide §2.4): tf is NOT persisted — q112's lesson. Both
+    // consumers (the vocab chain and the per-doc scoring join) contain
+    // the identical tf aggregate subtree, so the tokenize + explode map
+    // side is written to ONE reused exchange and only the cheap
+    // reduce-side final aggregate re-runs per consumer; the old persist
+    // replaced that reusable exchange with a columnar cache whose
+    // build + decompressing scans cost more than they saved. The
+    // "3 corpus scans when unpersisted" note this replaces predates
+    // AQE stage reuse in this plan shape (probe: 10 jobs, one parquet
+    // scan either way; ~25% faster unpersisted).
+    val tf = Tables.documents(s, dir)
       .select($"doc_id", explode(expr(toksExpr)).as("t"))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy($"t").agg(sum($"tf").as("cnt"))
     val total = vocab.agg(sum($"cnt").as("total"))
     val scored = vocab.crossJoin(broadcast(total))
@@ -2221,6 +2241,11 @@ object TextQueries extends QueryCatalog {
   private[text] def mixtureQuotasOf(docsIn: DataFrame,
       weightExpr: String = sqrtWeightExpr): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Unpartitioned-window cardinality bound (r22 audit): every window
+    // below (the `all` totals and the two remainder-rank windows) runs
+    // over the per-language quota frame — ≤ |languages| rows (single
+    // digits on this corpus, at most a few hundred for any real one),
+    // never document-sized.
     val all = Window.partitionBy(lit(1))
     val n = docsIn.select(col("doc_id"), col("lang"))
       .groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
@@ -2497,15 +2522,23 @@ object TextQueries extends QueryCatalog {
     s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
       s"(instr('0123456789abcdef', substr($h, 2, 1)) - 1)"
   private def q112(s: SparkSession, dir: String): DataFrame = {
-    val tf = graft.core.ScratchCache.persist(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), explode(expr(toksExpr)).as("t"))
-        .select(col("doc_id"), col("lang"),
-          expr(s"CAST(${bucketFromHex("md5(concat('dsir|', t))")} AS BIGINT)").as("b"))
-        .groupBy(col("doc_id"), col("lang"), col("b"))
-        .agg(count(lit(1)).as("cnt")))
+    // r22 (guide §2.4): tf is NOT persisted. Its two consumers (the
+    // bucket-stats aggregate and the per-doc scoring aggregate) contain
+    // the identical aggregate subtree, so the expensive map side —
+    // tokenize + per-token md5 + partial aggregation — is deduplicated
+    // by EXCHANGE REUSE: the shuffle is written once and each consumer
+    // re-runs only the cheap reduce-side final aggregate. The old
+    // persist REPLACED the reusable exchange with an in-memory columnar
+    // cache whose build + two decompressing scans cost more than the
+    // duplicated reduce side it saved (probe: ~30%).
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(expr(toksExpr)).as("t"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(${bucketFromHex("md5(concat('dsir|', t))")} AS BIGINT)").as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
     // r22 (guide §2.3): raw and target distributions in ONE aggregate
-    // pass over the persisted tf frame — sum + conditional sum — rather
+    // pass over the tf frame — sum + conditional sum — rather
     // than two separate scans joined back together. coalesce(t_cnt, 0)
     // of the old left join ≡ summing non-en rows as 0.
     val stats = tf.groupBy(col("b")).agg(
@@ -2777,6 +2810,9 @@ object TextQueries extends QueryCatalog {
       .select(explode(expr(toksExpr)).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
     val ff = tf.groupBy($"cnt").agg(count(lit(1)).as("n_types"))
+    // unpartitioned window bound (r22 audit): ff is the frequency-of-
+    // frequency frame — one row per DISTINCT count value, O(√tokens)
+    // under any Zipf-like law (see scaladoc), never vocabulary-sized
     val w = Window.orderBy($"cnt".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = ScratchCache.persist(ff
@@ -3001,6 +3037,10 @@ object TextQueries extends QueryCatalog {
     * all windows run on that tiny frame. */
   private[text] def auditAllocOf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Unpartitioned-window cardinality bound (r22 audit): every window
+    // below runs over the per-source aggregate frame — ≤ |sources|
+    // rows (tens here, at most thousands for any real crawl), never
+    // document-sized.
     val all = Window.partitionBy(lit(1))
     val per = documents.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
