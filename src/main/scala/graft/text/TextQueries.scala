@@ -1944,10 +1944,16 @@ object TextQueries extends QueryCatalog {
           $"token_chars" >= $"n_tokens" * 3L && $"token_chars" <= $"n_tokens" * 10L &&
           $"stop_hits" >= 2L && $"n_distinct" * 2L >= $"n_tokens").as("g_gopher"),
         ($"score" > 0L).as("g_classifier"))
-    // surprisal gate (q97 shape) over the same universe
-    val tf = graft.core.ScratchCache.persist(
-      toksDf.select($"doc_id", explode($"toks").as("t"))
-        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf")))
+    // surprisal gate (q97 shape) over the same universe.
+    // r22 (guide §2.4): tf NOT persisted — q97/q112's lesson. Its two
+    // consumers (vocab chain, surp join) share the identical aggregate
+    // subtree, so the explode+count map side is deduplicated by
+    // exchange reuse; the persist's columnar cache cost more than the
+    // duplicated reduce sides. toksDf above STAYS persisted: it is
+    // map-topped (no exchange to reuse) and its two consumers diverge
+    // immediately, so the cache is what dedups the tokenize there.
+    val tf = toksDf.select($"doc_id", explode($"toks").as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy($"t").agg(sum($"tf").as("cnt"))
     val total = vocab.agg(sum($"cnt").as("total"))
     val scoredVocab = vocab.crossJoin(broadcast(total))
