@@ -1228,8 +1228,13 @@ object TextQueries extends QueryCatalog {
         Window.partitionBy($"term").orderBy($"contrib".desc, $"doc_id")))
       .filter($"rn" <= c)
       .select($"doc_id").distinct()
-    val scores = graft.core.ScratchCache.persist(
-      contrib.groupBy($"doc_id").agg(sum($"contrib").as("score_q")))
+    // r22 (guide §2.4): scores NOT persisted — q97/q112's lesson. Its
+    // two consumers (the exact top-10 and the champion-rank join) share
+    // the aggregate's exchange, so the per-doc summation map side runs
+    // once via stage reuse; `contrib` above STAYS persisted (it is
+    // project-topped — no exchange to reuse — and its consumers diverge
+    // into differently-keyed exchanges).
+    val scores = contrib.groupBy($"doc_id").agg(sum($"contrib").as("score_q"))
     // Unpartitioned-window cardinality bounds (r22 audit): exact10's
     // window runs over the 10 rows the preceding limit(10) kept;
     // candRank's runs over the champion candidates — ≤ |bm25Terms|·c
